@@ -1,0 +1,70 @@
+"""Fixture-table catalog: parquet scans + temp-view registration.
+
+The reference auto-discovers its table namespace from Kafka topic names
+(/root/reference/consumer_to_file.py:171-180); our batch analytics surface
+discovers it from the fixture directory. Scans are plain
+``spark.read.parquet`` so Catalyst gets predicate pushdown, column pruning
+and (on partitioned layouts) partition pruning for free — a scan that reads
+all columns for a 2-column projection is a bug, and `.explain` on any query
+in queries.py should show `PushedFilters`/`ReadSchema` trimmed accordingly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The driver's fixture namespace (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimensions small enough to broadcast at ANY scale factor (region/nation are
+# fixed-cardinality in TPC-H-style schemas; supplier stays < broadcast
+# threshold through sf100).
+BROADCASTABLE: frozenset[str] = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Column pruning/pushdown happen in Catalyst.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos
+    as long (legacy conf) and convert to a microsecond timestamp in the
+    plan — a zero-shuffle projection that stays inside whole-stage codegen;
+    the DuckDB oracle applies the matching CAST(ts AS TIMESTAMP).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

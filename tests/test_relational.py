@@ -1,0 +1,84 @@
+"""Relational-core checks at sf0.001: every registered query runs, returns a
+stable schema, and spot semantics hold. Full value-level verification against
+DuckDB runs via tools/compare.py (and the driver's oracle gate at sf0.01);
+these tests are the fast inner loop.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from basic_data_pipeline_spark import TABLES, registry
+from tests.conftest import SF_SMOKE
+
+
+def test_all_queries_run_and_have_columns(spark):
+    qs = registry.queries()
+    assert len(qs) >= 40
+    for name, fn in qs.items():
+        df = fn(spark, SF_SMOKE)
+        assert df.columns, f"{name} returned no columns"
+
+
+def test_oracle_sql_is_valid_duckdb(tmp_path):
+    """Every oracle string parses and runs in DuckDB at sf0.001."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    for name, sql in registry.oracle_sql().items():
+        con.execute(sql).fetchall()
+
+
+def test_flagship_q1(spark):
+    df = registry.queries()["q1_pricing_summary"](spark, SF_SMOKE)
+    rows = df.collect()
+    assert 0 < len(rows) <= 6  # at most |returnflag|×|linestatus|
+    r = {(x["l_returnflag"], x["l_linestatus"]): x for x in rows}
+    total = sum(x["count_order"] for x in rows)
+    assert total > 0
+    for x in rows:
+        assert x["sum_disc_price"] <= x["sum_base_price"]
+        assert x["sum_charge"] >= x["sum_disc_price"]
+
+
+def test_broadcast_star_plan_has_broadcast(spark):
+    """join_broadcast_star must actually broadcast the dimensions."""
+    df = registry.queries()["join_broadcast_star"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_scan_prunes_columns(spark):
+    """The flagship scan must not read all 11 lineitem columns."""
+    df = registry.queries()["q1_pricing_summary"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan") :]
+    read_schema = scan[scan.index("ReadSchema") : scan.index("ReadSchema") + 400]
+    assert "l_orderkey" not in read_schema, "column pruning failed"
+    assert "l_partkey" not in read_schema, "column pruning failed"
+    assert "l_quantity" in read_schema
+
+
+def test_approx_distinct_close_to_exact(spark):
+    qs = registry.queries()
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in qs["agg_approx_distinct"](spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n_parts"]
+        for r in qs["agg_count_distinct"](spark, SF_SMOKE).collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.05
+
+
+def test_topk_per_group_k(spark):
+    rows = registry.queries()["topk_per_group"](spark, SF_SMOKE).collect()
+    from collections import Counter
+
+    per_seg = Counter(r["c_mktsegment"] for r in rows)
+    assert all(v <= 3 for v in per_seg.values())
+    assert all(r["rn"] <= 3 for r in rows)
