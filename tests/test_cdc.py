@@ -1,0 +1,204 @@
+"""CDC ingestion tests: FIXTURES.md B3 normalization golden cases and B4
+scenario scripts (snapshot+tail, schema drift, poison row, replay), driven
+through the same apply pipeline the streaming layer uses.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from basic_data_pipeline_spark.functions.normalize import (
+    normalize_string_value,
+    pick_primary_key,
+)
+from basic_data_pipeline_spark.operators import cdc
+from basic_data_pipeline_spark.sources.envelopes import (
+    Envelope,
+    employee_workload,
+    envelopes_to_df,
+    expected_final_state,
+)
+from basic_data_pipeline_spark.streaming.ingest import run_batches
+
+
+# --- B3: normalization golden cases (consumer_to_file.py:88-113) ---------
+
+GOLDEN = [
+    (None, ""),                        # null → ''
+    ("1722900000123", "1722900000"),   # >1e12 → //1000
+    ("true", "1"),                     # bool → 1/0
+    ("false", "0"),
+    ("42", "42"),                      # small numbers unchanged
+    ("3.14", "3.14"),
+    ('{"a":1}', '{"a":1}'),            # JSON object string passes through
+    ("[1,2]", "[1,2]"),
+    ("café", "café"),                  # text unchanged
+    ("hello world", "hello world"),
+]
+
+
+def test_normalize_golden_cases(spark):
+    df = spark.createDataFrame([(v,) for v, _ in GOLDEN], "v string")
+    got = [r["n"] for r in df.select(normalize_string_value(F.col("v")).alias("n")).collect()]
+    assert got == [e for _, e in GOLDEN]
+
+
+def test_pick_primary_key_order():
+    assert pick_primary_key(["name", "id", "uuid"]) == "uuid"
+    assert pick_primary_key(["name", "employee_id", "id"]) == "id"
+    assert pick_primary_key(["a", "b"]) == "a"
+
+
+# --- envelope decode ------------------------------------------------------
+
+def test_decode_envelopes_filters_and_routes(spark):
+    rows = [
+        ("dbserver1.testdb.employees", json.dumps({"payload": {"op": "c", "after": '{"id":1}', "source": {"ts_ms": 1, "table": "employees"}, "ts_ms": 2}}), 0, 0),
+        ("other.topic", json.dumps({"payload": {"op": "c"}}), 0, 1),     # bad prefix
+        ("dbserver1.testdb.employees", json.dumps({"nope": 1}), 0, 2),   # no payload
+    ]
+    raw = spark.createDataFrame(rows, "topic string, value string, partition int, offset long")
+    out = cdc.decode_envelopes(raw).collect()
+    assert len(out) == 1
+    assert out[0]["table"] == "employees"
+    assert out[0]["op"] == "c"
+
+
+# --- B4.1: snapshot + tail, both modes -----------------------------------
+
+@pytest.fixture()
+def workload():
+    return employee_workload(n_snapshot=15, n_ops=40, seed=7)
+
+
+def test_cdc_compact_matches_imperative_oracle(spark, tmp_path, workload):
+    raw = envelopes_to_df(spark, workload)
+    sinks = run_batches(spark, [raw], str(tmp_path), mode="compact")
+    final = {r["id"]: r.asDict() for r in sinks["employees"].read().collect()}
+    expected = expected_final_state(workload)
+    assert set(final) == set(expected)
+    for k, exp in expected.items():
+        assert final[k]["name"] == exp["name"]
+        if "salary" in exp:
+            assert final[k]["salary"] == exp["salary"]
+
+
+def _surviving_history(workload):
+    """Upsert events not erased by a later delete of their key (the
+    reference's ALTER DELETE removes all prior versions of the key)."""
+    survivors = 0
+    for i, e in enumerate(workload):
+        if e.op not in ("c", "u", "r"):
+            continue
+        k = e.after["id"]
+        if not any(
+            later.op == "d" and later.before and later.before["id"] == k
+            for later in workload[i + 1 :]
+        ):
+            survivors += 1
+    return survivors
+
+
+def test_cdc_append_keeps_history(spark, tmp_path, workload):
+    raw = envelopes_to_df(spark, workload)
+    sinks = run_batches(spark, [raw], str(tmp_path), mode="append")
+    assert sinks["employees"].read().count() == _surviving_history(workload)
+
+
+def test_cdc_multi_batch_compact(spark, tmp_path, workload):
+    """Batch boundaries must not change the final compacted state."""
+    raw = envelopes_to_df(spark, workload)
+    third = len(workload) // 3
+    b1 = envelopes_to_df(spark, workload[:third])
+    b2 = envelopes_to_df(spark, workload[third : 2 * third])
+    b3 = envelopes_to_df(spark, workload[2 * third :])
+    sinks = run_batches(spark, [b1, b2, b3], str(tmp_path), mode="compact")
+    final = {r["id"] for r in sinks["employees"].read().collect()}
+    assert final == set(expected_final_state(workload))
+
+
+# --- B4.2: schema drift ---------------------------------------------------
+
+def test_schema_drift_evolves_columns(spark, tmp_path):
+    wl = employee_workload(n_snapshot=5, n_ops=30, seed=11, schema_drift_at=10)
+    half = 5 + 10  # batch boundary at the drift point: batch1 is pure pre-drift
+    b1 = envelopes_to_df(spark, wl[:half])
+    b2 = envelopes_to_df(spark, wl[half:])
+    sinks = run_batches(spark, [b1, b2], str(tmp_path), mode="append")
+    df = sinks["employees"].read()
+    cols = set(df.columns)
+    assert {"position", "salary", "role"} <= cols, cols
+    # drifted rows: position erased to '' (null→'' faithful rule; matches
+    # the ClickHouse String column default the reference relies on) and
+    # salary null; pre-drift rows predate the role column entirely → null.
+    drifted = df.filter((F.col("role") != "") & F.col("role").isNotNull())
+    assert drifted.count() > 0
+    assert drifted.filter((F.col("position") != "") | F.col("salary").isNotNull()).count() == 0
+    pre = df.filter(F.col("role").isNull())
+    assert pre.count() > 0
+    assert pre.filter(F.col("position") == "").count() == 0
+
+
+# --- B4.3: poison row → DLQ ----------------------------------------------
+
+def test_poison_value_quarantined(spark, tmp_path):
+    wl = employee_workload(n_snapshot=5, n_ops=0, seed=3)
+    poison_after = {"id": 99, "name": "Mallory", "position": "X", "salary": "not-a-number"}
+    wl.append(Envelope("dbserver1.testdb.employees", "c", None, poison_after, 1_722_999_000_000, 0, 99))
+    b1 = envelopes_to_df(spark, wl[:5])   # establishes salary: double
+    b2 = envelopes_to_df(spark, wl[5:])
+    fn_sinks = {}
+    _, dlq1 = cdc.apply_cdc_batch(spark, b1, str(tmp_path), sinks=fn_sinks)
+    _, dlq2 = cdc.apply_cdc_batch(spark, b2, str(tmp_path), sinks=fn_sinks)
+    dlq_rows = dlq2.collect()
+    assert len(dlq_rows) == 1
+    assert dlq_rows[0]["column"] == "salary"
+    assert dlq_rows[0]["value"] == "not-a-number"
+    assert dlq_rows[0]["table"] == "employees"
+    # good rows still landed; poison row did not
+    ids = {r["id"] for r in fn_sinks["employees"].read().collect()}
+    assert 99 not in ids and len(ids) == 5
+    # structured DLQ parquet written (S11)
+    dlq_disk = spark.read.parquet(str(tmp_path / "_dlq"))
+    assert dlq_disk.count() == 1
+
+
+# --- B4.4: replay ---------------------------------------------------------
+
+def test_replay_compact_idempotent(spark, tmp_path, workload):
+    raw = envelopes_to_df(spark, workload)
+    sinks = run_batches(spark, [raw, raw], str(tmp_path), mode="compact")
+    final = {r["id"] for r in sinks["employees"].read().collect()}
+    assert final == set(expected_final_state(workload))
+
+
+def test_replay_append_documents_duplicate_hazard(spark, tmp_path, workload):
+    """Faithful mode reproduces the reference's at-least-once duplication
+    (consumer_to_file.py:185-187): replay doubles rows."""
+    raw = envelopes_to_df(spark, workload)
+    sinks = run_batches(spark, [raw, raw], str(tmp_path), mode="append")
+    assert sinks["employees"].read().count() == 2 * _surviving_history(workload)
+
+
+# --- epoch heuristic on *_on columns --------------------------------------
+
+def test_updated_on_becomes_timestamp(spark, tmp_path):
+    wl = employee_workload(n_snapshot=3, n_ops=0, seed=5)
+    sinks = run_batches(spark, [envelopes_to_df(spark, wl)], str(tmp_path))
+    schema = dict(sinks["employees"].read().dtypes)
+    assert schema["updated_on"] == "timestamp"
+
+
+# --- delete correctness (divergence from reference bug) -------------------
+
+def test_delete_removes_only_target_key(spark, tmp_path):
+    wl = employee_workload(n_snapshot=10, n_ops=0, seed=13)
+    victim = wl[4].after
+    wl.append(Envelope("dbserver1.testdb.employees", "d", victim, None, 1_722_999_000_000, 0, 50))
+    sinks = run_batches(spark, [envelopes_to_df(spark, wl)], str(tmp_path), mode="compact")
+    ids = {r["id"] for r in sinks["employees"].read().collect()}
+    assert victim["id"] not in ids
+    assert len(ids) == 9
