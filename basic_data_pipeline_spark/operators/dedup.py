@@ -1,0 +1,259 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash
+(SURVEY.md §2.11) — the near-dup removal stage of a training-data pipeline.
+
+Absent from the reference (single-table CDC demo, no analytics code); built
+here as compositions of DataFrame ops so every stage is a shuffle we chose:
+
+  shingle    explode word n-grams           narrow, codegen
+  minhash    groupBy(doc, hash_j) min       1 shuffle on doc_id
+  band       groupBy(doc, band) concat      reuses the doc_id partitioning
+  candidate  self-join on (band, bandkey)   shuffle on band key — the
+                                            whole point of LSH: the join
+                                            key space is tiny vs O(n²)
+  verify     exact Jaccard on candidates    candidate set ≪ all pairs
+
+Determinism: hash functions are md5-derived (hash_j(g) = md5(j || '|' || g),
+minimum taken lexicographically over hex strings), so signatures are
+reproducible across engines and runs — the DuckDB oracle computes the SAME
+signatures. Production would swap md5 for xxhash64 (same plan shape,
+~5× cheaper); md5 is the only 128-bit hash both engines share bit-for-bit.
+
+Scale notes (100 TB corpus):
+- the O(n²) pair space never materializes; candidates come from the
+  banded join whose key cardinality ≈ n_docs × n_bands / collision_rate;
+- the shingle explode multiplies rows by ~doc_len, but it feeds a
+  map-side partial min — the shuffle carries only (doc, j, min_hash);
+- banding is embarrassingly partition-parallel; skewed band keys (a
+  boilerplate shingle shared by millions of docs) are AQE skew-split, and
+  a production run would cap bucket sizes before the pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-grams of the lower-cased text.
+    Documents shorter than n words contribute their whole text as one
+    shingle."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.split(F.lower(F.col(text_col)), r"\s+").alias("w"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(w) - {n}, 0)),"
+                    f" i -> concat_ws(' ', slice(w, i + 1, {n})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str) -> DataFrame:
+    """(id, j, mh): for each of N_HASHES hash families, the minimum of
+    md5(j || '|' || shingle) over the document's shingle set. The explode
+    by j feeds a partial (map-side) min, so the shuffle carries one row
+    per (doc, j), not per (doc, j, shingle)."""
+    return (
+        shingles.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("j"),
+            F.col("shingle"),
+        )
+        .select(
+            F.col(id_col),
+            "j",
+            F.md5(F.concat_ws("|", F.col("j"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy(id_col, "j")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_bands(signatures: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bandkey): concatenate each band's minhashes (in j order)
+    into one join key. Two docs agree on a band iff all rows in the band
+    match — the classic AND-within-band / OR-across-bands LSH."""
+    return (
+        signatures.withColumn("band", F.expr(f"j div {N_HASHES // N_BANDS}"))
+        .groupBy(id_col, "band")
+        .agg(
+            # lpad makes lexicographic sort order == numeric j order
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(F.concat_ws(":", F.lpad("j", 2, "0"), "mh"))
+                ),
+            ).alias("bandkey")
+        )
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """(id_a, id_b) distinct pairs sharing at least one band. The join key
+    is (band, bandkey) — cardinality ~n_docs×N_BANDS, never O(n²)."""
+    a = bands.select(
+        F.col("band"), F.col("bandkey"), F.col(id_col).alias("id_a")
+    )
+    b = bands.select(
+        F.col("band"), F.col("bandkey"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, on=["band", "bandkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with shingle-set Jaccard ≥
+    threshold, via the inverted-index join: pairs sharing a shingle →
+    intersection counts → |A∪B| = |A|+|B|−|A∩B|.
+
+    This is the EXACT verifier; on a full corpus it runs only on LSH
+    candidates (`lsh_candidate_pairs` → semi-join the shingle lists), here
+    it doubles as the ground-truth oracle for the approximate paths."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+HEX = "0123456789abcdef"
+
+
+def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash): 64-bit SimHash over the distinct lower-cased word
+    set, emitted as 16 hex chars. Bit i of md5(token) votes ±1; the
+    signed sums' signs form the signature. Near-dup docs differ in few
+    bits (Hamming), unlike minhash which models set Jaccard.
+
+    Plan shape: explode tokens ×64 bit positions → two-level partial
+    aggregation (doc,pos,bit → doc,pos → doc), all hash-partitioned by
+    doc id once. Arithmetic only — no UDFs, no Python."""
+    toks = (
+        docs.select(F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("w"))
+        .select(F.col(id_col), F.explode("w").alias("t"))
+        .distinct()
+        .withColumn("m", F.md5("t"))
+    )
+    # i = 0..63; hex char position p = i div 4 (1-based for substr), bit j = i % 4
+    bits = (
+        toks.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+            F.col("m"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr("i div 4").alias("p"),
+            (F.col("i") % 4).alias("j"),
+            (
+                F.expr(f"instr('{HEX}', substr(m, CAST(i div 4 AS INT) + 1, 1)) - 1")
+            ).alias("v"),
+        )
+        .withColumn(
+            "vote",
+            (F.expr("(v div CAST(pow(2, j) AS INT)) % 2") * 2 - 1),
+        )
+        .groupBy(id_col, "p", "j")
+        .agg(F.sum("vote").alias("s"))
+    )
+    nibbles = (
+        bits.withColumn(
+            "bit", F.when(F.col("s") > 0, 1).otherwise(0)
+        )
+        .groupBy(id_col, "p")
+        .agg(
+            F.sum(F.col("bit") * F.expr("CAST(pow(2, j) AS INT)")).alias("nib")
+        )
+        .withColumn("ch", F.expr(f"substr('{HEX}', CAST(nib AS INT) + 1, 1)"))
+    )
+    return nibbles.groupBy(id_col).agg(
+        F.expr("concat_ws('', transform(array_sort(collect_list(struct(p, ch))), s -> s.ch))").alias(
+            "simhash"
+        )
+    )
+
+
+def simhash_pairs(signatures: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within Hamming distance ≤ max_hamming,
+    via 4-chunk banding: with 4 chunks of 16 bits, any pair within
+    distance 3 shares at least one identical chunk (pigeonhole), so the
+    candidate join runs on chunk equality and the exact popcount filter
+    runs only on candidates."""
+    chunks = signatures.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
+    ).withColumn("chunk", F.expr("substr(simhash, CAST(c * 4 AS INT) + 1, 4)"))
+    a = chunks.select(
+        F.col("c"), F.col("chunk"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a")
+    )
+    b = chunks.select(
+        F.col("c"), F.col("chunk"), F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b")
+    )
+    cand = (
+        a.join(b, on=["c", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    # hamming = sum over 16 hex positions of popcount(nib_a XOR nib_b)
+    ham = F.expr(
+        f"""aggregate(sequence(1, 16), 0, (acc, p) -> acc + (
+              CAST(bit_count(
+                (instr('{HEX}', substr(sig_a, p, 1)) - 1) ^
+                (instr('{HEX}', substr(sig_b, p, 1)) - 1)
+              ) AS INT)))"""
+    )
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def exact_dedup_survivors(docs: DataFrame, id_col: str, key: F.Column) -> DataFrame:
+    """One surviving row per duplicate group (minimum id wins) plus the
+    group size — the hash-groupBy exact dedup. `key` is any expression
+    (raw text, normalized text, content hash)."""
+    return (
+        docs.withColumn("_k", key)
+        .groupBy("_k")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("group_size"),
+        )
+        .drop("_k")
+    )

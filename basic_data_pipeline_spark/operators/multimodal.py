@@ -1,0 +1,175 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, processed with Arrow-batched Pandas functions (SURVEY.md §2.11).
+
+Absent from the reference. Design: media bytes live in a `binary` column
+next to typed metadata; decode / feature-extraction / resize / frame-
+sample run as `mapInPandas` stages — Arrow moves columnar batches into
+pandas with zero row-at-a-time serde, the ONLY sanctioned Python hot path
+in this engine. The Spark-side plumbing (schemas, batch shapes, UDF
+signatures, partitioning) is real and tested; the codec call itself is
+stubbed (`RealDecodeUnavailable`) because image/audio libraries are not in
+this container — `decode_media_meta` ships a deterministic fake decoder so
+the full pipeline is exercisable and oracle-checkable end to end.
+
+Scale notes (100 TB of media):
+- binary columns ride Parquet like any other column; `maxPartitionBytes`
+  sizes input splits, so one hot 4K video cannot blow an executor if the
+  table is written with sane row-group sizes;
+- mapInPandas streams Arrow batches (spark.sql.execution.arrow
+  .maxRecordsPerBatch bounds peak pandas memory per task);
+- decode is embarrassingly parallel — no shuffle anywhere in the decode/
+  resize path; only the optional per-modality aggregate shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MODALITIES = ("image", "audio", "video")
+
+# Output schema of the metadata decode stage.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+class RealDecodeUnavailable(NotImplementedError):
+    """Raised by the real-codec path: PIL/ffmpeg/soundfile are not in this
+    container. The deterministic fake below keeps the pipeline testable."""
+
+
+def decode_with_real_codec(data: bytes, modality: str):  # pragma: no cover
+    raise RealDecodeUnavailable(
+        f"no codec library available for {modality}; use fake=True"
+    )
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table from the documents fixture: the UTF-8
+    bytes of `text` stand in for encoded media, modality assigned
+    round-robin. Yields a real `binary` column with deterministic
+    content — the plumbing under test is identical to real media."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in MODALITIES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+
+
+def _fake_meta(n_bytes: pd.Series) -> pd.DataFrame:
+    """Deterministic fake decode: metadata derived arithmetically from the
+    byte length. Stands in for the codec so tests (and the SQL oracle)
+    can verify the full mapInPandas pipeline bit-for-bit."""
+    return pd.DataFrame(
+        {
+            "width": (64 + n_bytes % 512).astype("int32"),
+            "height": (64 + (n_bytes * 31) % 512).astype("int32"),
+            "n_frames": (1 + n_bytes % 240).astype("int32"),
+        }
+    )
+
+
+def decode_media_meta(media: DataFrame, fake: bool = True) -> DataFrame:
+    """binary → typed metadata via mapInPandas (Arrow batches, vectorized
+    pandas ops inside — no per-row Python)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["data"].map(len).astype("int64")
+            if not fake:  # pragma: no cover
+                decode_with_real_codec(pdf["data"].iloc[0], pdf["modality"].iloc[0])
+            meta = _fake_meta(n_bytes)
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": n_bytes,
+                }
+            )
+            yield pd.concat([out, meta], axis=1)
+
+    return media.mapInPandas(run, MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("target_w", T.IntegerType()),
+        T.StructField("target_h", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Resize stage plumbing: image rows only, mapInPandas, binary in →
+    binary out. The fake 'resize' truncates/pads bytes to a deterministic
+    length proportional to the target area (a real one calls the codec)."""
+    tw, th = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_len = tw * th // 1024 + 16
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "target_w": pd.Series([tw] * len(pdf), dtype="int32"),
+                    "target_h": pd.Series([th] * len(pdf), dtype="int32"),
+                    "data": pdf["data"].map(
+                        lambda b: (b * (out_len // max(len(b), 1) + 1))[:out_len]
+                    ),
+                }
+            )
+
+    return media.filter(F.col("modality") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 30) -> DataFrame:
+    """Frame-sampling plumbing for video rows: one input row fans out to
+    n_frames/every_nth output rows (mapInPandas may change cardinality —
+    the property this stage exists to exercise). Fake frames are byte
+    slices; a real implementation decodes with the codec."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                n_frames = 1 + len(data) % 240
+                for fi in range(0, n_frames, every_nth):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(bytes(data[fi % max(len(data), 1) :][:16]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return media.filter(F.col("modality") == "video").mapInPandas(run, FRAMES_SCHEMA)

@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (SURVEY.md §2.11): exact
+cosine top-k (baseline) and LSH-bucketed ANN (scale path).
+
+Absent from the reference; built on `array<float>` columns with pure
+built-in expressions — `zip_with` for the elementwise product,
+`aggregate` for the fold, both inside whole-stage codegen. No Python in
+the distance hot path (a Pandas-UDF variant was benchmarked and loses at
+this dimensionality: Arrow transfer dominates a 64-dim dot product).
+
+Scale notes (100 TB / billions of vectors):
+- brute force is O(n_queries × n_corpus); it exists as the correctness
+  baseline and for small query sets against blocked partitions;
+- blocking (label/IVF-coarse-cell) turns the cross join into an equi-join
+  on the block key — the shuffle partitions by block, each block computes
+  independently;
+- random-hyperplane LSH reduces the candidate set further: bucket =
+  sign-bit string of `n_planes` fixed hyperplanes; vectors sharing a
+  bucket are candidates. Hyperplane components are ±1 derived from md5,
+  so buckets are deterministic and replayable. Recall tunes with
+  n_planes (fewer planes → bigger buckets → higher recall, more work).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def as_double_array(c: Column) -> Column:
+    """array<float> → array<double> so all distance math accumulates in
+    double on both Spark and the oracle."""
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — deterministic accumulation order, so
+    results are bit-identical across engines and runs."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def topk_neighbors(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    block_col: str | None = None,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank): k nearest corpus vectors per query
+    by cosine, self-matches excluded, ties broken by neighbor id.
+
+    With `block_col` the pair space is an equi-join on the block key
+    (IVF-style coarse quantization — here the fixture's `label`); without
+    it, a broadcast cross join (only sane for small query sets — the
+    brute-force baseline)."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array(F.col("embedding")).alias("qv"),
+        *([F.col(block_col).alias("qb")] if block_col else []),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array(F.col("embedding")).alias("cv"),
+        *([F.col(block_col).alias("cb")] if block_col else []),
+    )
+    if block_col:
+        pairs = q.join(c, F.col("qb") == F.col("cb"))
+    else:
+        pairs = F.broadcast(q).crossJoin(c)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame, block_col: str, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, cos) embedding near-dup pairs within a block whose
+    cosine ≥ threshold — the embedding-space analog of n-gram Jaccard
+    dedup. Blocking keeps the join quadratic only per block."""
+    a = vectors.select(
+        F.col(block_col).alias("blk"),
+        F.col("vec_id").alias("id_a"),
+        as_double_array(F.col("embedding")).alias("va"),
+    )
+    b = vectors.select(
+        F.col(block_col).alias("blk"),
+        F.col("vec_id").alias("id_b"),
+        as_double_array(F.col("embedding")).alias("vb"),
+    )
+    return (
+        a.join(b, on="blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (sign-bit buckets)
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane components from md5(plane:dim) parity —
+    reproducible across runs/machines with no RNG state."""
+    return [
+        1.0 if hashlib.md5(f"{plane}:{d}".encode()).digest()[0] % 2 else -1.0
+        for d in range(dim)
+    ]
+
+
+def lsh_bucket(
+    emb: Column, dim: int, n_planes: int = 8, table: int = 0
+) -> Column:
+    """Sign-bit bucket string ('10110010') of the embedding against
+    n_planes fixed ±1 hyperplanes (a distinct plane family per hash
+    table). Pure expression — the hyperplanes are compile-time literal
+    arrays, the dots are codegen'd folds."""
+    bits = []
+    for p in range(n_planes):
+        plane = F.array([F.lit(v) for v in _hyperplane(table * 1000 + p, dim)])
+        bits.append(F.when(dot(as_double_array(emb), plane) >= 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def ann_topk_lsh(
+    vectors: DataFrame,
+    dim: int,
+    k: int,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos): approximate top-k via
+    MULTI-TABLE random-hyperplane LSH — candidates are the union over
+    n_tables independent bucketings of same-bucket pairs, deduplicated
+    BEFORE the (expensive) distance evaluation.
+
+    Recall ≈ 1 − (1 − r₁)^L for single-table recall r₁ — the standard
+    way to buy recall without growing any single bucket. Plan shape: one
+    explode (×n_tables) → self-equi-join on (table, bucket) → distinct
+    pair set → join vectors back → fold cosine → windowed top-k. The
+    pair space is Σ_buckets |b|², never n²; tables add linearly, not
+    quadratically. Recall floor asserted in tests/test_llm_ops.py."""
+    buckets = vectors.select(
+        F.col("vec_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    lsh_bucket(F.col("embedding"), dim, n_planes, t)
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("t", "bucket"),
+    )
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.t") == F.col("b.t")) & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    vecs = vectors.select(
+        F.col("vec_id"), as_double_array(F.col("embedding")).alias("v")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.join(vecs.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")), "query_id")
+        .join(vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")), "neighbor_id")
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -1,0 +1,142 @@
+"""Text-analysis operators for a training-data pipeline: stats, quality
+scoring, language ID, token counting, fingerprinting (SURVEY.md §2.11).
+
+The reference has no text processing at all (its only string handling is
+the CDC normalize path, /root/reference/consumer_to_file.py:88-113); these
+operators make the `documents` table a first-class corpus surface.
+
+Everything here is pure `pyspark.sql.functions` column expressions — no
+Python UDFs anywhere. At 100 TB of text that is the difference between
+whole-stage-codegen'd projections that saturate the scan and a
+serde-bound Python hot loop. Each builder returns columns, so operators
+compose into a single projection over one pass of the corpus.
+
+Engine-parity note: every regex used here is restricted to syntax that
+Java regex (Spark) and RE2 (DuckDB) interpret identically — explicit
+character classes and \\x{...} unicode ranges, no \\w/\\b shorthands
+(their unicode semantics differ between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace-splitting regex, identical semantics in Java and RE2.
+WS = r"\s+"
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-alnum
+# non-space symbol. The shape GPT-2-style BPE pre-tokenization produces
+# before merges.
+BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# CJK unified ideographs (language-ID signal for zh).
+CJK_CLASS = "[\\x{4e00}-\\x{9fff}]"
+
+# Tiny high-frequency stopword profiles. Deliberately small: the operator
+# demonstrates the n-gram/stopword-profile method; production would load
+# real profiles as a broadcast table.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "del"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Lower-cased whitespace tokens."""
+    return F.split(F.lower(text), WS)
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def sum_token_chars(text: Column) -> Column:
+    """Total non-whitespace characters (= sum of token lengths)."""
+    return F.length(F.regexp_replace(text, WS, ""))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Share of characters that are neither ASCII-alphanumeric nor
+    whitespace. (For non-Latin scripts this counts every letter — it is a
+    Latin-centric heuristic, applied identically in the oracle.)"""
+    return F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")) / F.length(text)
+
+
+def upper_ratio(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, "[^A-Z]", "")) / F.length(text)
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of `lang` (duplicates count —
+    frequency matters for language ID)."""
+    return F.size(
+        F.filter(tokens(text), lambda t: F.array_contains(F.array([F.lit(w) for w in STOPWORDS[lang]]), t))
+    )
+
+
+def cjk_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, f"[^{CJK_CLASS[1:-1]}]", ""))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), 0))
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lower-case, collapse whitespace
+    runs to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), WS, " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint = md5 of the normalized text.
+    Formatting-insensitive exact-dup key (the rolling-hash/winnowing
+    generalization shares this normalize step; md5-of-canonical is the
+    degenerate window-size=∞ case)."""
+    return F.md5(normalized_text(text))
+
+
+def quality_flags(text: Column) -> dict[str, Column]:
+    """C4-style quality heuristics as named boolean columns."""
+    nt = n_tokens(text)
+    mean_len = sum_token_chars(text) / nt
+    sw_ratio = stopword_hits(text, "en") / nt
+    return {
+        "enough_tokens": nt >= 20,
+        "sane_token_len": (mean_len >= 3) & (mean_len <= 10),
+        "has_stopwords": sw_ratio >= 0.02,
+        "low_punct": punct_ratio(text) <= 0.2,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Mean of the quality flags in [0, 1]."""
+    flags = list(quality_flags(text).values())
+    total = flags[0].cast("int")
+    for fl in flags[1:]:
+        total = total + fl.cast("int")
+    return total / F.lit(float(len(flags)))
+
+
+def predicted_lang(text: Column) -> Column:
+    """Heuristic language ID: CJK-dominant → zh; else the stopword profile
+    with the most hits, ties broken in fixed order (en, de, es, fr).
+
+    One pass over the token array per profile — all inside codegen. At
+    corpus scale this is a narrow projection; the per-language profiles
+    are compile-time constants (no join, no shuffle)."""
+    hits = {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(cjk_count(text) * 3 >= F.length(text), F.lit("zh"))
+        # fixed priority order resolves ties deterministically
+        .when(hits["en"] == best, F.lit("en"))
+        .when(hits["de"] == best, F.lit("de"))
+        .when(hits["es"] == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return pred

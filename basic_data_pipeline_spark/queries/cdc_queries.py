@@ -1,6 +1,221 @@
-"""CDC/ingestion operators exposed as batch queries (SURVEY.md §2.1, §2.9).
+"""CDC/ingestion operators exposed as oracle-checked batch queries
+(SURVEY.md §2.1, §2.9).
 
-Populated in Phase 2: envelope decode, normalize, upsert-compaction,
-delete-apply, schema evolution — each expressed over the fixture tables so
-the DuckDB oracle can verify the same semantics.
+Each query drives a REAL operator from operators/cdc.py or
+functions/normalize.py over the driver's fixture tables, with a DuckDB
+oracle reproducing the semantics in ANSI SQL — so the correctness gate
+covers the ingestion layer, not just the relational surface. The scenario
+tests (tests/test_cdc.py) cover the stateful end-to-end paths (schema
+drift across batches, DLQ files, replay) that a single DataFrame can't
+express.
+
+Reference lineage: envelope decode = consumer_to_file.py:205-215,
+normalize = :88-113, upsert-compaction replaces the append-every-version
+sink of :214-224, delete-apply = :237-246 (fixed to use the real key).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from basic_data_pipeline_spark.catalog import load_table
+from basic_data_pipeline_spark.functions.normalize import normalize_string_value
+from basic_data_pipeline_spark.operators import cdc
+from basic_data_pipeline_spark.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, name)
+
+
+@query(
+    "cdc_envelope_decode",
+    oracle="""
+    SELECT 'orders' AS tbl, 'c' AS op, o_orderkey,
+           epoch_ms(o_orderdate) AS source_ts_ms
+    FROM orders
+    """,
+)
+def cdc_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-envelope round-trip: wrap every orders row in the exact
+    envelope shape the reference consumes ({"payload": {op, before, after,
+    source, ts_ms}} — consumer_to_file.py:206-215), then run the real
+    decoder. The oracle is the identity projection, proving the
+    encode→from_json→project path is lossless. The JSON parse is Jackson
+    inside whole-stage codegen — no Python per row."""
+    o = _t(spark, sf_dir, "orders")
+    ts_ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    raw = o.select(
+        F.lit("dbserver1.testdb.orders").alias("topic"),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit("c").alias("op"),
+                    F.lit(None).cast("string").alias("before"),
+                    F.to_json(F.struct(F.col("o_orderkey"))).alias("after"),
+                    F.struct(
+                        ts_ms.alias("ts_ms"), F.lit("orders").alias("table")
+                    ).alias("source"),
+                    (ts_ms + 123).alias("ts_ms"),
+                ).alias("payload")
+            )
+        ).alias("value"),
+    )
+    decoded = cdc.decode_envelopes(raw)
+    return decoded.select(
+        F.col("table").alias("tbl"),
+        "op",
+        F.get_json_object("after", "$.o_orderkey").cast("long").alias("o_orderkey"),
+        "source_ts_ms",
+    )
+
+
+@query(
+    "cdc_compact_latest",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    headline=True,
+)
+def cdc_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-compaction: latest version per key (events keyed by user_id,
+    versioned by ts then event_id). This is the `compact` sink mode —
+    the idiomatic replacement for the reference's append-every-version
+    MergeTree sink (consumer_to_file.py:214-224). One window = one
+    shuffle on the key; at 100 TB AQE splits skewed keys."""
+    e = _t(spark, sf_dir, "events")
+    out = cdc.compact_latest(e, key="user_id", order_cols=["ts", "event_id"])
+    return out.select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+@query(
+    "cdc_delete_apply",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
+    """,
+)
+def cdc_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-apply as a left anti join on the real key column (the fix
+    for consumer_to_file.py:241's hardcoded `WHERE id=`): tombstone keys =
+    users with an error event. The anti join broadcasts when the tombstone
+    side is small (typical for a CDC batch), else shuffles once."""
+    e = _t(spark, sf_dir, "events")
+    tombstones = e.filter(F.col("event_type") == "error")
+    return cdc.apply_deletes(e, tombstones, "user_id").select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@query(
+    "cdc_normalize_values",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN '' ELSE event_type END AS v_null,
+           CASE WHEN value > 50 THEN '1' ELSE '0' END                 AS v_bool,
+           CAST(epoch_ms(CAST(ts AS TIMESTAMP)) // 1000 AS VARCHAR)   AS v_epoch,
+           props                                                      AS v_json
+    FROM events
+    """,
+)
+def cdc_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize_value as pure column expressions (consumer_to_file.py:
+    88-113) over string columns derived from events: nulls erase to '',
+    booleans become 1/0, epoch-millis beyond 1e12 integer-divide to
+    seconds, JSON container strings pass through untouched. The reference
+    runs this row-at-a-time in Python per message; here it is one
+    codegen'd projection."""
+    e = _t(spark, sf_dir, "events")
+    derived = e.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("v_null"),
+        (F.col("value") > 50).cast("string").alias("v_bool"),
+        F.unix_millis(F.col("ts")).cast("string").alias("v_epoch"),
+        F.col("props").alias("v_json"),
+    )
+    return derived.select(
+        "event_id",
+        *[
+            normalize_string_value(F.col(c)).alias(c)
+            for c in ("v_null", "v_bool", "v_epoch", "v_json")
+        ],
+    )
+
+
+@query(
+    "cdc_schema_drift_union",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, c_mktsegment AS position,
+           c_acctbal AS salary, CAST(NULL AS VARCHAR) AS role
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, CAST(NULL AS VARCHAR),
+           CAST(NULL AS DOUBLE), c_mktsegment
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+)
+def cdc_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: pre-drift rows (position/salary) and drifted
+    rows (role — the setup.sh:59-66 variant) merge via
+    unionByName(allowMissingColumns=True) — the relational form of
+    DESCRIBE-diff + ALTER ADD COLUMN (consumer_to_file.py:155-168).
+    Missing cells surface as nulls; no table rewrite at any scale."""
+    c = _t(spark, sf_dir, "customer")
+    pre = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("position"),
+        F.col("c_acctbal").alias("salary"),
+    )
+    drifted = c.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("role"),
+    )
+    return cdc.evolve_union(pre, drifted)
+
+
+@query(
+    "cdc_validate_dlq",
+    oracle="""
+    SELECT 'documents' AS "table",
+           'n_chars'   AS "column",
+           'poison'    AS "value",
+           'cast_error' AS error,
+           '{"doc_id":"' || CAST(doc_id AS VARCHAR) || '","n_chars":"poison"}'
+             AS payload
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+)
+def cdc_validate_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized validation → structured DLQ: every 50th document gets a
+    poisoned numeric field; validate_and_cast pinpoints the failing column
+    with one coalesce over per-column try_cast probes instead of the
+    reference's N re-insert HTTP probes per bad row
+    (consumer_to_file.py:226-235, including its :229 NameError bug).
+    Returns the quarantine side with full diagnostics."""
+    d = _t(spark, sf_dir, "documents")
+    records = d.select(
+        F.lit("documents").alias("table"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(F.col("doc_id") % 50 == 0, F.lit("poison"))
+        .otherwise(F.col("n_chars").cast("string"))
+        .alias("n_chars"),
+    )
+    schema = "doc_id long, n_chars long"
+    from pyspark.sql.types import StructType
+
+    _, dlq = cdc.validate_and_cast(
+        records, StructType.fromDDL(schema)
+    )
+    return dlq

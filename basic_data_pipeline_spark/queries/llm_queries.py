@@ -1,2 +1,518 @@
-"""LLM-data-pipeline operators (SURVEY.md §2.11): dedup, similarity,
-text analysis, multimodal plumbing. Populated in Phase 3."""
+"""LLM-data-pipeline operators (SURVEY.md §2.11) surfaced as
+oracle-checked queries: text analysis, dedup (exact → MinHash-LSH →
+SimHash → n-gram Jaccard → embedding-cosine), similarity search, and the
+multimodal plumbing.
+
+Every approximate operator here is DETERMINISTIC (md5-derived hash
+families, fixed hyperplanes), so the DuckDB oracle reproduces the exact
+same signatures/buckets/candidates — the correctness gate covers the
+approximation machinery itself, not just final row counts. The only
+rows-only entry is the LSH-ANN search (its recall is asserted against the
+brute-force baseline in tests/test_llm_ops.py instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from basic_data_pipeline_spark.catalog import load_table
+from basic_data_pipeline_spark.operators import dedup, multimodal, similarity, text
+from basic_data_pipeline_spark.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+# DuckDB regexp_replace needs the 'g' flag to match Spark's global-replace
+# default; every oracle below uses it.
+
+_DUCK_TOKENS = "string_split_regex(lower(text), '\\s+')"
+_DUCK_SW = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in text.STOPWORDS.items()
+}
+_DUCK_HITS = {
+    lang: f"len(list_filter({_DUCK_TOKENS}, t -> list_contains({lst}, t)))"
+    for lang, lst in _DUCK_SW.items()
+}
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars_exact,
+           len({_DUCK_TOKENS}) AS n_tokens,
+           length(regexp_replace(text, '\\s+', '', 'g')) AS sum_token_chars,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+             / length(text) AS punct_ratio,
+           length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
+             / length(text) AS upper_ratio
+    FROM documents
+    """,
+    headline=True,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus statistics as ONE codegen'd projection — a
+    single pass over the text column, no shuffle, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars_exact"),
+        text.n_tokens(t).alias("n_tokens"),
+        text.sum_token_chars(t).alias("sum_token_chars"),
+        text.punct_ratio(t).alias("punct_ratio"),
+        text.upper_ratio(t).alias("upper_ratio"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             len({_DUCK_TOKENS}) AS n_tokens,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS sum_chars,
+             {_DUCK_HITS['en']} AS sw_hits,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+               / length(text) AS punct
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_tokens >= 20 AS INT) AS enough_tokens,
+           CAST(sum_chars * 1.0 / n_tokens >= 3
+                AND sum_chars * 1.0 / n_tokens <= 10 AS INT) AS sane_token_len,
+           CAST(sw_hits * 1.0 / n_tokens >= 0.02 AS INT) AS has_stopwords,
+           CAST(punct <= 0.2 AS INT) AS low_punct,
+           (CAST(n_tokens >= 20 AS INT)
+            + CAST(sum_chars * 1.0 / n_tokens >= 3
+                   AND sum_chars * 1.0 / n_tokens <= 10 AS INT)
+            + CAST(sw_hits * 1.0 / n_tokens >= 0.02 AS INT)
+            + CAST(punct <= 0.2 AS INT)) / 4.0 AS quality_score
+    FROM base
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality heuristics → flags + mean score in [0,1]. Feeds
+    the keep/drop filter stage of a corpus pipeline."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    flags = text.quality_flags(t)
+    return d.select(
+        "doc_id",
+        *[c.cast("int").alias(name) for name, c in flags.items()],
+        text.quality_score(t).alias("quality_score"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang,
+             {_DUCK_HITS['en']} AS en, {_DUCK_HITS['de']} AS de,
+             {_DUCK_HITS['es']} AS es, {_DUCK_HITS['fr']} AS fr,
+             length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
+               AS cjk,
+             length(text) AS n
+      FROM documents)
+    SELECT lang,
+           CASE WHEN cjk * 3 >= n THEN 'zh'
+                WHEN en >= greatest(en, de, es, fr) THEN 'en'
+                WHEN de >= greatest(de, es, fr) THEN 'de'
+                WHEN es >= greatest(es, fr) THEN 'es'
+                ELSE 'fr' END AS predicted,
+           count(*) AS n_docs
+    FROM h GROUP BY 1, 2
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword profiles + CJK density) emitted as
+    a (true lang × predicted) confusion matrix. The fixture's text is
+    synthetic same-vocabulary noise, so accuracy is meaningless here —
+    the oracle checks the CLASSIFIER is computed identically, which is
+    what the gate can prove."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", text.predicted_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT source,
+           CAST(sum(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_ish_tokens,
+           CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS ws_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens + a BPE-ish
+    pre-tokenizer (letter runs / digit runs / single symbols) — the
+    budget numbers every training-data pipeline reports."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.groupBy("source").agg(
+        F.sum(text.bpe_ish_token_count(t)).alias("bpe_ish_tokens"),
+        F.sum(text.n_tokens(t)).alias("ws_tokens"),
+    )
+
+
+_DUCK_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {_DUCK_FP} AS fingerprint,
+           count(*) OVER (PARTITION BY {_DUCK_FP}) AS group_size
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form document fingerprint (lower + whitespace-collapse →
+    md5) with duplicate-group sizes — the formatting-insensitive exact
+    dedup key."""
+    d = _t(spark, sf_dir, "documents")
+    fp = text.fingerprint(F.col("text"))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.count("*").over(W.partitionBy(fp)).alias("group_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+_DUCK_SHINGLES = """
+    toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+             FROM documents),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+           FROM toks, UNNEST(range(0, greatest(len(w) - 3, 0) + 1)) AS t(i))
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id, count(*) AS group_size
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on raw text, minimum doc_id survives.
+    One shuffle on the content key; at corpus scale the key is a 128-bit
+    content hash so the shuffle carries no text."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_survivors(d, "doc_id", F.col("text"))
+
+
+@query(
+    "dedup_fingerprint",
+    oracle=f"""
+    SELECT min(doc_id) AS doc_id, count(*) AS group_size
+    FROM documents GROUP BY {_DUCK_FP}
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup under the canonical fingerprint — catches
+    formatting-only duplicates the raw-text key misses."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_survivors(
+        d, "doc_id", text.fingerprint(F.col("text"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                 AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+    WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard near-dup pairs (≥ 0.5) via the
+    inverted-index join — the ground-truth verifier the approximate
+    paths (MinHash/SimHash) are measured against. The fixture plants
+    near-duplicate pairs at Jaccard ≈ 0.98."""
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    return dedup.jaccard_pairs(sh, "doc_id", 0.5)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sig AS (SELECT doc_id, j,
+                   min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS mh
+            FROM sh CROSS JOIN UNNEST(range(0, {dedup.N_HASHES})) AS t(j)
+            GROUP BY doc_id, j),
+    bands AS (SELECT doc_id, j // {dedup.N_HASHES // dedup.N_BANDS} AS band,
+                     string_agg(lpad(CAST(j AS VARCHAR), 2, '0') || ':' || mh,
+                                ',' ORDER BY j) AS bandkey
+              FROM sig GROUP BY 1, 2)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey
+                AND a.doc_id < b.doc_id
+    """,
+    headline=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → 16 md5-family minhashes
+    → 4 bands → band-equality join. The O(n²) pair space never
+    materializes — the join key is (band, bandkey). Deterministic hash
+    family, so the oracle reproduces identical signatures."""
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    sig = dedup.minhash_signatures(sh, "doc_id")
+    bands = dedup.lsh_bands(sig, "doc_id")
+    return dedup.lsh_candidate_pairs(bands, "doc_id")
+
+
+_DUCK_SIMHASH = """
+    stoks AS (SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id, UNNEST(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents)),
+    sh_h AS (SELECT doc_id, md5(t) AS m FROM stoks),
+    sh_bits AS (
+      SELECT doc_id, i // 4 AS p, i % 4 AS j,
+             sum(((strpos('0123456789abcdef',
+                          substr(m, CAST(i // 4 AS INT) + 1, 1)) - 1)
+                  // CAST(power(2, i % 4) AS INT)) % 2 * 2 - 1) AS s
+      FROM sh_h CROSS JOIN UNNEST(range(0, 64)) AS t(i)
+      GROUP BY 1, 2, 3),
+    sh_nib AS (
+      SELECT doc_id, p,
+             sum(CASE WHEN s > 0 THEN CAST(power(2, j) AS INT) ELSE 0 END)
+               AS nibval
+      FROM sh_bits GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             string_agg(substr('0123456789abcdef', CAST(nibval AS INT) + 1, 1),
+                        '' ORDER BY p) AS simhash
+      FROM sh_nib GROUP BY doc_id)
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"WITH {_DUCK_SIMHASH} SELECT doc_id, simhash FROM sig",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures (16 hex chars) per document — near-dup
+    docs land within small Hamming distance. Pure arithmetic over md5
+    nibbles; the oracle rebuilds the identical signature bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(d, "doc_id", "text")
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH},
+    chunks AS (SELECT doc_id, simhash, c,
+                      substr(simhash, CAST(c * 4 AS INT) + 1, 4) AS chunk
+               FROM sig CROSS JOIN UNNEST(range(0, 4)) AS t(c)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.simhash AS sig_a, b.simhash AS sig_b
+             FROM chunks a
+             JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk
+                          AND a.doc_id < b.doc_id),
+    ham AS (
+      SELECT id_a, id_b,
+             CAST(sum(bit_count(xor(
+               strpos('0123456789abcdef', substr(sig_a, CAST(p AS INT), 1)) - 1,
+               strpos('0123456789abcdef', substr(sig_b, CAST(p AS INT), 1)) - 1
+             ))) AS BIGINT) AS hamming
+      FROM cand CROSS JOIN UNNEST(range(1, 17)) AS t(p)
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming ≤ 3 via 4-chunk banding
+    (pigeonhole: ≤3 flipped bits over 4 chunks leave one chunk intact),
+    then an exact popcount filter on candidates only."""
+    d = _t(spark, sf_dir, "documents")
+    sig = dedup.simhash_signatures(d, "doc_id", "text")
+    pairs = dedup.simhash_pairs(sig, "doc_id", 3)
+    return pairs.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+_DUCK_COS = (
+    "list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b})))"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT id_a, id_b, cos FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DUCK_COS.format(a="CAST(a.embedding AS DOUBLE[])",
+                               b="CAST(b.embedding AS DOUBLE[])")} AS cos
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+    WHERE cos >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs: cosine ≥ 0.4 within label blocks
+    (the fixture has no planted embedding dups, so the threshold sits in
+    the natural-similarity tail — the operator and oracle still agree on
+    every pair). Blocking keeps the join quadratic only per block."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(e, "label", 0.4)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    p AS (SELECT query_id, neighbor_id,
+                 {_DUCK_COS.format(a="qv", b="cv")} AS cos
+          FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM p)
+    WHERE rank <= 5
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for a small query set against the
+    whole corpus: broadcast cross join + windowed top-k. The correctness
+    baseline every ANN path is measured against."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.topk_neighbors(e.filter(F.col("vec_id") < 5), e, 5)
+
+
+@query(
+    "sim_topk_blocked",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, label,
+                 CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    p AS (SELECT query_id, neighbor_id,
+                 {_DUCK_COS.format(a="qv", b="cv")} AS cos
+          FROM q JOIN c USING (label) WHERE query_id <> neighbor_id)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM p)
+    WHERE rank <= 3
+    """,
+    headline=True,
+)
+def sim_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style blocked top-k: candidates restricted to the query's
+    coarse cell (the fixture's `label`), turning the cross join into an
+    equi-join that partitions by block — the shape that scales to
+    billions of vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.topk_neighbors(
+        e.filter(F.col("vec_id") < 20), e, 3, block_col="label"
+    )
+
+
+@query("sim_ann_lsh", oracle=None)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via multi-table random-hyperplane LSH (8 tables
+    × 4 fixed ±1 hyperplanes; candidates deduped before distance
+    evaluation). Not SQL-expressible compactly — recall ≈ 0.74 vs the
+    brute-force baseline, asserted in tests/test_llm_ops.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_lsh(e, dim=64, k=3, n_planes=4, n_tables=8)
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+_DUCK_MODALITY = (
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' "
+    "WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+@query(
+    "multimodal_manifest",
+    oracle=f"""
+    SELECT doc_id AS media_id, {_DUCK_MODALITY} AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media manifest over the synthesized binary column: modality,
+    byte size, content hash — the bookkeeping scan of a media lake
+    (binary column + typed metadata, SURVEY.md §2.11)."""
+    media = multimodal.synth_media(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "modality",
+        F.octet_length("data").cast("long").alias("n_bytes"),
+        F.sha2(F.col("data"), 256).alias("sha"),
+    )
+
+
+@query(
+    "multimodal_decode_meta",
+    oracle=f"""
+    SELECT doc_id AS media_id, {_DUCK_MODALITY} AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+           CAST(64 + (octet_length(encode(text)) * 31) % 512 AS INT) AS height,
+           CAST(1 + octet_length(encode(text)) % 240 AS INT) AS n_frames
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode stage end-to-end through mapInPandas (Arrow batches →
+    vectorized pandas → typed schema). The codec itself is a
+    deterministic fake (no image libs in this container), which makes the
+    FULL Python-worker path oracle-checkable — schema, batching, and
+    arithmetic verified bit-for-bit."""
+    media = multimodal.synth_media(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_media_meta(media, fake=True)

@@ -1,0 +1,197 @@
+"""Self-consistency tests for the LLM-pipeline operators — the properties
+the SQL oracle can't express: LSH recall vs the exact baseline, candidate
+completeness of the approximate dedup paths, multimodal fan-out shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from basic_data_pipeline_spark.operators import dedup, multimodal, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_finds_all_high_jaccard_pairs(docs):
+    """Every exact-Jaccard ≥ 0.5 pair must surface as an LSH candidate
+    (16 hashes / 4 bands: miss probability at j=0.5 is (1-0.5^4)^4 ≈ 0.77
+    per pair in theory, but the planted fixture dups sit at j ≈ 0.98
+    where it is ~4e-5 — and the fixed dataset makes this deterministic)."""
+    sh = dedup.word_shingles(docs, "doc_id", "text", 3)
+    exact = _pairs(dedup.jaccard_pairs(sh, "doc_id", 0.9))
+    sig = dedup.minhash_signatures(sh, "doc_id")
+    cand = _pairs(dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, "doc_id"), "doc_id"))
+    assert exact, "fixture should contain planted near-dups"
+    assert exact <= cand
+
+
+def test_minhash_candidates_verify_against_exact(docs):
+    """LSH candidates pass the exact verifier at high precision for the
+    planted dups: every candidate pair that shares all 4 bands must have
+    identical 16-hash signatures."""
+    sh = dedup.word_shingles(docs, "doc_id", "text", 3)
+    sig = dedup.minhash_signatures(sh, "doc_id")
+    bands = dedup.lsh_bands(sig, "doc_id")
+    n_bands_shared = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bandkey") == F.col("b.bandkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id"), F.col("b.doc_id"))
+        .count()
+    )
+    full_match = n_bands_shared.filter(F.col("count") == dedup.N_BANDS).count()
+    assert full_match > 0
+
+
+def _hamming(a: str, b: str) -> int:
+    return sum(bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b))
+
+
+def test_simhash_discriminates_near_dups(docs):
+    """SimHash distance must separate planted near-dups (Jaccard ≥ 0.9)
+    from arbitrary pairs: near-dup mean Hamming well below the random-pair
+    mean (~32 for independent 64-bit signatures). Absolute distances are
+    large on this synthetic common-vocabulary text, so the test pins the
+    RELATIVE property — the one dedup thresholds are tuned on."""
+    sh = dedup.word_shingles(docs, "doc_id", "text", 3)
+    exact = _pairs(dedup.jaccard_pairs(sh, "doc_id", 0.9))
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()
+    }
+    assert exact
+    near_d = [_hamming(sigs[a], sigs[b]) for a, b in exact]
+    ids = sorted(sigs)
+    rand_d = [
+        _hamming(sigs[ids[i]], sigs[ids[(i * 7 + 13) % len(ids)]])
+        for i in range(0, len(ids), 5)
+        if ids[i] != ids[(i * 7 + 13) % len(ids)]
+    ]
+    near_mean = sum(near_d) / len(near_d)
+    rand_mean = sum(rand_d) / len(rand_d)
+    assert near_mean < rand_mean / 2, (near_mean, rand_mean)
+    # banded pair search returns exactly the ≤3 subset of those pairs
+    banded = _pairs(dedup.simhash_pairs(
+        dedup.simhash_signatures(docs, "doc_id", "text"), "doc_id", 3
+    ))
+    expected_le3 = {(a, b) for a, b in exact if _hamming(sigs[a], sigs[b]) <= 3}
+    assert expected_le3 <= banded
+
+
+def test_exact_dedup_survivor_count(docs):
+    surv = dedup.exact_dedup_survivors(docs, "doc_id", F.col("text"))
+    n_distinct = docs.select("text").distinct().count()
+    assert surv.count() == n_distinct
+    assert surv.agg(F.sum("group_size")).collect()[0][0] == docs.count()
+
+
+def test_ann_lsh_recall_vs_bruteforce(emb):
+    """Multi-table ANN recall@3 against the exact all-pairs baseline
+    (uniform random vectors are LSH's worst case; 8 tables × 4 planes
+    measures 0.74 here — pin a safe floor). Deterministic hyperplanes →
+    deterministic recall."""
+    exact = similarity.topk_neighbors(emb, emb, 3)
+    ann = similarity.ann_topk_lsh(emb, dim=64, k=3, n_planes=4, n_tables=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"recall collapsed: {recall}"
+    # the whole point: buckets keep the pair space far below n²
+    n_buckets = (
+        emb.select(similarity.lsh_bucket(F.col("embedding"), 64, 4, 0).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 4
+
+
+def test_blocked_topk_matches_bruteforce_within_block(emb):
+    """Restricting brute force to one block must equal blocked top-k for
+    queries in that block."""
+    one_label = emb.filter(F.col("label") == 3)
+    blocked = similarity.topk_neighbors(
+        emb.filter((F.col("label") == 3) & (F.col("vec_id") < 100)),
+        emb,
+        3,
+        block_col="label",
+    )
+    brute = similarity.topk_neighbors(
+        one_label.filter(F.col("vec_id") < 100), one_label, 3
+    )
+    assert {tuple(r) for r in blocked.collect()} == {tuple(r) for r in brute.collect()}
+
+
+def test_cosine_self_is_one(emb):
+    row = emb.select(
+        similarity.cosine(
+            similarity.as_double_array(F.col("embedding")),
+            similarity.as_double_array(F.col("embedding")),
+        ).alias("c")
+    ).collect()
+    assert all(abs(r["c"] - 1.0) < 1e-12 for r in row)
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+
+def test_multimodal_decode_meta_shape(docs, spark):
+    media = multimodal.synth_media(docs)
+    meta = multimodal.decode_media_meta(media, fake=True)
+    rows = meta.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert r["width"] == 64 + r["n_bytes"] % 512
+        assert r["height"] == 64 + (r["n_bytes"] * 31) % 512
+    assert set(meta.select("modality").distinct().toPandas()["modality"]) == set(
+        multimodal.MODALITIES
+    )
+
+
+def test_multimodal_real_codec_is_stubbed():
+    with pytest.raises(multimodal.RealDecodeUnavailable):
+        multimodal.decode_with_real_codec(b"bytes", "image")
+
+
+def test_resize_images_only_images_fixed_len(docs):
+    media = multimodal.synth_media(docs)
+    out = multimodal.resize_images(media, (224, 224))
+    n_images = media.filter(F.col("modality") == "image").count()
+    rows = out.collect()
+    assert len(rows) == n_images
+    expected_len = 224 * 224 // 1024 + 16
+    assert all(len(r["data"]) == expected_len for r in rows)
+
+
+def test_sample_frames_fanout(docs):
+    """One video row fans out to ceil(n_frames / every_nth) frame rows —
+    mapInPandas changing cardinality is the property under test."""
+    media = multimodal.synth_media(docs)
+    frames = multimodal.sample_frames(media, every_nth=30)
+    per_video = frames.groupBy("media_id").count()
+    videos = media.filter(F.col("modality") == "video").select(
+        "media_id", F.octet_length("data").alias("n_bytes")
+    )
+    joined = per_video.join(videos, "media_id").collect()
+    assert joined
+    for r in joined:
+        n_frames = 1 + r["n_bytes"] % 240
+        assert r["count"] == -(-n_frames // 30)

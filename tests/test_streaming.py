@@ -1,0 +1,104 @@
+"""Streaming-engine tests: the SAME operator bodies proven in batch run
+under Structured Streaming — CDC ingest via file-source foreachBatch, and
+event-time windows with watermarks via a real streaming query.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from basic_data_pipeline_spark.sources.envelopes import (
+    employee_workload,
+    envelopes_to_df,
+    expected_final_state,
+)
+from basic_data_pipeline_spark.streaming.ingest import ingest_files, run_batches
+from basic_data_pipeline_spark.streaming.windows import tumbling_counts, with_watermark
+
+
+def test_streaming_cdc_ingest_matches_batch(spark, tmp_path):
+    """readStream(file json) → foreachBatch(apply) produces the same
+    compacted table as the direct batch path."""
+    wl = employee_workload(n_snapshot=10, n_ops=30, seed=21)
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [e.to_kafka_row() for e in wl]
+    with open(src / "batch0.json", "w") as f:
+        for topic, value, partition, offset in rows:
+            f.write(
+                json.dumps(
+                    {"topic": topic, "value": value, "partition": partition, "offset": offset}
+                )
+                + "\n"
+            )
+
+    q = ingest_files(
+        spark,
+        str(src),
+        str(tmp_path / "stream_sink"),
+        str(tmp_path / "ckpt"),
+        mode="compact",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["id"]
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(str(tmp_path / "stream_sink" / "employees"))
+        .collect()
+    }
+    assert got == set(expected_final_state(wl))
+
+    # batch path over the same events agrees
+    sinks = run_batches(
+        spark, [envelopes_to_df(spark, wl)], str(tmp_path / "batch_sink"), mode="compact"
+    )
+    assert got == {r["id"] for r in sinks["employees"].read().collect()}
+
+
+def test_streaming_tumbling_window_with_watermark(spark, tmp_path):
+    """A real streaming query (file source, availableNow) through
+    withWatermark + F.window in append mode emits exactly the finalized
+    windows — every emitted row must match the batch computation, and
+    only the windows the final watermark left open may be missing."""
+    src = tmp_path / "ev"
+    src.mkdir()
+    base = 1_700_000_000
+    rows = [
+        {"event_id": i, "ts_s": base + i * 600, "event_type": "click" if i % 2 else "view", "value": float(i)}
+        for i in range(48)
+    ]
+    with open(src / "events.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+    def load(reader):
+        df = reader.schema(
+            "event_id long, ts_s long, event_type string, value double"
+        ).json(str(src))
+        return df.withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+
+    batch_windows = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["total_value"])
+        for r in tumbling_counts(load(spark.read), "1 hour").collect()
+    }
+
+    agg = tumbling_counts(with_watermark(load(spark.readStream), "30 minutes"), "1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM tumbling_test").collect()
+
+    assert emitted, "watermark should have finalized at least one window"
+    for r in emitted:
+        key = (str(r["window_start"]), r["event_type"])
+        assert batch_windows[key] == (r["n"], r["total_value"])
+    # append mode must not emit the still-open tail windows
+    assert len(emitted) < len(batch_windows)
