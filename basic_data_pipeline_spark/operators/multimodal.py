@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from basic_data_pipeline_spark.partitioning import spread
+
 MODALITIES = ("image", "audio", "video")
 
 # Output schema of the metadata decode stage.
@@ -62,7 +64,9 @@ def synth_media(docs: DataFrame) -> DataFrame:
     bytes of `text` stand in for encoded media, modality assigned
     round-robin. Yields a real `binary` column with deterministic
     content — the plumbing under test is identical to real media."""
-    return docs.select(
+    # spread the (decode-bound) downstream mapInPandas stages even when
+    # the scan is a single small file
+    return spread(docs, "doc_id").select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
             F.array(*[F.lit(m) for m in MODALITIES]),

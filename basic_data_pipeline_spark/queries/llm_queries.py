@@ -289,7 +289,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes — the join key is (band, bandkey). Deterministic hash
     family, so the oracle reproduces identical signatures."""
     d = _t(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    sh = dedup.word_shingles(d, "doc_id", "text", 3, distinct=False)
     sig = dedup.minhash_signatures(sh, "doc_id")
     bands = dedup.lsh_bands(sig, "doc_id")
     return dedup.lsh_candidate_pairs(bands, "doc_id")
