@@ -1,0 +1,80 @@
+"""Managed-table layer: partition pruning, bucketed zero-shuffle joins,
+file-format round trips. The co-location and pruning claims are verified
+against the physical plan, not just row counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from basic_data_pipeline_spark.sources import files, tables
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def warehouse(spark, tmp_path_factory):
+    yield str(tmp_path_factory.mktemp("warehouse"))
+    for t in ("li_b", "ord_b", "ord_part"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_exchange(spark, warehouse):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    tables.write_bucketed(
+        li, "li_b", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"], path=f"{warehouse}/li_b",
+    )
+    tables.write_bucketed(
+        orders, "ord_b", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"], path=f"{warehouse}/ord_b",
+    )
+
+    joined = tables.bucketed_join(spark, "li_b", "ord_b", ["l_orderkey"])
+    tables.assert_no_shuffle_join(joined)  # the whole point
+    expected = li.join(orders, "l_orderkey").count()
+    assert joined.count() == expected
+
+
+def test_unbucketed_join_does_shuffle(spark):
+    """Sanity check that the verifier detects shuffles (and that the
+    broadcast threshold doesn't silently hide them at this size)."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").hint("merge")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    with pytest.raises(AssertionError):
+        tables.assert_no_shuffle_join(j)
+
+
+def test_partitioned_table_prunes(spark, warehouse):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    tables.write_partitioned(
+        orders, "ord_part", ["o_orderstatus"],
+        sort_cols=["o_orderdate"], path=f"{warehouse}/ord_part",
+    )
+    q = spark.table("ord_part").filter(F.col("o_orderstatus") == "F")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus" not in plan.split("ReadSchema")[-1].split("]")[0], plan
+    expected = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert q.count() == expected
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    files.write_csv(nation, str(tmp_path / "n_csv"))
+    files.write_json(nation, str(tmp_path / "n_json"))
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    back_csv = files.read_csv(spark, str(tmp_path / "n_csv"), schema)
+    back_json = files.read_json(spark, str(tmp_path / "n_json"), schema)
+    orig = {tuple(r) for r in nation.collect()}
+    assert {tuple(r) for r in back_csv.collect()} == orig
+    assert {tuple(r) for r in back_json.collect()} == orig
+
+
+def test_jdbc_gated(spark):
+    with pytest.raises(files.JdbcUnavailable):
+        files.read_jdbc(spark, "jdbc:clickhouse://localhost:8123/raw", "employees")
