@@ -81,6 +81,7 @@ def _ensure_loaded() -> None:
     from basic_data_pipeline_spark.queries import cdc_queries  # noqa: F401
     from basic_data_pipeline_spark.queries import llm_queries  # noqa: F401
     from basic_data_pipeline_spark.queries import relational  # noqa: F401
+    from basic_data_pipeline_spark.queries import scale_queries  # noqa: F401
     from basic_data_pipeline_spark.queries import streaming_queries  # noqa: F401
 
     _LOADED = True
