@@ -70,6 +70,27 @@ def reaggregate_daily(rollup: DataFrame) -> DataFrame:
     )
 
 
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Skew-proof equi-join: the fact side salts its key into n_salts
+    sub-keys; the (small) dim side replicates ×n_salts so every sub-key
+    finds its match. A hot key's rows then land on n_salts reducers
+    instead of one. Use when AQE's skew-join split isn't available
+    (non-shuffle-join plans) or the skew is extreme; the dim replication
+    cost is |dim|×n_salts — meant for dimension-sized right sides."""
+    salted_facts = facts.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_facts.join(replicated_dim, on=[key, "_salt"]).drop("_salt")
+
+
 def salted_sum(
     df: DataFrame, key: str, value: str, n_salts: int = 32
 ) -> DataFrame:

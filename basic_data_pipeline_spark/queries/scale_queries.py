@@ -80,3 +80,97 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.9).alias("p90"),
         F.percentile("value", 0.99).alias("p99"),
     )
+
+
+@query(
+    "join_asof_union_window",
+    oracle="""
+    WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      max(value) AS purchase_value
+               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+          FROM events)
+    SELECT l.event_id, l.user_id, l.ts, l.event_type,
+           p.purchase_value AS purchase_value_asof
+    FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+    """,
+)
+def join_asof_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General as-of join via union+window (operators/asof.py): each event
+    carries the user's most recent purchase value at-or-before its
+    timestamp. Linear in |left|+|right| with ONE shuffle — vs the
+    range-join+row_number form that explodes per-key pairs
+    (join_asof_latest_event shows that form). The oracle is DuckDB's
+    native ASOF LEFT JOIN."""
+    from basic_data_pipeline_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    left = e.select("event_id", "user_id", "ts", "event_type")
+    return asof_join(left, purchases, "user_id", "ts", ["purchase_value"])
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT e.event_id, e.event_type, d.type_rank
+    FROM events e
+    JOIN (SELECT event_type, row_number() OVER (ORDER BY event_type)
+            AS type_rank
+          FROM (SELECT DISTINCT event_type FROM events)) d
+      ON e.event_type = d.event_type
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈dim join on a 5-value key — the worst-skew shape where
+    an unsalted shuffle join puts every row on ≤5 reducers. The salt
+    spreads each hot key over 32 sub-keys; the oracle is the plain join
+    (salting must change execution, never results)."""
+    from basic_data_pipeline_spark.operators.rollup import salted_join
+    from pyspark.sql.window import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn(
+            "type_rank", F.row_number().over(W.orderBy("event_type"))
+        )
+    )
+    return salted_join(
+        e.select("event_id", "event_type"), dim, "event_type"
+    ).select("event_id", "event_type", "type_rank")
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           len(list_distinct(toks)) AS n_uniq,
+           list_contains(toks, 'the') AS has_the,
+           array_to_string(list_sort(list_distinct(toks))[1:3], '-')
+             AS first3_str
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+          FROM documents)
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery (§2.8): size / distinct / contains / sort /
+    slice / join — all codegen'd JVM expressions over the token array, no
+    UDFs."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.concat_ws("-", F.slice(F.array_sort(F.array_distinct(toks)), 1, 3)).alias(
+            "first3_str"
+        ),
+    )
