@@ -516,3 +516,39 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic verified bit-for-bit."""
     media = multimodal.synth_media(_t(spark, sf_dir, "documents"))
     return multimodal.decode_media_meta(media, fake=True)
+
+
+@query(
+    "dedup_near_survivors",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                 AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    dupes AS (
+      SELECT id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5)
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM dupes)
+    """,
+)
+def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-dedup pipeline in one plan: shingle → exact
+    Jaccard pairs (≥ 0.5) → greedy keep-lowest-id (every doc that appears
+    as the higher id of a dup pair is dropped) → surviving corpus. The
+    greedy rule is the standard single-pass policy (transitive chains
+    collapse onto their minimum element without iterative connected
+    components); on a full corpus the pair stage runs on LSH candidates
+    instead of all pairs — same downstream plan."""
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    pairs = dedup.jaccard_pairs(sh, "doc_id", 0.5)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return d.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )

@@ -202,3 +202,31 @@ def test_delete_removes_only_target_key(spark, tmp_path):
     ids = {r["id"] for r in sinks["employees"].read().collect()}
     assert victim["id"] not in ids
     assert len(ids) == 9
+
+
+# --- multi-table routing in one batch -------------------------------------
+
+def test_multi_table_batch_routes_and_infers_pks(spark, tmp_path):
+    """One micro-batch carrying two topics: rows route to separate sinks,
+    each with its own inferred schema and primary key (uuid outranks id —
+    consumer_to_file.py:57)."""
+    emp = employee_workload(n_snapshot=4, n_ops=0, seed=17)
+    cfg = [
+        Envelope(
+            "config.testdb.items",
+            "c",
+            None,
+            {"uuid": f"u{i}", "id": i, "payload": f"cfg{i}", "updated_on": 1_722_900_000_000 + i},
+            1_722_900_000_000 + i,
+            0,
+            100 + i,
+        )
+        for i in range(3)
+    ]
+    raw = envelopes_to_df(spark, emp + cfg)
+    sinks = run_batches(spark, [raw], str(tmp_path), mode="compact")
+    assert set(sinks) == {"employees", "items"}
+    assert sinks["employees"].key == "id"
+    assert sinks["items"].key == "uuid"
+    assert sinks["items"].read().count() == 3
+    assert sinks["employees"].read().count() == 4
