@@ -19,12 +19,20 @@ from pyspark.sql.window import Window as W
 
 from basic_data_pipeline_spark.catalog import load_table
 from basic_data_pipeline_spark.operators import dedup, multimodal, similarity, text
+from basic_data_pipeline_spark.partitioning import spread
 from basic_data_pipeline_spark.registry import query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return load_table(spark, sf_dir, name)
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread to cluster parallelism: the text queries are
+    regex-CPU-bound projections, and a byte-small scan would otherwise
+    run them on 1-2 partitions (see partitioning.spread)."""
+    return spread(_t(spark, sf_dir, "documents"), "doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -62,8 +70,9 @@ _DUCK_HITS = {
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document corpus statistics as ONE codegen'd projection — a
-    single pass over the text column, no shuffle, no Python."""
-    d = _t(spark, sf_dir, "documents")
+    single pass over the text column, no Python; spread so the regex CPU
+    work runs at cluster parallelism even off a byte-small scan."""
+    d = _docs_spread(spark, sf_dir)
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -103,7 +112,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style quality heuristics → flags + mean score in [0,1]. Feeds
     the keep/drop filter stage of a corpus pipeline."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     t = F.col("text")
     flags = text.quality_flags(t)
     return d.select(
@@ -140,7 +149,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic same-vocabulary noise, so accuracy is meaningless here —
     the oracle checks the CLASSIFIER is computed identically, which is
     what the gate can prove."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return (
         d.select("lang", text.predicted_lang(F.col("text")).alias("predicted"))
         .groupBy("lang", "predicted")
@@ -162,7 +171,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token accounting per source: whitespace tokens + a BPE-ish
     pre-tokenizer (letter runs / digit runs / single symbols) — the
     budget numbers every training-data pipeline reports."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     t = F.col("text")
     return d.groupBy("source").agg(
         F.sum(text.bpe_ish_token_count(t)).alias("bpe_ish_tokens"),
@@ -185,7 +194,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-form document fingerprint (lower + whitespace-collapse →
     md5) with duplicate-group sizes — the formatting-insensitive exact
     dedup key."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     fp = text.fingerprint(F.col("text"))
     return d.select(
         "doc_id",

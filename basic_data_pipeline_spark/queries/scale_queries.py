@@ -174,3 +174,28 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first3_str"
         ),
     )
+
+
+_Q6_SQL = """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+"""
+
+
+@query("sql_direct_q6", oracle=_Q6_SQL)
+def sql_direct_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point itself (TPC-H Q6): the engine registers the
+    fixture tables as views and executes the SAME ANSI string the oracle
+    runs — demonstrating that a reference user's SQL works verbatim
+    (spark.sql → Catalyst), not just the DataFrame API. All four filters
+    reach the parquet scan as pushed predicates."""
+    from basic_data_pipeline_spark.catalog import register_views
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    register_views(spark, sf_dir)
+    return spark.sql(_Q6_SQL)

@@ -102,3 +102,38 @@ def test_streaming_tumbling_window_with_watermark(spark, tmp_path):
         assert batch_windows[key] == (r["n"], r["total_value"])
     # append mode must not emit the still-open tail windows
     assert len(emitted) < len(batch_windows)
+
+
+def test_checkpoint_restart_applies_each_event_once(spark, tmp_path):
+    """Exactly-once across restart: run the CDC stream over batch 1, stop,
+    add batch 2, restart with the SAME checkpoint — batch 1 must not be
+    re-applied (the upgrade over the reference's fresh-group-id replay,
+    consumer_to_file.py:185-187). Append mode makes re-application visible
+    as duplicate rows."""
+    wl = employee_workload(n_snapshot=8, n_ops=0, seed=33)
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def write_file(name, envelopes):
+        with open(src / name, "w") as f:
+            for topic, value, partition, offset in (e.to_kafka_row() for e in envelopes):
+                f.write(json.dumps({"topic": topic, "value": value,
+                                    "partition": partition, "offset": offset}) + "\n")
+
+    write_file("b0.json", wl[:5])
+    q1 = ingest_files(spark, str(src), sink, ckpt, mode="append")
+    q1.awaitTermination(120)
+
+    write_file("b1.json", wl[5:])
+    q2 = ingest_files(spark, str(src), sink, ckpt, mode="append")
+    q2.awaitTermination(120)
+
+    rows = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{sink}/employees")
+        .collect()
+    )
+    ids = sorted(r["id"] for r in rows)
+    assert ids == sorted(e.after["id"] for e in wl), ids  # once each, no dups
