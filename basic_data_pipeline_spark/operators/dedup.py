@@ -168,6 +168,41 @@ def jaccard_pairs(
     )
 
 
+def jaccard_verify(
+    shingles: DataFrame, candidates: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for candidate pairs — the scalable
+    verify stage of the LSH pipeline.
+
+    The all-pairs inverted-index join (`jaccard_pairs`) explodes when
+    duplicates are dense: a shingle shared by d documents contributes d²
+    join rows (measured: 16× input → 97 s vs ~2 s, entirely hot-shingle
+    blowup). Here the pair space is fixed up front by `candidates`
+    (id_a, id_b), so cost is |candidates| × avg_shingles — linear in what
+    LSH surfaced, independent of how hot any shingle is."""
+    sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 HEX = "0123456789abcdef"
 
 

@@ -561,3 +561,50 @@ def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+@query(
+    "dedup_lsh_verified",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sig AS (SELECT doc_id, j,
+                   min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS mh
+            FROM sh CROSS JOIN UNNEST(range(0, {dedup.N_HASHES})) AS t(j)
+            GROUP BY doc_id, j),
+    bands AS (SELECT doc_id, j // {dedup.N_HASHES // dedup.N_BANDS} AS band,
+                     string_agg(lpad(CAST(j AS VARCHAR), 2, '0') || ':' || mh,
+                                ',' ORDER BY j) AS bandkey
+              FROM sig GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a
+             JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey
+                         AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+    WHERE jaccard >= 0.5
+    """,
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dedup pipeline: MinHash-LSH candidates →
+    exact-Jaccard verify ON CANDIDATES ONLY (operators/dedup.py
+    `jaccard_verify`). The all-pairs verifier blows up quadratically on
+    hot shingles (measured 97 s at 16× data vs ~2 s for this pipeline);
+    verify-on-candidates is linear in the LSH output. The oracle
+    reproduces the ENTIRE pipeline — signatures, banding, candidate set,
+    and verification — in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    sh_dedup = dedup.word_shingles(d, "doc_id", "text", 3)  # set semantics
+    sig = dedup.minhash_signatures(
+        dedup.word_shingles(d, "doc_id", "text", 3, distinct=False), "doc_id"
+    )
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, "doc_id"), "doc_id")
+    return dedup.jaccard_verify(sh_dedup, cand, "doc_id", 0.5)
