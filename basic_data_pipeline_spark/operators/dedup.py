@@ -145,7 +145,6 @@ def jaccard_pairs(
     This is the EXACT verifier; on a full corpus it runs only on LSH
     candidates (`lsh_candidate_pairs` → semi-join the shingle lists), here
     it doubles as the ground-truth oracle for the approximate paths."""
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -154,6 +153,15 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
+    return _jaccard_from_intersections(shingles, inter, id_col, threshold)
+
+
+def _jaccard_from_intersections(
+    shingles: DataFrame, inter: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Shared tail of the exact and verify paths: |A∩B| counts →
+    |A∪B| = |A|+|B|−|A∩B| → threshold filter."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     return (
@@ -179,7 +187,14 @@ def jaccard_verify(
     join rows (measured: 16× input → 97 s vs ~2 s, entirely hot-shingle
     blowup). Here the pair space is fixed up front by `candidates`
     (id_a, id_b), so cost is |candidates| × avg_shingles — linear in what
-    LSH surfaced, independent of how hot any shingle is."""
+    LSH surfaced, independent of how hot any shingle is.
+
+    `shingles` must carry SET semantics (word_shingles distinct=True) and
+    is consumed three times (two intersection joins + sizes): persist it.
+    Candidate pairs are deduplicated defensively — duplicate pairs would
+    multiply the intersection counts and push jaccard past 1."""
+    shingles = shingles.persist()
+    candidates = candidates.select("id_a", "id_b").distinct()
     sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -188,19 +203,7 @@ def jaccard_verify(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_from_intersections(shingles, inter, id_col, threshold)
 
 
 HEX = "0123456789abcdef"

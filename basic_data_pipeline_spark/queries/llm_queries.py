@@ -592,19 +592,21 @@ def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sizes sb ON sb.doc_id = id_b)
     WHERE jaccard >= 0.5
     """,
+    headline=True,
 )
 def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dedup pipeline: MinHash-LSH candidates →
     exact-Jaccard verify ON CANDIDATES ONLY (operators/dedup.py
     `jaccard_verify`). The all-pairs verifier blows up quadratically on
-    hot shingles (measured 97 s at 16× data vs ~2 s for this pipeline);
-    verify-on-candidates is linear in the LSH output. The oracle
-    reproduces the ENTIRE pipeline — signatures, banding, candidate set,
-    and verification — in SQL."""
+    hot shingles (measured 97 s at 16× data vs 24 s for this pipeline on
+    the same worst case); verify-on-candidates is linear in the LSH
+    output. The oracle reproduces the ENTIRE pipeline — signatures,
+    banding, candidate set, and verification — in SQL; equivalence with
+    the independent all-pairs verifier is asserted in
+    tests/test_llm_ops.py. One distinct shingle set feeds BOTH minhash
+    (min over a set == min over the multiset) and the verify stage."""
     d = _t(spark, sf_dir, "documents")
-    sh_dedup = dedup.word_shingles(d, "doc_id", "text", 3)  # set semantics
-    sig = dedup.minhash_signatures(
-        dedup.word_shingles(d, "doc_id", "text", 3, distinct=False), "doc_id"
-    )
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)  # set semantics
+    sig = dedup.minhash_signatures(sh, "doc_id")
     cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, "doc_id"), "doc_id")
-    return dedup.jaccard_verify(sh_dedup, cand, "doc_id", 0.5)
+    return dedup.jaccard_verify(sh, cand, "doc_id", 0.5)

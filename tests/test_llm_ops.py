@@ -195,3 +195,22 @@ def test_sample_frames_fanout(docs):
     for r in joined:
         n_frames = 1 + r["n_bytes"] % 240
         assert r["count"] == -(-n_frames // 30)
+
+
+def test_lsh_verified_matches_allpairs_verifier(docs):
+    """Independent check the oracle can't give (it mirrors the same
+    algorithm): on the fixture, LSH recall at j≥0.5 is 1.0, so the
+    candidate-verified pipeline must equal the ground-truth all-pairs
+    verifier exactly."""
+    sh = dedup.word_shingles(docs, "doc_id", "text", 3)
+    allpairs = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.jaccard_pairs(sh, "doc_id", 0.5).collect()
+    }
+    sig = dedup.minhash_signatures(sh, "doc_id")
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, "doc_id"), "doc_id")
+    verified = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.jaccard_verify(sh, cand, "doc_id", 0.5).collect()
+    }
+    assert verified == allpairs
