@@ -199,3 +199,53 @@ def sql_direct_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     register_views(spark, sf_dir)
     return spark.sql(_Q6_SQL)
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS hour_sum
+    FROM events
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame (§2.5): per user, the rolling 1-hour sum —
+    the frame is bounded by the ORDER-BY VALUE (timestamp interval), not
+    row counts, so ties and irregular event spacing are handled per the
+    ANSI definition on both engines. One shuffle on user_id."""
+    from basic_data_pipeline_spark.catalog import register_views
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT event_id, user_id,
+               CAST(sum(CAST(value AS DECIMAL(38,6)))
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS hour_sum
+        FROM events
+    """)
+
+
+@query(
+    "lateral_explode_ordinal",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents WHERE doc_id < 20)
+    SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i AS INT) + 1] AS token
+    FROM t, UNNEST(range(0, len(toks))) AS u(i)
+    """,
+)
+def lateral_explode_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode with ordinality (posexplode): one row per token
+    with its position — the UNNEST WITH ORDINALITY shape. Narrow
+    row-multiplying projection, stays in codegen, no shuffle."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "token"),
+    )
