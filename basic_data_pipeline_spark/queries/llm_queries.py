@@ -610,3 +610,16 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup.minhash_signatures(sh, "doc_id")
     cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, "doc_id"), "doc_id")
     return dedup.jaccard_verify(sh, cand, "doc_id", 0.5)
+
+
+@query("sim_topk_ivf", oracle=None)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real IVF search (the brief's named scale path): coarse centroids
+    trained from the label groups, every vector re-assigned to its
+    NEAREST centroid, top-3 within the learned cell (nprobe=1). Unlike
+    sim_topk_blocked (given labels), the blocking key here is learned —
+    the centroid aggregate shuffles only (cells × dims) rows. Rows-only:
+    the re-assignment ranking makes a faithful SQL oracle impractical;
+    recall vs brute force is asserted in tests/test_llm_ops.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, dim=64, k=3, train_by="label")

@@ -214,3 +214,35 @@ def test_lsh_verified_matches_allpairs_verifier(docs):
         for r in dedup.jaccard_verify(sh, cand, "doc_id", 0.5).collect()
     }
     assert verified == allpairs
+
+
+def test_ivf_centroids_match_numpy(emb):
+    import numpy as np
+
+    cents = {
+        r["label"]: r["centroid"]
+        for r in similarity.centroids(emb, "label", 64).collect()
+    }
+    pdf = emb.toPandas()
+    for label, grp in pdf.groupby("label"):
+        expected = np.mean(np.vstack(grp["embedding"].map(np.asarray)), axis=0)
+        got = np.asarray(cents[label])
+        assert np.allclose(got, expected, atol=1e-9)
+
+
+def test_ivf_topk_recall_vs_bruteforce(emb):
+    """Single-probe IVF over learned cells: every vector lands in exactly
+    one cell, and recall@3 vs brute force stays above a safe floor
+    (uniform random data is the worst case for any partitioning)."""
+    assigned = similarity.ivf_assign(
+        emb, similarity.centroids(emb, "label", 64), 64
+    )
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+
+    exact = similarity.topk_neighbors(emb, emb, 3)
+    ivf = similarity.ivf_topk(emb, dim=64, k=3, train_by="label")
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.05, f"IVF recall collapsed: {recall}"
