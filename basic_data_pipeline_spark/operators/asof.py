@@ -44,7 +44,15 @@ def asof_join(
         raise ValueError(f"value_cols collide with left columns: {overlap}")
 
     l = left.withColumn("_src", F.lit(1))
-    r = right.select(key, ts, *value_cols).withColumn("_src", F.lit(0))
+    # The carried payload is a STRUCT of the value columns: the struct is
+    # non-null for every right row even when its fields are null, so a
+    # matched right row with a null value correctly yields null (instead
+    # of ignorenulls skipping back to a stale earlier value).
+    r = right.select(
+        key,
+        ts,
+        F.struct(*[F.col(c) for c in value_cols]).alias("_rpayload"),
+    ).withColumn("_src", F.lit(0))
     unioned = l.unionByName(r, allowMissingColumns=True)
 
     w = (
@@ -52,13 +60,11 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_src").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(F.when(F.col("_src") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+    filled = unioned.withColumn(
+        "_carried", F.last("_rpayload", ignorenulls=True).over(w)
     )
-    return filled.filter(F.col("_src") == 1).drop("_src", *value_cols)
+    out = filled.filter(F.col("_src") == 1).select(
+        "*",
+        *[F.col(f"_carried.{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
+    return out.drop("_src", "_rpayload", "_carried")

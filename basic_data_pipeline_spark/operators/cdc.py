@@ -33,6 +33,7 @@ probe-retry NameError (:229) is replaced by vectorized validation.
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +42,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from basic_data_pipeline_spark.functions.normalize import (
+    EPOCH_MS_THRESHOLD,
     EPOCH_SUFFIX,
     infer_sink_type,
     normalize_string_value,
@@ -123,6 +125,7 @@ def infer_record_schema(spark: SparkSession, json_col_df: DataFrame) -> T.Struct
     sample = json_col_df.filter(F.col("after").isNotNull()).select("after")
     inferred = spark.read.json(sample.rdd.map(lambda r: r[0])).schema
     fields = []
+    epoch_candidates = []
     for f in inferred.fields:
         if f.name.startswith("_corrupt"):
             continue
@@ -130,8 +133,31 @@ def infer_record_schema(spark: SparkSession, json_col_df: DataFrame) -> T.Struct
         if f.name.endswith(EPOCH_SUFFIX) and isinstance(
             sink_t, (T.LongType, T.DoubleType, T.IntegerType)
         ):
-            sink_t = T.TimestampType()  # ensure_table:137-138
+            epoch_candidates.append(f.name)
         fields.append(T.StructField(f.name, sink_t, True))
+    if epoch_candidates:
+        # ensure_table:137-138 applies the timestamp override only when the
+        # VALUE exceeds 1e12 — a numeric `count_on`-style column with small
+        # values must stay numeric, or small ints become 1970 timestamps.
+        maxima = sample.agg(
+            *[
+                F.max(
+                    F.get_json_object(F.col("after"), f"$.{name}").try_cast("double")
+                ).alias(name)
+                for name in epoch_candidates
+            ]
+        ).collect()[0]
+        epochal = {
+            name
+            for name in epoch_candidates
+            if maxima[name] is not None and maxima[name] > EPOCH_MS_THRESHOLD
+        }
+        fields = [
+            T.StructField(f.name, T.TimestampType(), True)
+            if f.name in epochal
+            else f
+            for f in fields
+        ]
     return T.StructType(fields)
 
 
@@ -145,12 +171,17 @@ def merge_schemas(existing: T.StructType, batch: T.StructType) -> T.StructType:
 
 def extract_string_records(events: DataFrame, schema: T.StructType) -> DataFrame:
     """Decode after-JSON into all-string columns + CDC metadata. Values stay
-    strings until validation so bad values survive to the DLQ intact."""
+    strings until validation so bad values survive to the DLQ intact.
+
+    Meta columns are re-namespaced to ``_cdc_*`` here: a source table may
+    legitimately have columns named op/offset/partition/ts_ms — without
+    the prefix those would collide with the CDC bookkeeping columns and
+    every downstream reference would be ambiguous."""
     sschema = T.StructType([T.StructField(f.name, T.StringType()) for f in schema.fields])
     meta = [c for c in META_COLS if c in events.columns]
     rec = events.withColumn("_rec", F.from_json("after", sschema))
     return rec.select(
-        *[F.col(c) for c in meta],
+        *[F.col(c).alias(f"_cdc_{c}") for c in meta],
         *[F.col(f"_rec.{f.name}").alias(f.name) for f in schema.fields],
     )
 
@@ -214,8 +245,9 @@ def validate_and_cast(
             for f in schema.fields
         ]
     ) if schema.fields else F.lit(None).cast("string")
+    tbl_col = next((c for c in ("_cdc_table", "table") if c in records.columns), None)
     dlq = flagged.filter(F.col("_bad_col").isNotNull()).select(
-        F.col("table") if "table" in records.columns else F.lit("").alias("table"),
+        F.col(tbl_col).alias("table") if tbl_col else F.lit("").alias("table"),
         F.col("_bad_col").alias("column"),
         bad_value.alias("value"),
         F.lit("cast_error").alias("error"),
@@ -239,7 +271,12 @@ def compact_latest(
     One window = one shuffle on the key, no join; AQE splits skewed keys.
     """
     order_cols = order_cols or [
-        c for c in ("source_ts_ms", "ts_ms", "offset") if c in records.columns
+        c
+        for c in (
+            "_cdc_source_ts_ms", "_cdc_ts_ms", "_cdc_offset",
+            "source_ts_ms", "ts_ms", "offset",
+        )
+        if c in records.columns
     ]
     w = W.partitionBy(key).orderBy(*[F.desc(c) for c in order_cols])
     latest = (
@@ -247,8 +284,9 @@ def compact_latest(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    if drop_deleted and "op" in records.columns:
-        latest = latest.filter(F.col("op") != DELETE_OP)
+    op_col = next((c for c in ("_cdc_op", "op") if c in records.columns), None)
+    if drop_deleted and op_col is not None:
+        latest = latest.filter(F.col(op_col) != DELETE_OP)
     return latest
 
 
@@ -293,12 +331,17 @@ class SinkTable:
         self.created = True
 
     def overwrite(self, full: DataFrame) -> None:
-        """Replace contents (compaction / delete rewrite). The input plan
-        may read this same path, so materialize before overwriting."""
-        tmp = full.cache()
-        tmp.count()
-        tmp.sortWithinPartitions(self.key).write.mode("overwrite").parquet(self.location)
-        tmp.unpersist()
+        """Replace contents (compaction / delete rewrite) via
+        write-to-temp + swap: the input plan may read this same path, and
+        a cache()-then-overwrite is NOT fault-tolerant (a lost cached
+        block would recompute from the half-overwritten directory). The
+        rename swap is atomic on a real filesystem; object stores would
+        use a commit protocol instead."""
+        tmp_loc = f"{self.location}.tmp-swap"
+        full.sortWithinPartitions(self.key).write.mode("overwrite").parquet(tmp_loc)
+        if os.path.exists(self.location):
+            shutil.rmtree(self.location)
+        os.rename(tmp_loc, self.location)
         self.created = True
 
     def read(self) -> DataFrame:
@@ -323,7 +366,10 @@ def apply_cdc_batch(
     (consumer_to_file.py:58,130).
     """
     sinks = sinks if sinks is not None else {}
-    events = decode_envelopes(raw)
+    # persisted: the decode runs once, not once per (table × probe/infer/
+    # apply) — a large Kafka micro-batch would otherwise re-parse ~5× per
+    # routed table
+    events = decode_envelopes(raw).persist()
     tables = [r["table"] for r in events.select("table").distinct().collect()]
 
     dlq_schema = "table string, column string, value string, error string, payload string"
@@ -359,7 +405,7 @@ def apply_cdc_batch(
             records = normalize_records(extract_string_records(upserts, schema), schema)
             good, dlq = validate_and_cast(records, schema)
             dlq_all = dlq_all.unionByName(dlq)
-            good = good.drop("table")
+            good = good.drop("_cdc_table")
 
         # delete tombstones: key from `before` (the ACTUAL key column —
         # divergence from the reference's hardcoded `id`, :241), ordered by
@@ -369,8 +415,8 @@ def apply_cdc_batch(
         if has_deletes:
             meta = [c for c in ("source_ts_ms", "ts_ms", "partition", "offset") if c in deletes.columns]
             tombstones = deletes.select(
-                F.lit("d").alias("op"),
-                *[F.col(c) for c in meta],
+                F.lit("d").alias("_cdc_op"),
+                *[F.col(c).alias(f"_cdc_{c}") for c in meta],
                 _typed_value(
                     normalize_string_value(
                         F.get_json_object(F.col("before"), f"$.{key}")
@@ -379,35 +425,53 @@ def apply_cdc_batch(
                 ).alias(key),
             )
 
+        parts = [p for p in (good, tombstones) if p is not None]
+        if not parts:
+            # events for an established table that are neither valid
+            # upserts nor deletes (op 't'/'m', or upserts with null
+            # `after`): nothing to apply — must not crash the micro-batch
+            continue
+
         if mode == "compact":
-            parts = [p for p in (good, tombstones) if p is not None]
             merged = parts[0]
             for p in parts[1:]:
                 merged = evolve_union(merged, p)
             if sink.created:
-                merged = evolve_union(merged, sink.read().withColumn("op", F.lit("r")))
-            sink.overwrite(compact_latest(merged, key=key).drop("op"))
+                merged = evolve_union(
+                    merged, sink.read().withColumn("_cdc_op", F.lit("r"))
+                )
+            sink.overwrite(compact_latest(merged, key=key).drop("_cdc_op"))
         else:
             if good is not None:
-                sink.append(good.drop("op"))
+                sink.append(good.drop("_cdc_op"))
             if tombstones is not None and sink.created:
                 # faithful append mode: a delete removes every version of
-                # the key that precedes it (ALTER TABLE … DELETE semantics,
+                # the key at-or-before it (ALTER TABLE … DELETE semantics,
                 # consumer_to_file.py:241-243); later re-inserts survive.
+                # The cut uses the FULL (source_ts_ms, ts_ms, offset)
+                # ordering — source_ts_ms alone is millisecond-granular,
+                # and a re-insert sharing the delete's timestamp must
+                # survive (struct comparison is lexicographic).
+                ord_cols = [
+                    c
+                    for c in ("_cdc_source_ts_ms", "_cdc_ts_ms", "_cdc_offset")
+                    if tombstones is not None and c in tombstones.columns
+                ]
+                ver = F.struct(*[F.col(c) for c in ord_cols])
                 last_del = tombstones.groupBy(key).agg(
-                    F.max("source_ts_ms").alias("_del_ts")
+                    F.max(ver).alias("_del_ver")
                 )
                 target = sink.read()
                 remaining = (
                     target.join(F.broadcast(last_del), on=key, how="left")
                     .filter(
-                        F.col("_del_ts").isNull()
-                        | (F.col("source_ts_ms") > F.col("_del_ts"))
+                        F.col("_del_ver").isNull() | (ver > F.col("_del_ver"))
                     )
-                    .drop("_del_ts")
+                    .drop("_del_ver")
                 )
                 sink.overwrite(remaining)
 
     if write_dlq and dlq_all.take(1):
         dlq_all.write.mode("append").parquet(os.path.join(sink_root, "_dlq"))
+    events.unpersist()
     return sinks, dlq_all

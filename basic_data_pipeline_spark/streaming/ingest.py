@@ -4,9 +4,14 @@ The reference's consumer loop (consumer_to_file.py:195-257) maps to one
 streaming query: the Kafka source replaces poll(), checkpointing replaces
 its fresh-group-id-every-run replay policy (re-ingest = new checkpoint
 dir), and each micro-batch runs the same columnar apply pipeline as the
-batch path — upsert/delete/DLQ per table. Delivery upgrades from
-at-least-once (auto-commit, consumer_to_file.py:185-187) to exactly-once
-per sink transaction via checkpoint + idempotent overwrite.
+batch path — upsert/delete/DLQ per table. Delivery: compact mode is
+effectively exactly-once across restarts (checkpointed offsets + an
+idempotent full overwrite per batch); append mode is at-least-once — a
+crash between the parquet append and the checkpoint commit replays the
+epoch and duplicates its rows (foreachBatch hands over epoch_id for
+sinks that can dedup transactionally; plain parquet cannot). Both are an
+upgrade over the reference, which re-reads from the earliest offset on
+EVERY restart by design (consumer_to_file.py:185-187).
 
 Kafka itself isn't in the test container, so `ingest_kafka` is gated;
 tests drive the identical body through `ingest_files` (file source) and

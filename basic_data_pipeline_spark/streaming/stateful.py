@@ -110,17 +110,30 @@ def sessionize_with_state(events: DataFrame, gap_ms: int = 30 * 60 * 1000) -> Da
 
         start_ms, end_ms, n = state.get if state.exists else (None, None, 0)
         closed = []
-        for pdf in pdfs:
-            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).sort_values()
-            for t in ts_ms:
-                t = int(t)
-                if start_ms is None:
-                    start_ms, end_ms, n = t, t, 1
-                elif t - end_ms <= gap_ms:
-                    end_ms, n = max(end_ms, t), n + 1
-                else:
-                    closed.append((key[0], start_ms, end_ms, n))
-                    start_ms, end_ms, n = t, t, 1
+        # concatenate BEFORE sorting: per-chunk sorting would re-introduce
+        # out-of-order ts across chunk boundaries of a large group
+        all_ts = sorted(
+            int(t)
+            for pdf in pdfs
+            for t in (pdf["ts"].astype("int64") // 1_000_000)
+        )
+        for t in all_ts:
+            if start_ms is None:
+                start_ms, end_ms, n = t, t, 1
+            elif start_ms - gap_ms <= t <= end_ms + gap_ms:
+                # within the session's reach on either side — late events
+                # inside the watermark may EXTEND the start backwards
+                start_ms = min(start_ms, t)
+                end_ms, n = max(end_ms, t), n + 1
+            elif t > end_ms + gap_ms:
+                closed.append((key[0], start_ms, end_ms, n))
+                start_ms, end_ms, n = t, t, 1
+            else:
+                # more than gap BEFORE the open session: an out-of-order
+                # singleton older than anything that can still merge with
+                # it (this batch is sorted; prior sessions are closed) —
+                # emit it as its own closed session
+                closed.append((key[0], t, t, 1))
         # If the watermark already passed this session's close time (late
         # batch ordering), finalize now — a timeout below the watermark is
         # invalid and would never fire anyway.

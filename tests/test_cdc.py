@@ -230,3 +230,70 @@ def test_multi_table_batch_routes_and_infers_pks(spark, tmp_path):
     assert sinks["items"].key == "uuid"
     assert sinks["items"].read().count() == 3
     assert sinks["employees"].read().count() == 4
+
+
+# --- regression: review findings ------------------------------------------
+
+def test_unapplicable_ops_do_not_crash_established_table(spark, tmp_path):
+    """ops outside c/u/r/d (truncate 't') or upserts with null after, for
+    a table whose schema is established, must be a no-op — not an
+    IndexError that kills the micro-batch."""
+    wl = employee_workload(n_snapshot=3, n_ops=0, seed=2)
+    b1 = envelopes_to_df(spark, wl)
+    b2 = envelopes_to_df(
+        spark,
+        [Envelope("dbserver1.testdb.employees", "t", None, None, 1_722_999_000_000, 0, 9)],
+    )
+    sinks = run_batches(spark, [b1, b2], str(tmp_path), mode="compact")
+    assert sinks["employees"].read().count() == 3
+
+
+def test_delete_then_reinsert_same_ts_survives(spark, tmp_path):
+    """Append mode: a re-insert sharing the delete's source_ts_ms (ms
+    granularity!) but a later offset must survive the delete cut."""
+    ts = 1_722_900_000_000
+    row1 = {"id": 1, "name": "A", "position": "X", "salary": 1.0, "updated_on": ts}
+    row2 = {"id": 1, "name": "B", "position": "Y", "salary": 2.0, "updated_on": ts}
+    wl = [
+        Envelope("dbserver1.testdb.employees", "c", None, row1, ts, 0, 0),
+        Envelope("dbserver1.testdb.employees", "d", row1, None, ts + 5, 0, 1),
+        Envelope("dbserver1.testdb.employees", "c", None, row2, ts + 5, 0, 2),
+    ]
+    sinks = run_batches(spark, [envelopes_to_df(spark, wl)], str(tmp_path), mode="append")
+    rows = sinks["employees"].read().collect()
+    assert len(rows) == 1 and rows[0]["name"] == "B"
+
+
+def test_small_valued_on_column_stays_numeric(spark, tmp_path):
+    """The *_on → timestamp override requires values > 1e12
+    (consumer_to_file.py:137-138); a count_on column of small ints must
+    stay numeric, not become 1970 timestamps."""
+    ts = 1_722_900_000_000
+    wl = [
+        Envelope(
+            "dbserver1.testdb.widgets", "c", None,
+            {"id": i, "count_on": i * 5, "updated_on": ts + i}, ts + i, 0, i,
+        )
+        for i in range(3)
+    ]
+    sinks = run_batches(spark, [envelopes_to_df(spark, wl)], str(tmp_path))
+    schema = dict(sinks["widgets"].read().dtypes)
+    assert schema["count_on"] == "bigint"
+    assert schema["updated_on"] == "timestamp"
+
+
+def test_record_field_named_offset_does_not_collide(spark, tmp_path):
+    """A source column named like a CDC meta column (offset/partition/op)
+    must flow through: meta lives under _cdc_*."""
+    ts = 1_722_900_000_000
+    wl = [
+        Envelope(
+            "dbserver1.testdb.readings", "c", None,
+            {"id": i, "offset": i * 10, "op": f"op{i}", "partition": i}, ts + i, 0, i,
+        )
+        for i in range(4)
+    ]
+    sinks = run_batches(spark, [envelopes_to_df(spark, wl)], str(tmp_path), mode="compact")
+    rows = {r["id"]: r for r in sinks["readings"].read().collect()}
+    assert len(rows) == 4
+    assert rows[2]["offset"] == 20 and rows[2]["op"] == "op2" and rows[2]["partition"] == 2

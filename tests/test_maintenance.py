@@ -60,3 +60,15 @@ def test_asof_join_rejects_collisions(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_asof_join_matched_null_value_stays_null(spark):
+    """A matched right row whose value is NULL must yield NULL — not skip
+    back to a stale earlier value (the struct-carry fix)."""
+    left = spark.createDataFrame([(1, 6), (1, 3)], "key long, ts long")
+    right = spark.createDataFrame(
+        [(1, 2, 5.0), (1, 5, None)], "key long, ts long, v double"
+    )
+    out = {r["ts"]: r["v_asof"] for r in asof_join(left, right, "key", "ts", ["v"]).collect()}
+    assert out[3] == 5.0      # before the null row: carries ts=2's value
+    assert out[6] is None     # matched ts=5 whose v IS null

@@ -104,3 +104,40 @@ def test_sessionize_emits_on_gap_and_timeout(spark, tmp_path):
     assert (s1["session_end"] - s1["session_start"]).total_seconds() == 300
     assert s2["n_events"] == 1
     assert s2["session_start"] == s2["session_end"]
+
+
+def test_sessionize_late_event_extends_start_backwards(spark, tmp_path):
+    """An out-of-order event inside the watermark that falls within gap
+    BEFORE the open session's start must extend the session backwards
+    (not silently merge with an unchanged start)."""
+    src = tmp_path / "late"
+    src.mkdir()
+    gap_s = 30 * 60
+    _write_batch(src / "b0.json", [
+        {"user_id": 1, "ts_s": BASE + 1000, "value": 1.0},
+        {"user_id": 1, "ts_s": BASE + 1300, "value": 1.0},
+    ])
+    # late event 900s BEFORE the session start, still within the huge watermark
+    _write_batch(src / "b1.json", [
+        {"user_id": 1, "ts_s": BASE + 100, "value": 1.0},
+    ])
+    # far-future event closes user 1's session via timeout
+    _write_batch(src / "b2.json", [
+        {"user_id": 99, "ts_s": BASE + 100 * gap_s, "value": 1.0},
+    ])
+    events = _stream(spark, src).withWatermark("ts", "48 hours")
+    out = sessionize_with_state(events, gap_ms=gap_s * 1000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM late_sessions WHERE user_id = 1").collect()
+    assert len(rows) == 1
+    s = rows[0]
+    assert s["n_events"] == 3
+    assert int(s["session_start"].timestamp()) == BASE + 100  # extended back
+    assert int(s["session_end"].timestamp()) == BASE + 1300
