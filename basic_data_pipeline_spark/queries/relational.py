@@ -208,9 +208,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @query(
-    "filter_predicates",
+    "scan_filter_project",
     oracle="""
-    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+           o_totalprice * 1.07 AS price_with_tax,
+           o_totalprice - 1000 AS price_less_fee,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+           upper(o_orderpriority) AS priority_upper
     FROM orders
     WHERE o_totalprice BETWEEN 1000 AND 50000
       AND o_orderstatus IN ('O', 'F')
@@ -220,9 +224,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderkey
     """,
 )
-def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WHERE battery: BETWEEN / IN / LIKE / IS NOT NULL / NOT — all
-    parquet-pushable predicates (PushedFilters in the scan node)."""
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE battery (BETWEEN / IN / LIKE / IS NOT NULL / NOT — all
+    parquet-pushable, visible under PushedFilters) feeding the generic
+    computed-SELECT-list surface (arithmetic, casts, renames) in one
+    codegen'd stage. Merges r1's `filter_predicates` + `projection_compute`
+    (same §2 line) so the whole P5 surface holds one CORRECTNESS row.
+
+    o_totalprice has ≤2 true decimal digits, so the arithmetic is exact
+    IEEE double on both engines (no accumulation — safe without the
+    decimal pattern, which only matters for multi-row SUMs)."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.filter(F.col("o_totalprice").between(1000, 50000))
@@ -230,36 +241,20 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority").like("1-%"))
         .filter(F.col("o_orderdate").isNotNull())
         .filter(~(F.col("o_custkey") == 0))
-        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+            (F.col("o_totalprice") * 1.07).alias("price_with_tax"),
+            (F.col("o_totalprice") - 1000).alias("price_less_fee"),
+            # floor() explicitly: Spark's double→bigint CAST truncates while
+            # DuckDB's rounds — floor is identical on both engines.
+            F.floor("o_totalprice").alias("price_int"),
+            F.upper("o_orderpriority").alias("priority_upper"),
+        )
         .orderBy("o_orderkey")
     )
-
-
-@query(
-    "projection_compute",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           l_extendedprice * (1 - l_discount) AS net_price,
-           (l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS gross_price,
-           CAST(l_quantity AS BIGINT) AS qty_int,
-           upper(l_returnflag) AS flag_upper
-    FROM lineitem
-    WHERE l_orderkey < 100
-    ORDER BY l_orderkey, l_linenumber
-    """,
-)
-def projection_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Computed/renamed columns + casts: the generic SELECT-list surface."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
-    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        net.alias("net_price"),
-        (net * (1 + F.col("l_tax"))).alias("gross_price"),
-        F.col("l_quantity").cast("bigint").alias("qty_int"),
-        F.upper("l_returnflag").alias("flag_upper"),
-    ).orderBy("l_orderkey", "l_linenumber")
 
 
 # --------------------------------------------------------------------------
@@ -267,113 +262,93 @@ def projection_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @query(
-    "join_inner",
+    "join_flavors",
     oracle="""
-    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    SELECT 'inner' AS flavor, c_custkey, o_orderkey, o_totalprice
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE o_totalprice > 100000
-    ORDER BY o_orderkey
-    """,
-)
-def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi inner join orders⋈customer; Catalyst picks the strategy
-    (broadcast at test SF, sort-merge at scale via AQE)."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
-    c = _t(spark, sf_dir, "customer")
-    return (
-        o.join(c, o.o_custkey == c.c_custkey, "inner")
-        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
-        .orderBy("o_orderkey")
-    )
-
-
-@query(
-    "join_left_outer",
-    oracle="""
-    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    UNION ALL
+    SELECT 'left', c_custkey, o_orderkey, o_totalprice
     FROM customer LEFT JOIN orders
       ON c_custkey = o_custkey AND o_totalprice > 400000
-    ORDER BY c_custkey, o_orderkey
+    UNION ALL
+    SELECT 'full', c_custkey, o_orderkey, o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9000) bc
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) bo
+      ON c_custkey = o_custkey
+    ORDER BY flavor, c_custkey, o_orderkey
     """,
 )
-def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join with a join-side predicate (kept in the ON clause so
-    non-matching customers survive with nulls)."""
+def join_flavors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner / left-outer / full-outer equi joins of orders⋈customer as one
+    tag-unioned result (merges r1's join_inner / join_left_outer /
+    join_full_outer — three §2 lines, one CORRECTNESS row each branch).
+    The left branch keeps its price predicate in the ON clause so
+    non-matching customers survive with nulls; the full branch filters
+    both sides so nulls appear on both wings. Catalyst picks broadcast at
+    test SF, sort-merge via AQE at scale — same plan per branch as the
+    unmerged originals (union is a no-shuffle bag concat on top)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(
-            o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000), "left"
+    inner = (
+        o.filter(F.col("o_totalprice") > 100000)
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .select(
+            F.lit("inner").alias("flavor"),
+            "c_custkey",
+            "o_orderkey",
+            "o_totalprice",
         )
-        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .orderBy("c_custkey", "o_orderkey")
+    )
+    left = c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000), "left"
+    ).select(
+        F.lit("left").alias("flavor"), "c_custkey", "o_orderkey", "o_totalprice"
+    )
+    big_c = c.filter(F.col("c_acctbal") > 9000)
+    big_o = o.filter(F.col("o_totalprice") > 400000)
+    full = big_c.join(big_o, big_c.c_custkey == big_o.o_custkey, "full_outer").select(
+        F.lit("full").alias("flavor"), "c_custkey", "o_orderkey", "o_totalprice"
+    )
+    return inner.unionByName(left).unionByName(full).orderBy(
+        "flavor", "c_custkey", "o_orderkey"
     )
 
 
 @query(
-    "join_full_outer",
+    "join_semi_anti",
     oracle="""
-    WITH big_cust AS (SELECT * FROM customer WHERE c_acctbal > 9000),
-         big_ord  AS (SELECT * FROM orders   WHERE o_totalprice > 400000)
-    SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
-    FROM big_cust FULL OUTER JOIN big_ord ON c_custkey = o_custkey
-    ORDER BY c_custkey, o_orderkey
-    """,
-)
-def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full outer join of two filtered sides — nulls on both wings."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "full_outer")
-        .select("c_custkey", "c_acctbal", "o_orderkey", "o_totalprice")
-        .orderBy("c_custkey", "o_orderkey")
-    )
-
-
-@query(
-    "join_semi",
-    oracle="""
-    SELECT c_custkey, c_name
+    SELECT 'semi' AS kind, c_custkey, c_name
     FROM customer
     WHERE EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-    ORDER BY c_custkey
-    """,
-)
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left semi join = EXISTS. Also the shape of the reference's
-    'does this key exist in the sink' check."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
-
-
-@query(
-    "join_anti",
-    oracle="""
-    SELECT c_custkey, c_name
+    UNION ALL
+    SELECT 'anti', c_custkey, c_name
     FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_totalprice > 250000)
-    ORDER BY c_custkey
+    ORDER BY kind, c_custkey
     """,
 )
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join = NOT EXISTS — the delete-apply shape of the
-    reference's `ALTER TABLE … DELETE WHERE pk` (consumer_to_file.py:237-246)
-    re-expressed relationally (SURVEY.md S10)."""
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi (EXISTS) + left anti (NOT EXISTS) in one tag-unioned
+    result (merges r1's join_semi / join_anti). The anti branch is the
+    delete-apply shape of the reference's `ALTER TABLE … DELETE WHERE pk`
+    (consumer_to_file.py:237-246) re-expressed relationally (SURVEY.md
+    S10); both broadcast the filtered orders side when small."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
+    o = _t(spark, sf_dir, "orders")
+    semi = c.join(
+        o.filter(F.col("o_totalprice") > 400000),
+        c.c_custkey == o.o_custkey,
+        "left_semi",
+    ).select(F.lit("semi").alias("kind"), "c_custkey", "c_name")
+    anti = c.join(
+        o.filter(F.col("o_totalprice") > 250000),
+        c.c_custkey == o.o_custkey,
+        "left_anti",
+    ).select(F.lit("anti").alias("kind"), "c_custkey", "c_name")
+    return semi.unionByName(anti).orderBy("kind", "c_custkey")
 
 
 @query(
@@ -407,25 +382,32 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "join_range_theta",
+    "join_range_cross",
     oracle="""
-    SELECT p_partkey, p_name, p_retailprice, p_size
-    FROM part a
+    SELECT 'theta' AS kind, p_partkey AS a, CAST(p_size AS BIGINT) AS b
+    FROM part pa
     WHERE EXISTS (
-      SELECT 1 FROM part b
-      WHERE b.p_brand = a.p_brand AND b.p_partkey <> a.p_partkey
-        AND b.p_retailprice BETWEEN a.p_retailprice - 1 AND a.p_retailprice + 1
+      SELECT 1 FROM part pb
+      WHERE pb.p_brand = pa.p_brand AND pb.p_partkey <> pa.p_partkey
+        AND pb.p_retailprice BETWEEN pa.p_retailprice - 1 AND pa.p_retailprice + 1
     )
-    ORDER BY p_partkey
+    UNION ALL
+    SELECT 'cross', ra.r_regionkey, rb.r_regionkey
+    FROM region ra CROSS JOIN region rb
+    WHERE ra.r_regionkey < rb.r_regionkey
+    ORDER BY kind, a, b
     """,
 )
-def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range/theta self-join: parts with a same-brand near-priced sibling.
+def join_range_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta self-join + bounded cross join as one tag-unioned
+    result (merges r1's join_range_theta / join_cross_bounded).
 
-    Blocked on p_brand (equi component) so Catalyst plans a hash join with
-    the range as a post-filter, NOT a nested-loop cross product — the
-    blocking key is what keeps this viable at 100 TB.
-    """
+    Theta branch: parts with a same-brand near-priced sibling — blocked on
+    p_brand (equi component) so Catalyst plans a hash join with the range
+    as a post-filter, NOT a nested-loop cross product; the blocking key is
+    what keeps this viable at 100 TB. Cross branch: tiny dimension ×
+    itself, upper triangle — the only sanctioned unblocked cross join
+    shape (broadcast-bounded)."""
     a = _t(spark, sf_dir, "part").alias("a")
     b = _t(spark, sf_dir, "part").alias("b")
     cond = (
@@ -434,11 +416,26 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("b.p_retailprice") >= F.col("a.p_retailprice") - 1)
         & (F.col("b.p_retailprice") <= F.col("a.p_retailprice") + 1)
     )
-    return (
+    theta = (
         a.join(b, cond, "left_semi")
-        .select("p_partkey", "p_name", "p_retailprice", "p_size")
-        .orderBy("p_partkey")
+        .select(
+            F.lit("theta").alias("kind"),
+            F.col("p_partkey").alias("a"),
+            F.col("p_size").cast("bigint").alias("b"),
+        )
     )
+    ra = _t(spark, sf_dir, "region").alias("ra")
+    rb = _t(spark, sf_dir, "region").alias("rb")
+    cross = (
+        ra.crossJoin(rb)
+        .filter(F.col("ra.r_regionkey") < F.col("rb.r_regionkey"))
+        .select(
+            F.lit("cross").alias("kind"),
+            F.col("ra.r_regionkey").alias("a"),
+            F.col("rb.r_regionkey").alias("b"),
+        )
+    )
+    return theta.unionByName(cross).orderBy("kind", "a", "b")
 
 
 @query(
@@ -486,77 +483,38 @@ def join_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "join_cross_bounded",
-    oracle="""
-    SELECT a.r_regionkey AS region_a, b.r_regionkey AS region_b
-    FROM region a CROSS JOIN region b
-    WHERE a.r_regionkey < b.r_regionkey
-    ORDER BY region_a, region_b
-    """,
-)
-def join_cross_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross join (bounded: tiny dimension × itself, upper-triangle)."""
-    a = _t(spark, sf_dir, "region").alias("a")
-    b = _t(spark, sf_dir, "region").alias("b")
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
-        .select(
-            F.col("a.r_regionkey").alias("region_a"),
-            F.col("b.r_regionkey").alias("region_b"),
-        )
-        .orderBy("region_a", "region_b")
-    )
-
-
 # --------------------------------------------------------------------------
 # Aggregations (§2.4)
 # --------------------------------------------------------------------------
 
 @query(
-    "agg_basic",
-    oracle="""
-    SELECT o_orderstatus,
-           count(*)                       AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_price,
-           min(o_totalprice)              AS min_price,
-           max(o_totalprice)              AS max_price
-    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-)
-def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """count/sum/avg/min/max — partial (map-side) + final hash agg."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            F.count("*").alias("n_orders"),
-            _dsum(F.col("o_totalprice")).alias("sum_price"),
-            _davg(F.col("o_totalprice")).alias("avg_price"),
-            F.min("o_totalprice").alias("min_price"),
-            F.max("o_totalprice").alias("max_price"),
-        )
-        .orderBy("o_orderstatus")
-    )
-
-
-@query(
-    "agg_count_distinct",
+    "agg_core",
     oracle="""
     SELECT l_returnflag,
+           count(*)                   AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS avg_price,
+           min(l_extendedprice)       AS min_price,
+           max(l_extendedprice)       AS max_price,
            count(DISTINCT l_suppkey)  AS n_suppliers,
            count(DISTINCT l_partkey)  AS n_parts
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
-def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct aggregation (expand + two-phase agg in Spark)."""
+def agg_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/sum/avg/min/max + exact countDistinct in one groupBy (merges
+    r1's agg_basic / agg_count_distinct — two §2 lines, one row). Spark
+    plans the distincts as an expand + two-phase agg; the plain aggregates
+    stay partial (map-side) + final."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
+            F.count("*").alias("n_items"),
+            _dsum(F.col("l_extendedprice")).alias("sum_price"),
+            _davg(F.col("l_extendedprice")).alias("avg_price"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
             F.countDistinct("l_suppkey").alias("n_suppliers"),
             F.countDistinct("l_partkey").alias("n_parts"),
         )
@@ -579,88 +537,96 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect_sorted",
     oracle="""
-    SELECT n_regionkey, list(n_name ORDER BY n_name) AS nations
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(n_name)), ',') AS nations
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_list → array, sorted for determinism across engines."""
+    """collect_list → array, sorted for determinism across engines.
+
+    Emitted as a comma-joined STRING (not array<string>): the driver's
+    canonicalizer hashes cells via pandas and dies on unhashable list
+    cells, so the deterministic serialization carries the same evidence
+    (collect_list + array_sort) in a hashable column.
+    """
     n = _t(spark, sf_dir, "nation")
     return (
         n.groupBy("n_regionkey")
-        .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+                "nations"
+            )
+        )
         .orderBy("n_regionkey")
     )
 
 
 @query(
-    "agg_rollup",
+    "agg_multilevel",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-           count(*) AS n
+    SELECT 'rollup' AS src, l_returnflag AS k1, l_linestatus AS k2,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS val
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
-    """,
-)
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (grand total + per-flag + per-flag-status)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"), F.count("*").alias("n"))
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
-        )
-    )
-
-
-@query(
-    "agg_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    UNION ALL
+    SELECT 'cube', o_orderstatus, o_orderpriority, count(*),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-    """,
-)
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE: all grouping-set combinations."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"))
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
-        )
-    )
-
-
-@query(
-    "agg_grouping_sets",
-    oracle="""
-    SELECT c_mktsegment, c_nationkey, count(*) AS n,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+    UNION ALL
+    SELECT 'gsets', c_mktsegment, CAST(c_nationkey AS VARCHAR), count(*),
+           CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
     FROM customer
     GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
-    ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+    ORDER BY src, k1 NULLS FIRST, k2 NULLS FIRST
     """,
 )
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via the SQL surface (same Catalyst plan as
-    the DataFrame cube/rollup family)."""
+def agg_multilevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + GROUPING SETS as one tag-unioned result (merges
+    r1's agg_rollup / agg_cube / agg_grouping_sets — one §2 line). The
+    rollup and cube branches use the DataFrame API, the grouping-sets
+    branch the SQL surface — same Expand-based Catalyst plan family.
+    Keys are cast to string so the three branches share one schema."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    roll = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _dsum(F.col("l_quantity")).alias("val"))
+        .select(
+            F.lit("rollup").alias("src"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "n",
+            "val",
+        )
+    )
+    cube = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("val"))
+        .select(
+            F.lit("cube").alias("src"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "n",
+            "val",
+        )
+    )
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(
+    gsets = spark.sql(
         """
-        SELECT c_mktsegment, c_nationkey, count(*) AS n,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+        SELECT 'gsets' AS src, c_mktsegment AS k1,
+               CAST(c_nationkey AS STRING) AS k2, count(*) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS val
         FROM customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
-        ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST
         """
+    )
+    return (
+        roll.unionByName(cube)
+        .unionByName(gsets)
+        .orderBy("src", F.col("k1").asc_nulls_first(), F.col("k2").asc_nulls_first())
     )
 
 
@@ -750,104 +716,77 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "window_lag_lead",
+    "window_analytics",
     oracle="""
     SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
            lag(event_id)  OVER w AS prev_event,
            lead(event_id) OVER w AS next_event,
            epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
-             - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) // 1000000 AS gap_seconds
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ORDER BY user_id, ts, event_id
-    """,
-)
-def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead + inter-event gap — the sessionization building block."""
-    e = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        e.select(
-            "user_id",
-            "event_id",
-            "ts",
-            F.lag("event_id").over(w).alias("prev_event"),
-            F.lead("event_id").over(w).alias("next_event"),
-            (
-                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-            ).alias("gap_seconds"),
-        )
-        .orderBy("user_id", "ts", "event_id")
-    )
-
-
-@query(
-    "window_running_total",
-    oracle="""
-    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) // 1000000 AS gap_seconds,
            CAST(sum(CAST(value AS DECIMAL(38,6)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_value,
            count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS running_n
+             AS running_n,
+           first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+           last_value(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+           CAST(sum(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS hour_sum
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY user_id, ts, event_id
     """,
 )
-def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running totals with an explicit ROWS frame over event time."""
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic-window battery per event row (merges r1's
+    window_lag_lead / window_running_total / window_first_last /
+    window_range_frame — four §2 sub-items, one row each branch):
+    lag/lead + inter-event gap (the sessionization building block),
+    running totals over an explicit ROWS frame, first/last over the
+    full-partition frame, and the event-time RANGE frame (rolling 1-hour
+    sum bounded by the ORDER-BY value, not row counts — ANSI peer
+    semantics identical on both engines).
+
+    All frames share the user_id partition, so Spark plans ONE shuffle +
+    ONE sort feeding every window function — merging is strictly cheaper
+    than the four standalone queries."""
     e = _t(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return (
         e.select(
             "user_id",
             "event_id",
             "ts",
             "value",
+            F.lag("event_id").over(w).alias("prev_event"),
+            F.lead("event_id").over(w).alias("next_event"),
+            (
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            ).alias("gap_seconds"),
             F.sum(F.col("value").cast("decimal(38,6)"))
-            .over(w)
+            .over(wrun)
             .cast("double")
             .alias("running_value"),
-            F.count("*").over(w).alias("running_n"),
+            F.count("*").over(wrun).alias("running_n"),
+            F.first("event_type").over(wfull).alias("first_type"),
+            F.last("event_type").over(wfull).alias("last_type"),
+            F.expr(
+                """CAST(sum(CAST(value AS DECIMAL(38,6)))
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                   AS DOUBLE)"""
+            ).alias("hour_sum"),
         )
+        .drop("value")
         .orderBy("user_id", "ts", "event_id")
-    )
-
-
-@query(
-    "window_first_last",
-    oracle="""
-    SELECT DISTINCT user_id,
-           first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
-           last_value(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
-    FROM events
-    ORDER BY user_id
-    """,
-)
-def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """first/last value per key over the full-partition frame."""
-    e = _t(spark, sf_dir, "events")
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    )
-    return (
-        e.select(
-            "user_id",
-            F.first("event_type").over(w).alias("first_type"),
-            F.last("event_type").over(w).alias("last_type"),
-        )
-        .distinct()
-        .orderBy("user_id")
     )
 
 
@@ -856,43 +795,44 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @query(
-    "sort_multi_limit",
+    "order_pick",
     oracle="""
-    SELECT o_orderkey, o_orderpriority, o_totalprice
-    FROM orders
-    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey
-    LIMIT 50
+    SELECT * FROM (
+      SELECT 'sort50' AS kind, o_orderkey, o_orderpriority, o_totalprice
+      FROM orders
+      ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey
+      LIMIT 50)
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'random_pick', o_orderkey, o_orderpriority, o_totalprice
+      FROM orders
+      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+      LIMIT 1)
+    ORDER BY kind, o_orderkey
     """,
 )
-def sort_multi_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-key sort + limit → TakeOrderedAndProject (no global sort)."""
+def order_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort + limit (→ TakeOrderedAndProject, no global sort)
+    unioned with the reference's `ORDER BY RAND() LIMIT 1` random-row pick
+    (data_inserter.py:44,57) made deterministic — order by a hash of the
+    key so both engines agree; same top-1 plan shape as rand(). Merges
+    r1's sort_multi_limit / deterministic_random_pick."""
     o = _t(spark, sf_dir, "orders")
-    return (
+    sort50 = (
         o.select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .orderBy(F.asc("o_orderpriority"), F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .orderBy(
+            F.asc("o_orderpriority"), F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
         .limit(50)
+        .select(F.lit("sort50").alias("kind"), "*")
     )
-
-
-@query(
-    "deterministic_random_pick",
-    oracle="""
-    SELECT o_orderkey, o_custkey
-    FROM orders
-    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
-    LIMIT 1
-    """,
-)
-def deterministic_random_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's `ORDER BY RAND() LIMIT 1` random-row pick
-    (data_inserter.py:44,57) made deterministic: order by a hash of the key
-    so both engines agree. Same top-1 plan shape as rand()."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.select("o_orderkey", "o_custkey")
+    pick = (
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice")
         .orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")
         .limit(1)
+        .select(F.lit("random_pick").alias("kind"), "*")
     )
+    return sort50.unionByName(pick).orderBy("kind", "o_orderkey")
 
 
 # --------------------------------------------------------------------------
@@ -900,102 +840,89 @@ def deterministic_random_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @query(
-    "set_union_all",
+    "set_ops_suite",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900
+    SELECT 'union_all' AS op, CAST(c_nationkey AS VARCHAR) AS k
+    FROM customer WHERE c_acctbal > 9900
     UNION ALL
-    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
-    ORDER BY nationkey
-    """,
-)
-def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL (bag union — no dedup shuffle)."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
-    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
-    return (
-        c.select(F.col("c_nationkey").alias("nationkey"))
-        .unionAll(s.select(F.col("s_nationkey").alias("nationkey")))
-        .orderBy("nationkey")
-    )
-
-
-@query(
-    "set_union_distinct",
-    oracle="""
-    SELECT nationkey FROM (
+    SELECT 'union_all', CAST(s_nationkey AS VARCHAR)
+    FROM supplier WHERE s_acctbal > 9000
+    UNION ALL
+    SELECT 'union_distinct', CAST(nationkey AS VARCHAR) FROM (
       SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900
       UNION
-      SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
-    ) ORDER BY nationkey
+      SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000)
+    UNION ALL
+    SELECT 'intersect', CAST(nationkey AS VARCHAR) FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000)
+    UNION ALL
+    SELECT 'except', CAST(nationkey AS VARCHAR) FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000)
+    UNION ALL
+    SELECT 'distinct', l_returnflag || '/' || l_linestatus
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+    ORDER BY op, k
     """,
 )
-def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (set semantics = union + distinct hash agg)."""
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
-    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000)
-    return (
-        c.select(F.col("c_nationkey").alias("nationkey"))
-        .union(s.select(F.col("s_nationkey").alias("nationkey")))
-        .distinct()
-        .orderBy("nationkey")
-    )
-
-
-@query(
-    "set_intersect",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
-    ORDER BY nationkey
-    """,
-)
-def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct semantics)."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = (
-        _t(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") > 5000)
-        .select(F.col("s_nationkey").alias("nationkey"))
-    )
-    return c.intersect(s).orderBy("nationkey")
-
-
-@query(
-    "set_except",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
-    ORDER BY nationkey
-    """,
-)
-def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct semantics): nations with customers but no
-    high-balance supplier. ``subtract`` is Spark's EXCEPT DISTINCT."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = (
-        _t(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") > 8000)
-        .select(F.col("s_nationkey").alias("nationkey"))
-    )
-    return c.subtract(s).orderBy("nationkey")
-
-
-@query(
-    "distinct_rows",
-    oracle="""
-    SELECT DISTINCT l_returnflag, l_linestatus
-    FROM lineitem ORDER BY l_returnflag, l_linestatus
-    """,
-)
-def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DISTINCT on a projection — hash-agg dedup."""
+def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full set-operation family as one tag-unioned result (merges
+    r1's set_union_all / set_union_distinct / set_intersect / set_except /
+    distinct_rows — one §2 line): UNION ALL (bag concat, no shuffle),
+    UNION DISTINCT (hash-agg dedup), INTERSECT, EXCEPT (Spark `subtract`
+    = EXCEPT DISTINCT), and DISTINCT on a projection. Keys cast to string
+    for the shared schema."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    c_hi = c.filter(F.col("c_acctbal") > 9900).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s_hi = s.filter(F.col("s_acctbal") > 9000).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    c_all = c.select(F.col("c_nationkey").alias("nationkey"))
+
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"), F.col("nationkey").cast("string").alias("k")
+        )
+
+    union_all = tag(c_hi.unionAll(s_hi), "union_all")
+    union_distinct = tag(c_hi.union(s_hi).distinct(), "union_distinct")
+    intersect = tag(
+        c_all.intersect(
+            s.filter(F.col("s_acctbal") > 5000).select(
+                F.col("s_nationkey").alias("nationkey")
+            )
+        ),
+        "intersect",
+    )
+    except_ = tag(
+        c_all.subtract(
+            s.filter(F.col("s_acctbal") > 8000).select(
+                F.col("s_nationkey").alias("nationkey")
+            )
+        ),
+        "except",
+    )
+    distinct = (
         li.select("l_returnflag", "l_linestatus")
         .distinct()
-        .orderBy("l_returnflag", "l_linestatus")
+        .select(
+            F.lit("distinct").alias("op"),
+            F.concat_ws("/", "l_returnflag", "l_linestatus").alias("k"),
+        )
+    )
+    return (
+        union_all.unionByName(union_distinct)
+        .unionByName(intersect)
+        .unionByName(except_)
+        .unionByName(distinct)
+        .orderBy("op", "k")
     )
 
 
@@ -1003,86 +930,40 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Subqueries
 # --------------------------------------------------------------------------
 
-@query(
-    "scalar_subquery",
-    oracle="""
-    SELECT c_custkey, c_name, c_acctbal AS acctbal
+_SUBQUERY_SUITE_SQL = """
+    SELECT 'scalar' AS q, c_custkey AS k
     FROM customer
     WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
                               / count(*) * 1.8
                        FROM customer)
-    ORDER BY c_custkey
-    """,
-)
-def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery in WHERE (uncorrelated) via the SQL surface.
-
-    The threshold is computed with the exact decimal-avg pattern so the
-    boundary is bit-identical in both engines.
-    """
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(
-        """
-        SELECT c_custkey, c_name, c_acctbal AS acctbal
-        FROM customer
-        WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
-                                  / count(*) * 1.8
-                           FROM customer)
-        ORDER BY c_custkey
-        """
-    )
-
-
-@query(
-    "in_subquery",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice
+    UNION ALL
+    SELECT 'in', o_orderkey
     FROM orders
-    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'MACHINERY')
       AND o_totalprice > 300000
-    ORDER BY o_orderkey
-    """,
-)
-def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN (subquery) — planned as a left semi join."""
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_custkey, o_totalprice
-        FROM orders
-        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
-          AND o_totalprice > 300000
-        ORDER BY o_orderkey
-        """
-    )
-
-
-@query(
-    "correlated_exists",
-    oracle="""
-    SELECT s_suppkey, s_name
+    UNION ALL
+    SELECT 'exists', s_suppkey
     FROM supplier s
     WHERE EXISTS (
       SELECT 1 FROM lineitem WHERE l_suppkey = s.s_suppkey AND l_quantity >= 49
     )
-    ORDER BY s_suppkey
-    """,
-)
-def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated EXISTS — decorrelated by Catalyst into a semi join."""
-    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        SELECT s_suppkey, s_name
-        FROM supplier s
-        WHERE EXISTS (
-          SELECT 1 FROM lineitem WHERE l_suppkey = s.s_suppkey AND l_quantity >= 49
-        )
-        ORDER BY s_suppkey
-        """
-    )
+    ORDER BY q, k
+"""
+
+
+@query("subquery_suite", oracle=_SUBQUERY_SUITE_SQL)
+def subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The subquery family via the SQL surface, tag-unioned (merges r1's
+    scalar_subquery / in_subquery / correlated_exists — one §2 line):
+    uncorrelated scalar subquery in WHERE (threshold computed with the
+    exact decimal-avg pattern so the boundary is bit-identical in both
+    engines), IN (→ left semi join), and correlated EXISTS (decorrelated
+    by Catalyst into a semi join). The engine executes the SAME ANSI
+    string the oracle runs."""
+    for name in ("customer", "orders", "supplier", "lineitem"):
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_SUBQUERY_SUITE_SQL)
 
 
 # --------------------------------------------------------------------------
@@ -1090,128 +971,24 @@ def correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @query(
-    "scalar_string_funcs",
-    oracle="""
-    SELECT p_partkey,
-           upper(p_name)                       AS name_upper,
-           lower(p_brand)                      AS brand_lower,
-           length(p_name)                      AS name_len,
-           substr(p_type, 1, 3)                AS type_prefix,
-           concat(p_brand, ':', p_type)        AS brand_type,
-           replace(p_name, ' ', '_')           AS name_snake,
-           trim(p_name)                        AS name_trim,
-           CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a
-    FROM part WHERE p_partkey <= 100
-    ORDER BY p_partkey
-    """,
-)
-def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String function battery (upper/lower/length/substr/concat/replace/
-    trim/LIKE-case)."""
-    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
-    return p.select(
-        "p_partkey",
-        F.upper("p_name").alias("name_upper"),
-        F.lower("p_brand").alias("brand_lower"),
-        F.length("p_name").cast("bigint").alias("name_len"),
-        F.substring("p_type", 1, 3).alias("type_prefix"),
-        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
-        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
-        F.trim("p_name").alias("name_trim"),
-        F.when(F.col("p_name").like("%a%"), 1).otherwise(0).alias("has_a"),
-    ).orderBy("p_partkey")
-
-
-@query(
-    "scalar_date_funcs",
+    "scalar_string_date_case",
     oracle="""
     SELECT o_orderkey,
-           CAST(year(o_orderdate)     AS INT) AS order_year,
-           CAST(month(o_orderdate)    AS INT) AS order_month,
+           upper(o_orderpriority)                  AS prio_upper,
+           lower(o_orderpriority)                  AS prio_lower,
+           length(o_orderpriority)                 AS prio_len,
+           substr(o_orderpriority, 1, 3)           AS prio_prefix,
+           concat(o_orderstatus, ':', o_orderpriority) AS status_prio,
+           replace(o_orderpriority, '-', '_')      AS prio_snake,
+           trim(o_orderpriority)                   AS prio_trim,
+           CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 1 ELSE 0 END AS is_urgent,
+           CAST(year(o_orderdate)       AS INT) AS order_year,
+           CAST(month(o_orderdate)      AS INT) AS order_month,
            CAST(dayofmonth(o_orderdate) AS INT) AS order_day,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
            CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
            CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
-             AS days_since_epoch_start
-    FROM orders WHERE o_orderkey <= 200
-    ORDER BY o_orderkey
-    """,
-)
-def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time battery: extract, trunc, interval add, datediff."""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
-    return o.select(
-        "o_orderkey",
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        F.dayofmonth("o_orderdate").alias("order_day"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
-        F.datediff(
-            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
-        ).alias("days_since_epoch_start"),
-    ).orderBy("o_orderkey")
-
-
-@query(
-    "scalar_math_funcs",
-    oracle="""
-    SELECT l_orderkey, l_linenumber,
-           abs(l_extendedprice - 30000)              AS abs_diff,
-           CAST(ceil(l_quantity / 7) AS BIGINT)      AS qty_ceil,
-           CAST(floor(l_quantity / 7) AS BIGINT)     AS qty_floor,
-           sqrt(l_extendedprice)                     AS price_sqrt,
-           round(ln(l_extendedprice + 1), 6)         AS price_ln,
-           l_discount * l_discount                   AS disc_sq,
-           CAST(l_quantity AS BIGINT) % 5            AS qty_mod
-    FROM lineitem WHERE l_orderkey <= 60
-    ORDER BY l_orderkey, l_linenumber
-    """,
-)
-def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math battery: abs/ceil/floor/sqrt/ln/pow/mod."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 60)
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.abs(F.col("l_extendedprice") - 30000).alias("abs_diff"),
-        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil"),
-        F.floor(F.col("l_quantity") / 7).alias("qty_floor"),
-        F.sqrt("l_extendedprice").alias("price_sqrt"),
-        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
-        (F.col("l_discount") * F.col("l_discount")).alias("disc_sq"),
-        (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod"),
-    ).orderBy("l_orderkey", "l_linenumber")
-
-
-@query(
-    "scalar_json_extract",
-    oracle="""
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
-           event_type
-    FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
-    ORDER BY event_id
-    """,
-)
-def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction on events.props (kept as string at rest —
-    same decision as the reference's json→String mapping,
-    consumer_to_file.py:48-49 — parsed on demand)."""
-    e = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
-    return (
-        e.select("event_id", k.alias("prop_k"), "event_type")
-        .filter(F.col("prop_k") > 90)
-        .orderBy("event_id")
-    )
-
-
-@query(
-    "scalar_case_when",
-    oracle="""
-    SELECT o_orderkey,
+             AS days_since_epoch_start,
            CASE WHEN o_totalprice >= 300000 THEN 'high'
                 WHEN o_totalprice >= 100000 THEN 'mid'
                 ELSE 'low' END AS price_band,
@@ -1220,11 +997,33 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderkey
     """,
 )
-def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE WHEN banding + coalesce/nullif null handling."""
+def scalar_string_date_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + date/time + CASE/null scalar batteries as ONE wide
+    codegen'd projection over orders (merges r1's scalar_string_funcs /
+    scalar_date_funcs / scalar_case_when — one §2 line): upper/lower/
+    length/substr/concat/replace/trim/LIKE, year/month/day extract,
+    date_trunc, interval add, datediff, CASE banding, coalesce/nullif."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
     return o.select(
         "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.lower("o_orderpriority").alias("prio_lower"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+        F.substring("o_orderpriority", 1, 3).alias("prio_prefix"),
+        F.concat_ws(":", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.regexp_replace("o_orderpriority", "-", "_").alias("prio_snake"),
+        F.trim("o_orderpriority").alias("prio_trim"),
+        F.when(F.col("o_orderpriority").like("%URGENT%"), 1)
+        .otherwise(0)
+        .alias("is_urgent"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).alias("days_since_epoch_start"),
         F.when(F.col("o_totalprice") >= 300000, "high")
         .when(F.col("o_totalprice") >= 100000, "mid")
         .otherwise("low")
@@ -1236,56 +1035,89 @@ def scalar_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "pivot_status_by_priority",
+    "scalar_math_json",
     oracle="""
-    SELECT o_orderpriority,
-           count(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
-           count(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
-           count(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
-    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 30000)              AS abs_diff,
+           CAST(ceil(l_quantity / 7) AS BIGINT)      AS qty_ceil,
+           CAST(floor(l_quantity / 7) AS BIGINT)     AS qty_floor,
+           sqrt(l_extendedprice)                     AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6)         AS price_ln,
+           l_discount * l_discount                   AS disc_sq,
+           CAST(l_quantity AS BIGINT) % 5            AS qty_mod,
+           CAST(json_extract_string(e.props, '$.k') AS BIGINT) AS prop_k
+    FROM lineitem
+    JOIN events e ON e.event_id = l_orderkey
+    WHERE l_orderkey <= 60
+    ORDER BY l_orderkey, l_linenumber
     """,
 )
-def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (wide counts per status) — fixed pivot values so the plan is a
-    single pass, no distinct-values pre-query."""
+def scalar_math_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery (abs/ceil/floor/sqrt/ln/pow/mod) + JSON path
+    extraction in one projection (merges r1's scalar_math_funcs /
+    scalar_json_extract — one §2 line). The JSON column rides in from
+    events via an equi-join (props stays a string at rest — the same
+    json→String decision as the reference, consumer_to_file.py:48-49 —
+    parsed on demand with get_json_object)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 60)
+    e = _t(spark, sf_dir, "events").select("event_id", "props")
+    return (
+        li.join(F.broadcast(e), e.event_id == li.l_orderkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_extendedprice") - 30000).alias("abs_diff"),
+            F.ceil(F.col("l_quantity") / 7).alias("qty_ceil"),
+            F.floor(F.col("l_quantity") / 7).alias("qty_floor"),
+            F.sqrt("l_extendedprice").alias("price_sqrt"),
+            F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+            (F.col("l_discount") * F.col("l_discount")).alias("disc_sq"),
+            (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "pivot_unpivot",
+    oracle="""
+    SELECT o_orderpriority, 'O' AS status,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, 'F', count(*) FILTER (WHERE o_orderstatus = 'F')
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, 'P', count(*) FILTER (WHERE o_orderstatus = 'P')
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY o_orderpriority, status
+    """,
+)
+def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round-trip in one plan (merges r1's
+    pivot_status_by_priority / unpivot_stack): fixed-value pivot (single
+    pass, no distinct-values pre-query) producing wide per-status counts,
+    then stack() unpivots the wide result back to long — including the
+    zero cells the pivot materialized. Exercises both reshape directions;
+    the oracle reproduces the long form with FILTER aggregates."""
     o = _t(spark, sf_dir, "orders")
     piv = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .count()
-    )
-    return (
-        piv.select(
+        .select(
             "o_orderpriority",
             F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
             F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
             F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
         )
-        .orderBy("o_orderpriority")
     )
-
-
-@query(
-    "unpivot_stack",
-    oracle="""
-    SELECT p_partkey, metric, round(val, 2) AS val
-    FROM (
-      SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val FROM part
-      UNION ALL
-      SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
-    )
-    WHERE p_partkey <= 50
-    ORDER BY p_partkey, metric
-    """,
-)
-def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot via stack() — wide→long without a join."""
-    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 50)
     return (
-        p.selectExpr(
-            "p_partkey",
-            "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (metric, val)",
+        piv.selectExpr(
+            "o_orderpriority",
+            "stack(3, 'O', status_O, 'F', status_F, 'P', status_P)"
+            " AS (status, n)",
         )
-        .select("p_partkey", "metric", F.round("val", 2).alias("val"))
-        .orderBy("p_partkey", "metric")
+        .orderBy("o_orderpriority", "status")
     )

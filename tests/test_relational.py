@@ -69,7 +69,7 @@ def test_approx_distinct_close_to_exact(spark):
     }
     exact = {
         r["l_returnflag"]: r["n_parts"]
-        for r in qs["agg_count_distinct"](spark, SF_SMOKE).collect()
+        for r in qs["agg_core"](spark, SF_SMOKE).collect()
     }
     for k, v in exact.items():
         assert abs(approx[k] - v) / v < 0.05
