@@ -264,7 +264,12 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
-def simhash_pairs(signatures: DataFrame, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    keep_sigs: bool = False,
+) -> DataFrame:
     """(id_a, id_b, hamming) pairs within Hamming distance ≤ max_hamming,
     via 4-chunk banding: with 4 chunks of 16 bits, any pair within
     distance 3 shares at least one identical chunk (pigeonhole), so the
@@ -301,11 +306,16 @@ def simhash_pairs(signatures: DataFrame, id_col: str, max_hamming: int = 3) -> D
                 (instr('{HEX}', substr(sig_b, p, 1)) - 1)
               ) AS INT)))"""
     )
+    out_cols = (
+        ["id_a", "id_b", "sig_a", "sig_b", "hamming"]
+        if keep_sigs
+        else ["id_a", "id_b", "hamming"]
+    )
     return (
         spread(cand, "id_a", "id_b")  # popcount loop at cluster parallelism
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(*out_cols)
     )
 
 

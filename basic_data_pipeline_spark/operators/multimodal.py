@@ -89,9 +89,17 @@ def _fake_meta(n_bytes: pd.Series) -> pd.DataFrame:
     )
 
 
-def decode_media_meta(media: DataFrame, fake: bool = True) -> DataFrame:
+def decode_media_meta(
+    media: DataFrame, fake: bool = True, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """binary → typed metadata via mapInPandas (Arrow batches, vectorized
-    pandas ops inside — no per-row Python)."""
+    pandas ops inside — no per-row Python). ``passthrough`` names input
+    columns to carry through the decode unchanged (e.g. a pre-computed
+    content hash), appended after the metadata columns."""
+
+    schema = T.StructType(
+        MEDIA_META_SCHEMA.fields + [media.schema[c] for c in passthrough]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -106,9 +114,12 @@ def decode_media_meta(media: DataFrame, fake: bool = True) -> DataFrame:
                     "n_bytes": n_bytes,
                 }
             )
-            yield pd.concat([out, meta], axis=1)
+            res = pd.concat([out, meta], axis=1)
+            for c in passthrough:
+                res[c] = pdf[c].values
+            yield res
 
-    return media.mapInPandas(run, MEDIA_META_SCHEMA)
+    return media.mapInPandas(run, schema)
 
 
 RESIZED_SCHEMA = T.StructType(

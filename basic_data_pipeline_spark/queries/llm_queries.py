@@ -53,27 +53,56 @@ _DUCK_HITS = {
 }
 
 
+_DUCK_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
 @query(
-    "text_stats",
+    "text_doc_profile",
     oracle=f"""
-    SELECT doc_id,
-           length(text) AS n_chars_exact,
-           len({_DUCK_TOKENS}) AS n_tokens,
-           length(regexp_replace(text, '\\s+', '', 'g')) AS sum_token_chars,
-           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
-             / length(text) AS punct_ratio,
-           length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
-             / length(text) AS upper_ratio
-    FROM documents
+    WITH base AS (
+      SELECT doc_id,
+             length(text) AS n_chars_exact,
+             len({_DUCK_TOKENS}) AS n_tokens,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS sum_token_chars,
+             {_DUCK_HITS['en']} AS sw_hits,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+               / length(text) AS punct_ratio,
+             length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
+               / length(text) AS upper_ratio,
+             {_DUCK_FP} AS fingerprint
+      FROM documents)
+    SELECT doc_id, n_chars_exact, n_tokens, sum_token_chars,
+           punct_ratio, upper_ratio,
+           CAST(n_tokens >= 20 AS INT) AS enough_tokens,
+           CAST(sum_token_chars * 1.0 / n_tokens >= 3
+                AND sum_token_chars * 1.0 / n_tokens <= 10 AS INT) AS sane_token_len,
+           CAST(sw_hits * 1.0 / n_tokens >= 0.02 AS INT) AS has_stopwords,
+           CAST(punct_ratio <= 0.2 AS INT) AS low_punct,
+           (CAST(n_tokens >= 20 AS INT)
+            + CAST(sum_token_chars * 1.0 / n_tokens >= 3
+                   AND sum_token_chars * 1.0 / n_tokens <= 10 AS INT)
+            + CAST(sw_hits * 1.0 / n_tokens >= 0.02 AS INT)
+            + CAST(punct_ratio <= 0.2 AS INT)) / 4.0 AS quality_score,
+           fingerprint,
+           count(*) OVER (PARTITION BY fingerprint) AS group_size
+    FROM base
     """,
     headline=True,
 )
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document corpus statistics as ONE codegen'd projection — a
-    single pass over the text column, no Python; spread so the regex CPU
-    work runs at cluster parallelism even off a byte-small scan."""
+def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document profile a corpus pipeline computes in its first
+    pass, as ONE codegen'd projection (merges r1's text_stats /
+    text_quality_score / text_fingerprint — one §2 line): raw statistics
+    (chars/tokens/punct/upper ratios), C4-style quality flags + mean
+    score in [0,1] (the keep/drop filter stage), and the canonical-form
+    md5 fingerprint with duplicate-group sizes (formatting-insensitive
+    exact-dedup key). One pass over text, no Python; spread so the regex
+    CPU runs at cluster parallelism even off a byte-small scan; the only
+    shuffle is the fingerprint-group window."""
     d = _docs_spread(spark, sf_dir)
     t = F.col("text")
+    flags = text.quality_flags(t)
+    fp = text.fingerprint(t)
     return d.select(
         "doc_id",
         F.length(t).alias("n_chars_exact"),
@@ -81,49 +110,15 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.sum_token_chars(t).alias("sum_token_chars"),
         text.punct_ratio(t).alias("punct_ratio"),
         text.upper_ratio(t).alias("upper_ratio"),
-    )
-
-
-@query(
-    "text_quality_score",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id,
-             len({_DUCK_TOKENS}) AS n_tokens,
-             length(regexp_replace(text, '\\s+', '', 'g')) AS sum_chars,
-             {_DUCK_HITS['en']} AS sw_hits,
-             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
-               / length(text) AS punct
-      FROM documents)
-    SELECT doc_id,
-           CAST(n_tokens >= 20 AS INT) AS enough_tokens,
-           CAST(sum_chars * 1.0 / n_tokens >= 3
-                AND sum_chars * 1.0 / n_tokens <= 10 AS INT) AS sane_token_len,
-           CAST(sw_hits * 1.0 / n_tokens >= 0.02 AS INT) AS has_stopwords,
-           CAST(punct <= 0.2 AS INT) AS low_punct,
-           (CAST(n_tokens >= 20 AS INT)
-            + CAST(sum_chars * 1.0 / n_tokens >= 3
-                   AND sum_chars * 1.0 / n_tokens <= 10 AS INT)
-            + CAST(sw_hits * 1.0 / n_tokens >= 0.02 AS INT)
-            + CAST(punct <= 0.2 AS INT)) / 4.0 AS quality_score
-    FROM base
-    """,
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4-style quality heuristics → flags + mean score in [0,1]. Feeds
-    the keep/drop filter stage of a corpus pipeline."""
-    d = _docs_spread(spark, sf_dir)
-    t = F.col("text")
-    flags = text.quality_flags(t)
-    return d.select(
-        "doc_id",
         *[c.cast("int").alias(name) for name, c in flags.items()],
         text.quality_score(t).alias("quality_score"),
+        fp.alias("fingerprint"),
+        F.count("*").over(W.partitionBy(fp)).alias("group_size"),
     )
 
 
 @query(
-    "text_lang_id",
+    "text_lang_token",
     oracle=f"""
     WITH h AS (
       SELECT lang,
@@ -133,74 +128,62 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cjk,
              length(text) AS n
       FROM documents)
-    SELECT lang,
+    SELECT 'lang' AS grp, lang AS k1,
            CASE WHEN cjk * 3 >= n THEN 'zh'
                 WHEN en >= greatest(en, de, es, fr) THEN 'en'
                 WHEN de >= greatest(de, es, fr) THEN 'de'
                 WHEN es >= greatest(es, fr) THEN 'es'
-                ELSE 'fr' END AS predicted,
-           count(*) AS n_docs
-    FROM h GROUP BY 1, 2
-    """,
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID (stopword profiles + CJK density) emitted as
-    a (true lang × predicted) confusion matrix. The fixture's text is
-    synthetic same-vocabulary noise, so accuracy is meaningless here —
-    the oracle checks the CLASSIFIER is computed identically, which is
-    what the gate can prove."""
-    d = _docs_spread(spark, sf_dir)
-    return (
-        d.select("lang", text.predicted_lang(F.col("text")).alias("predicted"))
-        .groupBy("lang", "predicted")
-        .agg(F.count("*").alias("n_docs"))
-    )
-
-
-@query(
-    "text_token_count",
-    oracle=f"""
-    SELECT source,
+                ELSE 'fr' END AS k2,
+           count(*) AS n1, CAST(NULL AS BIGINT) AS n2
+    FROM h GROUP BY 2, 3
+    UNION ALL
+    SELECT 'tokens', source, CAST(NULL AS VARCHAR),
            CAST(sum(len(regexp_extract_all(text,
-             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_ish_tokens,
-           CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS ws_tokens
-    FROM documents GROUP BY source
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT),
+           CAST(sum(len({_DUCK_TOKENS})) AS BIGINT)
+    FROM documents GROUP BY 2
     """,
 )
-def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token accounting per source: whitespace tokens + a BPE-ish
-    pre-tokenizer (letter runs / digit runs / single symbols) — the
-    budget numbers every training-data pipeline reports."""
+def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID + corpus token accounting, tag-unioned
+    (merges r1's text_lang_id / text_token_count — one §2 line).
+
+    Lang branch: stopword-profile + CJK-density classifier as a (true
+    lang × predicted) confusion matrix — the fixture's text is synthetic
+    same-vocabulary noise, so the oracle checks the CLASSIFIER is
+    computed identically, which is what the gate can prove. Tokens
+    branch: whitespace tokens + a BPE-ish pre-tokenizer (letter runs /
+    digit runs / single symbols) per source — the budget numbers every
+    training-data pipeline reports."""
     d = _docs_spread(spark, sf_dir)
     t = F.col("text")
-    return d.groupBy("source").agg(
-        F.sum(text.bpe_ish_token_count(t)).alias("bpe_ish_tokens"),
-        F.sum(text.n_tokens(t)).alias("ws_tokens"),
+    lang = (
+        d.select("lang", text.predicted_lang(t).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.lit("lang").alias("grp"),
+            F.col("lang").alias("k1"),
+            F.col("predicted").alias("k2"),
+            F.col("n_docs").alias("n1"),
+            F.lit(None).cast("long").alias("n2"),
+        )
     )
-
-
-_DUCK_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
-
-
-@query(
-    "text_fingerprint",
-    oracle=f"""
-    SELECT doc_id, {_DUCK_FP} AS fingerprint,
-           count(*) OVER (PARTITION BY {_DUCK_FP}) AS group_size
-    FROM documents
-    """,
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical-form document fingerprint (lower + whitespace-collapse →
-    md5) with duplicate-group sizes — the formatting-insensitive exact
-    dedup key."""
-    d = _docs_spread(spark, sf_dir)
-    fp = text.fingerprint(F.col("text"))
-    return d.select(
-        "doc_id",
-        fp.alias("fingerprint"),
-        F.count("*").over(W.partitionBy(fp)).alias("group_size"),
+    tokens = (
+        d.groupBy("source")
+        .agg(
+            F.sum(text.bpe_ish_token_count(t)).alias("bpe_ish_tokens"),
+            F.sum(text.n_tokens(t)).alias("ws_tokens"),
+        )
+        .select(
+            F.lit("tokens").alias("grp"),
+            F.col("source").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.col("bpe_ish_tokens").alias("n1"),
+            F.col("ws_tokens").alias("n2"),
+        )
     )
+    return lang.unionByName(tokens)
 
 
 # --------------------------------------------------------------------------
@@ -216,61 +199,85 @@ _DUCK_SHINGLES = """
 
 
 @query(
-    "dedup_exact",
-    oracle="""
-    SELECT min(doc_id) AS doc_id, count(*) AS group_size
-    FROM documents GROUP BY text
-    """,
-)
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on raw text, minimum doc_id survives.
-    One shuffle on the content key; at corpus scale the key is a 128-bit
-    content hash so the shuffle carries no text."""
-    d = _t(spark, sf_dir, "documents")
-    return dedup.exact_dedup_survivors(d, "doc_id", F.col("text"))
-
-
-@query(
-    "dedup_fingerprint",
+    "dedup_exact_fp",
     oracle=f"""
-    SELECT min(doc_id) AS doc_id, count(*) AS group_size
+    SELECT 'raw' AS kind, min(doc_id) AS doc_id, count(*) AS group_size
+    FROM documents GROUP BY text
+    UNION ALL
+    SELECT 'fingerprint', min(doc_id), count(*)
     FROM documents GROUP BY {_DUCK_FP}
     """,
 )
-def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup under the canonical fingerprint — catches
-    formatting-only duplicates the raw-text key misses."""
+def dedup_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup under BOTH keys, tag-unioned (merges r1's dedup_exact /
+    dedup_fingerprint — one §2 line): raw-text hash-groupBy (minimum
+    doc_id survives; at corpus scale the key is a 128-bit content hash so
+    the shuffle carries no text) and the canonical fingerprint, which
+    catches formatting-only duplicates the raw key misses."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.exact_dedup_survivors(
-        d, "doc_id", text.fingerprint(F.col("text"))
+    raw = dedup.exact_dedup_survivors(d, "doc_id", F.col("text")).select(
+        F.lit("raw").alias("kind"), "doc_id", "group_size"
     )
+    fp = dedup.exact_dedup_survivors(
+        d, "doc_id", text.fingerprint(F.col("text"))
+    ).select(F.lit("fingerprint").alias("kind"), "doc_id", "group_size")
+    return raw.unionByName(fp)
 
 
 @query(
-    "dedup_ngram_jaccard",
+    "dedup_jaccard_truth",
     oracle=f"""
     WITH {_DUCK_SHINGLES},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
               FROM sh a JOIN sh b ON a.shingle = b.shingle
                                  AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-    SELECT id_a, id_b, jaccard FROM (
-      SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
-      FROM inter
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b)
-    WHERE jaccard >= 0.5
+              GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT id_a, id_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b)
+      WHERE jaccard >= 0.5)
+    SELECT 'pair' AS kind, id_a AS a, id_b AS b, jaccard FROM pairs
+    UNION ALL
+    SELECT 'survivor', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM pairs)
     """,
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT word-3-gram Jaccard near-dup pairs (≥ 0.5) via the
-    inverted-index join — the ground-truth verifier the approximate
-    paths (MinHash/SimHash) are measured against. The fixture plants
-    near-duplicate pairs at Jaccard ≈ 0.98."""
+def dedup_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard ground truth, tag-unioned with the
+    surviving corpus (merges r1's dedup_ngram_jaccard /
+    dedup_near_survivors). Pair branch: the inverted-index all-pairs join
+    — the ground-truth verifier the approximate paths (MinHash/SimHash)
+    are measured against; quadratic in hot-shingle doc frequency, so it
+    must NEVER be the production path (that is dedup_lsh_verified).
+    Survivor branch: greedy keep-lowest-id — every doc appearing as the
+    higher id of a dup pair is dropped; transitive chains collapse onto
+    their minimum element without iterative connected components."""
     d = _t(spark, sf_dir, "documents")
     sh = dedup.word_shingles(d, "doc_id", "text", 3)
-    return dedup.jaccard_pairs(sh, "doc_id", 0.5)
+    pairs = dedup.jaccard_pairs(sh, "doc_id", 0.5)
+    # Pairs feed both branches — persist so the shingle+join pipeline
+    # computes once (released by the caller's action completing; see
+    # operators/dedup.py persist policy).
+    pairs = pairs.persist()
+    pair_rows = pairs.select(
+        F.lit("pair").alias("kind"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        "jaccard",
+    )
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = d.join(dropped, "doc_id", "left_anti").select(
+        F.lit("survivor").alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return pair_rows.unionByName(survivors)
 
 
 @query(
@@ -329,16 +336,9 @@ _DUCK_SIMHASH = """
 """
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"WITH {_DUCK_SIMHASH} SELECT doc_id, simhash FROM sig",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures (16 hex chars) per document — near-dup
-    docs land within small Hamming distance. Pure arithmetic over md5
-    nibbles; the oracle rebuilds the identical signature bit-for-bit."""
-    d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_signatures(d, "doc_id", "text")
+# NOTE: r1's standalone `dedup_simhash` (signatures only) merged into
+# dedup_simhash_pairs below — the pairs pipeline computes and verifies the
+# identical signatures (the oracle rebuilds them bit-for-bit) before banding.
 
 
 @query(
@@ -354,23 +354,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk
                           AND a.doc_id < b.doc_id),
     ham AS (
-      SELECT id_a, id_b,
+      SELECT id_a, id_b, sig_a, sig_b,
              CAST(sum(bit_count(xor(
                strpos('0123456789abcdef', substr(sig_a, CAST(p AS INT), 1)) - 1,
                strpos('0123456789abcdef', substr(sig_b, CAST(p AS INT), 1)) - 1
              ))) AS BIGINT) AS hamming
       FROM cand CROSS JOIN UNNEST(range(1, 17)) AS t(p)
-      GROUP BY 1, 2)
-    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, sig_a, sig_b, hamming FROM ham WHERE hamming <= 3
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within Hamming ≤ 3 via 4-chunk banding
     (pigeonhole: ≤3 flipped bits over 4 chunks leave one chunk intact),
-    then an exact popcount filter on candidates only."""
+    then an exact popcount filter on candidates only. The 64-bit
+    signatures themselves (16 hex chars; bit i of md5(token) votes ±1 —
+    r1's standalone dedup_simhash) ride in the output, so the oracle
+    checks them bit-for-bit alongside the pair set."""
     d = _t(spark, sf_dir, "documents")
     sig = dedup.simhash_signatures(d, "doc_id", "text")
-    pairs = dedup.simhash_pairs(sig, "doc_id", 3)
+    pairs = dedup.simhash_pairs(sig, "doc_id", 3, keep_sigs=True)
     return pairs.withColumn("hamming", F.col("hamming").cast("long"))
 
 
@@ -407,7 +410,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "sim_topk_bruteforce",
+    "sim_topk_methods",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                FROM embeddings WHERE vec_id < 5),
@@ -415,53 +418,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM embeddings),
     p AS (SELECT query_id, neighbor_id,
                  {_DUCK_COS.format(a="qv", b="cv")} AS cos
-          FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
-    SELECT query_id, neighbor_id, rank FROM (
-      SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, neighbor_id) AS rank
-      FROM p)
-    WHERE rank <= 5
-    """,
-)
-def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-5 cosine neighbors for a small query set against the
-    whole corpus: broadcast cross join + windowed top-k. The correctness
-    baseline every ANN path is measured against."""
-    e = _t(spark, sf_dir, "embeddings")
-    return similarity.topk_neighbors(e.filter(F.col("vec_id") < 5), e, 5)
-
-
-@query(
-    "sim_topk_blocked",
-    oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, label,
-                      CAST(embedding AS DOUBLE[]) AS qv
-               FROM embeddings WHERE vec_id < 20),
-    c AS (SELECT vec_id AS neighbor_id, label,
-                 CAST(embedding AS DOUBLE[]) AS cv
-          FROM embeddings),
-    p AS (SELECT query_id, neighbor_id,
-                 {_DUCK_COS.format(a="qv", b="cv")} AS cos
-          FROM q JOIN c USING (label) WHERE query_id <> neighbor_id)
-    SELECT query_id, neighbor_id, rank FROM (
-      SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY cos DESC, neighbor_id) AS rank
-      FROM p)
-    WHERE rank <= 3
+          FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+    brute AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM p)
+      WHERE rank <= 5),
+    bq AS (SELECT vec_id AS query_id, label,
+                  CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 20),
+    bc AS (SELECT vec_id AS neighbor_id, label,
+                  CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings),
+    bp AS (SELECT query_id, neighbor_id,
+                  {_DUCK_COS.format(a="qv", b="cv")} AS cos
+           FROM bq JOIN bc USING (label) WHERE query_id <> neighbor_id),
+    blocked AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM bp)
+      WHERE rank <= 3)
+    SELECT 'brute' AS method, query_id, neighbor_id, rank FROM brute
+    UNION ALL
+    SELECT 'blocked', query_id, neighbor_id, rank FROM blocked
     """,
     headline=True,
 )
-def sim_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style blocked top-k: candidates restricted to the query's
-    coarse cell (the fixture's `label`), turning the cross join into an
-    equi-join that partitions by block — the shape that scales to
-    billions of vectors."""
+def sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity top-k, both strategies tag-unioned (merges r1's
+    sim_topk_bruteforce / sim_topk_blocked — one §2 line). Brute branch:
+    exact top-5 cosine against the whole corpus (broadcast cross join +
+    windowed top-k) — the correctness baseline every ANN path is measured
+    against, viable only for broadcast-sized query sets. Blocked branch:
+    IVF-style candidates restricted to the query's coarse cell (the
+    fixture's `label`), turning the cross join into an equi-join that
+    partitions by block — the shape that scales to billions of vectors."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.topk_neighbors(
-        e.filter(F.col("vec_id") < 20), e, 3, block_col="label"
+    brute = similarity.topk_neighbors(e.filter(F.col("vec_id") < 5), e, 5).select(
+        F.lit("brute").alias("method"), "query_id", "neighbor_id", "rank"
     )
+    blocked = similarity.topk_neighbors(
+        e.filter(F.col("vec_id") < 20), e, 3, block_col="label"
+    ).select(F.lit("blocked").alias("method"), "query_id", "neighbor_id", "rank")
+    return brute.unionByName(blocked)
 
 
 @query("sim_ann_lsh", oracle=None)
@@ -485,82 +488,31 @@ _DUCK_MODALITY = (
 
 
 @query(
-    "multimodal_manifest",
-    oracle=f"""
-    SELECT doc_id AS media_id, {_DUCK_MODALITY} AS modality,
-           octet_length(encode(text)) AS n_bytes,
-           sha256(text) AS sha
-    FROM documents
-    """,
-)
-def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media manifest over the synthesized binary column: modality,
-    byte size, content hash — the bookkeeping scan of a media lake
-    (binary column + typed metadata, SURVEY.md §2.11)."""
-    media = multimodal.synth_media(_t(spark, sf_dir, "documents"))
-    return media.select(
-        "media_id",
-        "modality",
-        F.octet_length("data").cast("long").alias("n_bytes"),
-        F.sha2(F.col("data"), 256).alias("sha"),
-    )
-
-
-@query(
-    "multimodal_decode_meta",
+    "multimodal_pipeline",
     oracle=f"""
     SELECT doc_id AS media_id, {_DUCK_MODALITY} AS modality,
            octet_length(encode(text)) AS n_bytes,
            CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
            CAST(64 + (octet_length(encode(text)) * 31) % 512 AS INT) AS height,
-           CAST(1 + octet_length(encode(text)) % 240 AS INT) AS n_frames
+           CAST(1 + octet_length(encode(text)) % 240 AS INT) AS n_frames,
+           sha256(text) AS sha
     FROM documents
     """,
 )
-def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The decode stage end-to-end through mapInPandas (Arrow batches →
-    vectorized pandas → typed schema). The codec itself is a
-    deterministic fake (no image libs in this container), which makes the
-    FULL Python-worker path oracle-checkable — schema, batching, and
-    arithmetic verified bit-for-bit."""
-    media = multimodal.synth_media(_t(spark, sf_dir, "documents"))
-    return multimodal.decode_media_meta(media, fake=True)
-
-
-@query(
-    "dedup_near_survivors",
-    oracle=f"""
-    WITH {_DUCK_SHINGLES},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-              FROM sh a JOIN sh b ON a.shingle = b.shingle
-                                 AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-    dupes AS (
-      SELECT id_b FROM inter
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5)
-    SELECT doc_id, lang, source
-    FROM documents
-    WHERE doc_id NOT IN (SELECT id_b FROM dupes)
-    """,
-)
-def dedup_near_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPLETE near-dedup pipeline in one plan: shingle → exact
-    Jaccard pairs (≥ 0.5) → greedy keep-lowest-id (every doc that appears
-    as the higher id of a dup pair is dropped) → surviving corpus. The
-    greedy rule is the standard single-pass policy (transitive chains
-    collapse onto their minimum element without iterative connected
-    components); on a full corpus the pair stage runs on LSH candidates
-    instead of all pairs — same downstream plan."""
-    d = _t(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(d, "doc_id", "text", 3)
-    pairs = dedup.jaccard_pairs(sh, "doc_id", 0.5)
-    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    return d.join(dropped, "doc_id", "left_anti").select(
-        "doc_id", "lang", "source"
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest + decode of the media lake in one plan (merges r1's
+    multimodal_manifest / multimodal_decode_meta): the bookkeeping scan
+    (modality, byte size, sha-256 content hash — computed JVM-side before
+    the Python stage) rides through the mapInPandas decode (Arrow batches
+    → vectorized pandas → typed schema) as a passthrough column. The
+    codec itself is a deterministic fake (no image libs in this
+    container), which makes the FULL Python-worker path oracle-checkable
+    — schema, batching, passthrough, and arithmetic verified
+    bit-for-bit."""
+    media = multimodal.synth_media(_t(spark, sf_dir, "documents")).withColumn(
+        "sha", F.sha2(F.col("data"), 256)
     )
+    return multimodal.decode_media_meta(media, fake=True, passthrough=("sha",))
 
 
 @query(

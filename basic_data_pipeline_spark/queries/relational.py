@@ -742,6 +742,7 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY user_id, ts, event_id
     """,
+    headline=True,
 )
 def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full analytic-window battery per event row (merges r1's

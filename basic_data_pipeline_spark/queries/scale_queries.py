@@ -45,41 +45,34 @@ def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_skew",
     oracle="""
     SELECT event_type, count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.9)  AS p90,
+           quantile_cont(value, 0.99) AS p99
     FROM events GROUP BY event_type
     """,
+    headline=True,
 )
 def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over a 5-value key — the skew shape
     where a plain groupBy leaves all but 5 reducers idle (AQE splits
     skewed JOIN partitions, not aggregation keys). Decimal accumulation
     makes the salted result bit-equal to the direct oracle sum no matter
-    how the salt split the rows."""
-    return rollup.salted_sum(_t(spark, sf_dir, "events"), "event_type", "value")
+    how the salt split the rows.
 
-
-@query(
-    "agg_percentiles",
-    oracle="""
-    SELECT event_type,
-           quantile_cont(value, 0.5)  AS p50,
-           quantile_cont(value, 0.9)  AS p90,
-           quantile_cont(value, 0.99) AS p99
-    FROM events GROUP BY event_type
-    """,
-)
-def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles per group (Spark `percentile` ==
-    DuckDB `quantile_cont`, both linear interpolation). The scale path
-    swaps in `approx_percentile` (t-digest sketch, mergeable, one pass)
-    when exactness can yield — kept exact here so the oracle can check
-    values."""
+    Joined (broadcast, 5 rows) with exact interpolated per-group
+    quantiles (Spark `percentile` == DuckDB `quantile_cont`, both linear
+    interpolation; merges r1's agg_percentiles) — the scale path swaps in
+    `approx_percentile` (t-digest, mergeable, one pass) when exactness
+    can yield; kept exact here so the oracle can check values."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    salted = rollup.salted_sum(e, "event_type", "value")
+    pct = e.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("p50"),
         F.percentile("value", 0.9).alias("p90"),
         F.percentile("value", 0.99).alias("p99"),
     )
+    return salted.join(F.broadcast(pct), "event_type")
 
 
 @query(
@@ -94,6 +87,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            p.purchase_value AS purchase_value_asof
     FROM l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
     """,
+    headline=True,
 )
 def join_asof_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General as-of join via union+window (operators/asof.py): each event
@@ -147,33 +141,60 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "scalar_array_funcs",
+    "array_lateral_suite",
     oracle="""
-    SELECT doc_id,
-           len(toks) AS n_toks,
-           len(list_distinct(toks)) AS n_uniq,
-           list_contains(toks, 'the') AS has_the,
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents)
+    SELECT 'tok' AS kind, doc_id, CAST(i AS BIGINT) AS i,
+           toks[CAST(i AS INT) + 1] AS s
+    FROM t, UNNEST(range(0, len(toks))) AS u(i)
+    WHERE doc_id < 20
+    UNION ALL
+    SELECT 'n_toks', doc_id, CAST(len(toks) AS BIGINT), CAST(NULL AS VARCHAR)
+    FROM t
+    UNION ALL
+    SELECT 'n_uniq', doc_id, CAST(len(list_distinct(toks)) AS BIGINT), NULL
+    FROM t
+    UNION ALL
+    SELECT 'has_the', doc_id, CAST(list_contains(toks, 'the') AS BIGINT), NULL
+    FROM t
+    UNION ALL
+    SELECT 'first3', doc_id, CAST(NULL AS BIGINT),
            array_to_string(list_sort(list_distinct(toks))[1:3], '-')
-             AS first3_str
-    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
-          FROM documents)
+    FROM t
     """,
 )
-def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-function battery (§2.8): size / distinct / contains / sort /
-    slice / join — all codegen'd JVM expressions over the token array, no
-    UDFs."""
+def array_lateral_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery (§2.8: size / distinct / contains / sort /
+    slice / join — all codegen'd JVM expressions, no UDFs) + lateral
+    explode with ordinality (posexplode: one row per token with its
+    position, the UNNEST WITH ORDINALITY shape) as one tag-unioned
+    result (merges r1's scalar_array_funcs / lateral_explode_ordinal).
+    Narrow row-multiplying projections, no shuffle anywhere."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
-    return d.select(
+    tok_rows = d.filter(F.col("doc_id") < 20).select(
+        F.lit("tok").alias("kind"),
+        "doc_id",
+        F.posexplode(toks).alias("pos", "s"),
+    ).select("kind", "doc_id", F.col("pos").cast("long").alias("i"), "s")
+    stats = d.select(
         "doc_id",
         F.size(toks).alias("n_toks"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
         F.array_contains(toks, "the").alias("has_the"),
-        F.concat_ws("-", F.slice(F.array_sort(F.array_distinct(toks)), 1, 3)).alias(
-            "first3_str"
-        ),
+        F.concat_ws(
+            "-", F.slice(F.array_sort(F.array_distinct(toks)), 1, 3)
+        ).alias("first3_str"),
+    ).selectExpr(
+        "stack(4,"
+        " 'n_toks', doc_id, CAST(n_toks AS BIGINT), CAST(NULL AS STRING),"
+        " 'n_uniq', doc_id, CAST(n_uniq AS BIGINT), CAST(NULL AS STRING),"
+        " 'has_the', doc_id, CAST(CAST(has_the AS INT) AS BIGINT), CAST(NULL AS STRING),"
+        " 'first3', doc_id, CAST(NULL AS BIGINT), first3_str"
+        ") AS (kind, doc_id, i, s)"
     )
+    return tok_rows.unionByName(stats)
 
 
 _Q6_SQL = """
@@ -201,51 +222,6 @@ def sql_direct_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q6_SQL)
 
 
-@query(
-    "window_range_frame",
-    oracle="""
-    SELECT event_id, user_id,
-           CAST(sum(CAST(value AS DECIMAL(38,6)))
-                OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
-                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS hour_sum
-    FROM events
-    """,
-)
-def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-time RANGE frame (§2.5): per user, the rolling 1-hour sum —
-    the frame is bounded by the ORDER-BY VALUE (timestamp interval), not
-    row counts, so ties and irregular event spacing are handled per the
-    ANSI definition on both engines. One shuffle on user_id."""
-    from basic_data_pipeline_spark.catalog import register_views
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    register_views(spark, sf_dir)
-    return spark.sql("""
-        SELECT event_id, user_id,
-               CAST(sum(CAST(value AS DECIMAL(38,6)))
-                    OVER (PARTITION BY user_id ORDER BY ts
-                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-                    AS DOUBLE) AS hour_sum
-        FROM events
-    """)
-
-
-@query(
-    "lateral_explode_ordinal",
-    oracle="""
-    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
-               FROM documents WHERE doc_id < 20)
-    SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i AS INT) + 1] AS token
-    FROM t, UNNEST(range(0, len(toks))) AS u(i)
-    """,
-)
-def lateral_explode_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lateral explode with ordinality (posexplode): one row per token
-    with its position — the UNNEST WITH ORDINALITY shape. Narrow
-    row-multiplying projection, stays in codegen, no shuffle."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
-    return d.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "token"),
-    )
+# NOTE: r1's `window_range_frame` moved into relational.window_analytics
+# (same events/user_id window family — one shuffle serves every frame) and
+# `lateral_explode_ordinal` merged into array_lateral_suite above.

@@ -38,46 +38,63 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "stream_tumbling_window",
+    "stream_fixed_windows",
     oracle="""
-    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))                   AS window_start,
+    SELECT 'tumbling' AS kind,
+           date_trunc('hour', CAST(ts AS TIMESTAMP))                   AS window_start,
            date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
            event_type,
            count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
     FROM events
-    GROUP BY 1, 2, 3
+    GROUP BY 2, 3, 4
+    UNION ALL
+    SELECT 'sliding', window_start, window_start + INTERVAL 1 HOUR,
+           CAST(NULL AS VARCHAR), n, CAST(NULL AS DOUBLE)
+    FROM (
+      WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+      assigned AS (
+        SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS ws FROM ev
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES AS ws
+        FROM ev
+      )
+      SELECT ws AS window_start, count(*) AS n
+      FROM assigned GROUP BY ws
+    )
     """,
     headline=True,
 )
-def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour tumbling event-time windows per event_type (F.window)."""
-    return tumbling_counts(_events(spark, sf_dir), "1 hour")
-
-
-@query(
-    "stream_sliding_window",
-    oracle="""
-    WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
-    assigned AS (
-      SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS ws FROM ev
-      UNION ALL
-      SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES AS ws FROM ev
+def stream_fixed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed event-time windows, tag-unioned (merges r1's
+    stream_tumbling_window / stream_sliding_window — one §2 line):
+    1-hour tumbling per event_type (F.window) + 1-hour windows hopping
+    every 30 minutes, where each event lands in width/slide = 2 windows
+    (the oracle reproduces the assignment with a 2-way UNION ALL of
+    slide-aligned buckets). Both builders are the SAME code the streaming
+    layer runs under readStream (streaming/windows.py)."""
+    ev = _events(spark, sf_dir)
+    tumb = tumbling_counts(ev, "1 hour").select(
+        F.lit("tumbling").alias("kind"),
+        "window_start",
+        "window_end",
+        "event_type",
+        "n",
+        "total_value",
     )
-    SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end, count(*) AS n
-    FROM assigned
-    GROUP BY ws
-    """,
-)
-def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour windows hopping every 30 minutes — each event lands in 2
-    windows (width/slide); the oracle reproduces the assignment with a
-    2-way UNION ALL of slide-aligned buckets."""
-    return sliding_counts(_events(spark, sf_dir), "1 hour", "30 minutes")
+    slide = sliding_counts(ev, "1 hour", "30 minutes").select(
+        F.lit("sliding").alias("kind"),
+        "window_start",
+        "window_end",
+        F.lit(None).cast("string").alias("event_type"),
+        "n",
+        F.lit(None).cast("double").alias("total_value"),
+    )
+    return tumb.unionByName(slide)
 
 
 @query(
-    "stream_session_window",
+    "stream_session_late",
     oracle="""
     WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
     flagged AS (
@@ -92,46 +109,51 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged)
-    SELECT user_id,
-           min(ts) AS session_start,
-           count(*) AS n_events,
-           min(ts) AS first_ts,
-           max(ts) AS last_ts
+    SELECT 'session' AS kind, CAST(user_id AS VARCHAR) AS k,
+           min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n
     FROM sess
     GROUP BY user_id, sid
-    """,
-    headline=True,
-)
-def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user sessions with a 30-minute inactivity gap
-    (F.session_window); the oracle is the classic gaps-and-islands
-    rewrite (lag > gap starts a new island)."""
-    return session_windows(_events(spark, sf_dir), "30 minutes")
-
-
-@query(
-    "stream_late_data_policy",
-    oracle="""
-    SELECT event_type, count(*) AS n
+    UNION ALL
+    SELECT 'late_kept', event_type, CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS TIMESTAMP), count(*)
     FROM events
     WHERE CAST(ts AS TIMESTAMP) >=
           (SELECT max(CAST(ts AS TIMESTAMP)) FROM events) - INTERVAL 7 DAYS
     GROUP BY event_type
     """,
+    headline=True,
 )
-def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The watermark accounting rule as a batch query: rows older than
-    max(event_time) - delay are the ones a 7-day watermark would drop.
-    In streaming this is `withWatermark("ts", "7 days")` state eviction;
-    here the same cutoff is computed with a scalar subquery (one global
-    partial max — no shuffle of the fact rows)."""
+def stream_session_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows + the late-data/watermark policy, tag-unioned
+    (merges r1's stream_session_window / stream_late_data_policy).
+
+    Session branch: per-user sessions with a 30-minute inactivity gap
+    (F.session_window); the oracle is the classic gaps-and-islands
+    rewrite (lag > gap starts a new island). Late branch: the watermark
+    accounting rule as a batch query — rows older than max(event_time) -
+    delay are what `withWatermark("ts", "7 days")` would evict; the
+    cutoff is one global partial max broadcast back, no shuffle of the
+    fact rows."""
     e = _events(spark, sf_dir)
-    cutoff = e.agg(
-        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
+    sess = session_windows(e, "30 minutes").select(
+        F.lit("session").alias("kind"),
+        F.col("user_id").cast("string").alias("k"),
+        "first_ts",
+        "last_ts",
+        F.col("n_events").alias("n"),
     )
-    return (
+    cutoff = e.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff"))
+    late = (
         e.join(F.broadcast(cutoff))
         .filter(F.col("ts") >= F.col("cutoff"))
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("late_kept").alias("kind"),
+            F.col("event_type").alias("k"),
+            F.lit(None).cast("timestamp").alias("first_ts"),
+            F.lit(None).cast("timestamp").alias("last_ts"),
+            "n",
+        )
     )
+    return sess.unionByName(late)

@@ -70,6 +70,81 @@ def headline_queries() -> dict[str, QueryFn]:
 
 _LOADED = False
 
+# Canonical registration order. The external correctness gate records
+# queries in registration order with a bounded budget (r1 recorded exactly
+# the first 50 of 83), so the order is part of the contract: queries whose
+# §2 families lacked r1 evidence lead, and the whole surface is kept ≤ 50
+# entries by tag-union merging (see VERDICT.md r1, "Next round" #1).
+# _reorder() raises if this list and the decorated queries ever drift.
+CANONICAL_ORDER: tuple[str, ...] = (
+    # -- §2 families with no r1 oracle evidence first --
+    "window_analytics",
+    "set_ops_suite",
+    "subquery_suite",
+    "scalar_string_date_case",
+    "scalar_math_json",
+    "array_lateral_suite",
+    "pivot_unpivot",
+    "order_pick",
+    "sql_direct_q6",
+    "rollup_hourly_to_daily",
+    "agg_salted_skew",
+    "join_salted_skew",
+    "join_asof_union_window",
+    "stream_fixed_windows",
+    "stream_session_late",
+    # -- r1-green families (every §2 item keeps a representative) --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "scan_filter_project",
+    "join_flavors",
+    "join_semi_anti",
+    "join_broadcast_star",
+    "join_range_cross",
+    "join_asof_latest_event",
+    "agg_core",
+    "agg_approx_distinct",
+    "agg_collect_sorted",
+    "agg_multilevel",
+    "agg_having",
+    "topk_per_group",
+    "window_rank_family",
+    "cdc_envelope_decode",
+    "cdc_compact_latest",
+    "cdc_delete_apply",
+    "cdc_normalize_values",
+    "cdc_schema_drift_union",
+    "cdc_validate_dlq",
+    "text_doc_profile",
+    "text_lang_token",
+    "dedup_exact_fp",
+    "dedup_jaccard_truth",
+    "dedup_minhash_lsh",
+    "dedup_lsh_verified",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "sim_topk_methods",
+    "sim_ann_lsh",
+    "sim_topk_ivf",
+    "multimodal_pipeline",
+)
+
+
+def _reorder() -> None:
+    """Rebuild REGISTRY in CANONICAL_ORDER; fail loudly on drift."""
+    names = set(REGISTRY)
+    listed = set(CANONICAL_ORDER)
+    if names != listed:
+        missing = sorted(listed - names)
+        extra = sorted(names - listed)
+        raise RuntimeError(
+            f"registry/CANONICAL_ORDER drift: missing={missing} extra={extra}"
+        )
+    ordered = {name: REGISTRY[name] for name in CANONICAL_ORDER}
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
 
 def _ensure_loaded() -> None:
     """Import every module that registers queries (idempotent)."""
@@ -84,4 +159,5 @@ def _ensure_loaded() -> None:
     from basic_data_pipeline_spark.queries import scale_queries  # noqa: F401
     from basic_data_pipeline_spark.queries import streaming_queries  # noqa: F401
 
+    _reorder()
     _LOADED = True
