@@ -33,7 +33,6 @@ probe-retry NameError (:229) is replaced by vectorized validation.
 from __future__ import annotations
 
 import os
-import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -118,11 +117,25 @@ def decode_envelopes(
     )
 
 
+INFER_SAMPLE_ROWS = 10_000
+
+
 def infer_record_schema(spark: SparkSession, json_col_df: DataFrame) -> T.StructType:
     """Infer a record schema from a batch of JSON strings and collapse it
     to sink types — the micro-batch equivalent of first-record inference
-    (consumer_to_file.py:115-141), including the `*_on` epoch heuristic."""
-    sample = json_col_df.filter(F.col("after").isNotNull()).select("after")
+    (consumer_to_file.py:115-141), including the `*_on` epoch heuristic.
+
+    The sample is BOUNDED (limit 10k): inference cost must not scale with
+    micro-batch size — a 10⁸-row batch at 100 TB would otherwise pay a
+    full JSON-inference scan per table per batch. Callers additionally
+    skip this entirely on steady-state batches whose JSON key set matches
+    the cached schema (see apply_cdc_batch's probe)."""
+    sample = (
+        json_col_df.filter(F.col("after").isNotNull())
+        .select("after")
+        .limit(INFER_SAMPLE_ROWS)
+        .persist()  # consumed twice (inference + epoch maxima); tiny
+    )
     inferred = spark.read.json(sample.rdd.map(lambda r: r[0])).schema
     fields = []
     epoch_candidates = []
@@ -158,6 +171,7 @@ def infer_record_schema(spark: SparkSession, json_col_df: DataFrame) -> T.Struct
             else f
             for f in fields
         ]
+    sample.unpersist()
     return T.StructType(fields)
 
 
@@ -331,17 +345,14 @@ class SinkTable:
         self.created = True
 
     def overwrite(self, full: DataFrame) -> None:
-        """Replace contents (compaction / delete rewrite) via
-        write-to-temp + swap: the input plan may read this same path, and
+        """Replace contents (compaction / delete rewrite) via the shared
+        write-to-temp + rename swap (operators/maintenance.py
+        `atomic_overwrite`): the input plan may read this same path, and
         a cache()-then-overwrite is NOT fault-tolerant (a lost cached
-        block would recompute from the half-overwritten directory). The
-        rename swap is atomic on a real filesystem; object stores would
-        use a commit protocol instead."""
-        tmp_loc = f"{self.location}.tmp-swap"
-        full.sortWithinPartitions(self.key).write.mode("overwrite").parquet(tmp_loc)
-        if os.path.exists(self.location):
-            shutil.rmtree(self.location)
-        os.rename(tmp_loc, self.location)
+        block would recompute from the half-overwritten directory)."""
+        from basic_data_pipeline_spark.operators.maintenance import atomic_overwrite
+
+        atomic_overwrite(full, self.location, sort_cols=[self.key])
         self.created = True
 
     def read(self) -> DataFrame:
@@ -370,27 +381,61 @@ def apply_cdc_batch(
     # apply) — a large Kafka micro-batch would otherwise re-parse ~5× per
     # routed table
     events = decode_envelopes(raw).persist()
-    tables = [r["table"] for r in events.select("table").distinct().collect()]
+
+    # ONE aggregated driver round-trip replaces r1's distinct().collect()
+    # plus two take(1) probes PER TABLE (a serial job-launch tax at 100 TB
+    # micro-batch rates): per-table upsert/delete counts, plus the sorted
+    # JSON key sets of the upsert payloads. The key sets are the schema
+    # fingerprint — a steady-state batch whose keys are all already in the
+    # cached schema skips JSON inference entirely, so inference runs only
+    # on first sight of a table or on actual drift.
+    is_upsert = F.col("op").isin(*UPSERT_OPS) & F.col("after").isNotNull()
+    probe = (
+        events.groupBy("table")
+        .agg(
+            F.sum(is_upsert.cast("long")).alias("n_upserts"),
+            F.sum((F.col("op") == DELETE_OP).cast("long")).alias("n_deletes"),
+            F.collect_set(
+                F.when(
+                    is_upsert,
+                    F.array_join(F.array_sort(F.json_object_keys("after")), ","),
+                )
+            ).alias("key_sets"),
+        )
+        .collect()
+    )
+    stats = {r["table"]: r for r in probe}
 
     dlq_schema = "table string, column string, value string, error string, payload string"
     dlq_all = spark.createDataFrame([], dlq_schema)
 
-    for tbl in sorted(tables):
+    for tbl in sorted(stats):
         sub = events.filter(F.col("table") == tbl)
-        upserts = sub.filter(F.col("op").isin(*UPSERT_OPS) & F.col("after").isNotNull())
+        upserts = sub.filter(is_upsert)
         deletes = sub.filter(F.col("op") == DELETE_OP)
         sink = sinks.setdefault(tbl, SinkTable(spark, sink_root, tbl))
 
-        has_upserts = bool(upserts.take(1))
-        has_deletes = bool(deletes.take(1))
+        has_upserts = stats[tbl]["n_upserts"] > 0
+        has_deletes = stats[tbl]["n_deletes"] > 0
 
         if has_upserts:
-            batch_schema = infer_record_schema(spark, upserts)
-            schema = (
-                merge_schemas(sink.record_schema, batch_schema)
-                if sink.record_schema is not None
-                else batch_schema
-            )
+            cached = sink.record_schema
+            batch_keys: set[str] = set()
+            for ks in stats[tbl]["key_sets"]:
+                if ks:
+                    batch_keys.update(ks.split(","))
+            known = {f.name for f in cached.fields} if cached is not None else set()
+            if cached is not None and batch_keys <= known:
+                # steady state: every payload key already typed — no
+                # inference scan, no extra job
+                schema = cached
+            else:
+                batch_schema = infer_record_schema(spark, upserts)
+                schema = (
+                    merge_schemas(cached, batch_schema)
+                    if cached is not None
+                    else batch_schema
+                )
             sink.record_schema = schema
         if sink.record_schema is None:
             continue  # deletes before any create: nothing to apply
@@ -451,13 +496,20 @@ def apply_cdc_batch(
                 # The cut uses the FULL (source_ts_ms, ts_ms, offset)
                 # ordering — source_ts_ms alone is millisecond-granular,
                 # and a re-insert sharing the delete's timestamp must
-                # survive (struct comparison is lexicographic).
+                # survive (struct comparison is lexicographic). Each
+                # component is coalesced to -1: a NULL field (e.g. an
+                # envelope missing source.ts_ms) would make the struct
+                # comparison NULL and silently DROP a row that postdates
+                # the delete; with the sentinel, missing-version rows sort
+                # before any real version.
                 ord_cols = [
                     c
                     for c in ("_cdc_source_ts_ms", "_cdc_ts_ms", "_cdc_offset")
                     if tombstones is not None and c in tombstones.columns
                 ]
-                ver = F.struct(*[F.col(c) for c in ord_cols])
+                ver = F.struct(
+                    *[F.coalesce(F.col(c), F.lit(-1)) for c in ord_cols]
+                )
                 last_del = tombstones.groupBy(key).agg(
                     F.max(ver).alias("_del_ver")
                 )

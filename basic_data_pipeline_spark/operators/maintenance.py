@@ -13,8 +13,34 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+
+def atomic_overwrite(
+    df: DataFrame,
+    location: str,
+    sort_cols: list[str] | None = None,
+    n_parts: int | None = None,
+) -> None:
+    """Replace a parquet directory with `df` via write-to-temp + rename.
+
+    The input plan may READ the same directory it replaces; a
+    cache()-then-overwrite is NOT fault-tolerant there — a lost cached
+    block during the overwrite would recompute from the half-deleted
+    directory, corrupting or losing data. Writing to a sibling temp dir
+    and renaming over the target never has both the source and a partial
+    destination live at once. The rename swap is atomic on a real
+    filesystem; object stores would use a commit protocol instead."""
+    tmp_loc = f"{location}.tmp-swap"
+    out = df.repartition(n_parts) if n_parts else df
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(tmp_loc)
+    if os.path.exists(location):
+        shutil.rmtree(location)
+    os.rename(tmp_loc, location)
 
 
 def parquet_layout(path: str) -> dict:
@@ -43,16 +69,14 @@ def compact_parquet(
     optionally re-sorting within files to restore row-group stats
     data-skipping after many unordered appends. Returns the new layout.
 
-    The input is materialized before the overwrite (the plan reads the
-    same directory it replaces). Partition count = ceil(bytes/target):
-    size-based, so the same call works on a 100 GB or a 100 TB directory."""
+    The rewrite goes through `atomic_overwrite` (write-to-temp + rename):
+    the plan reads the same directory it replaces, and the temp swap stays
+    fault-tolerant where a cache()+overwrite would not be. Partition
+    count = ceil(bytes/target): size-based, so the same call works on a
+    100 GB or a 100 TB directory."""
     before = parquet_layout(path)
     n_parts = max(1, -(-before["total_bytes"] // target_file_bytes))
-    df = spark.read.parquet(path).cache()
-    df.count()
-    out = df.repartition(n_parts)
-    if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
-    out.write.mode("overwrite").parquet(path)
-    df.unpersist()
+    atomic_overwrite(
+        spark.read.parquet(path), path, sort_cols=sort_cols, n_parts=n_parts
+    )
     return parquet_layout(path)
