@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from basic_data_pipeline_spark.caching import tracked_persist
 from basic_data_pipeline_spark.partitioning import spread
 
 N_HASHES = 16
@@ -120,7 +121,7 @@ def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
     `bands` feeds BOTH join sides: persist it so the whole shingle→
     minhash pipeline runs once, not twice (it is O(n_docs×N_BANDS) rows —
     tiny next to its input)."""
-    bands = bands.persist()
+    bands = tracked_persist(bands)
     a = bands.select(
         F.col("band"), F.col("bandkey"), F.col(id_col).alias("id_a")
     )
@@ -193,7 +194,7 @@ def jaccard_verify(
     is consumed three times (two intersection joins + sizes): persist it.
     Candidate pairs are deduplicated defensively — duplicate pairs would
     multiply the intersection counts and push jaccard past 1."""
-    shingles = shingles.persist()
+    shingles = tracked_persist(shingles)
     candidates = candidates.select("id_a", "id_b").distinct()
     sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
@@ -284,8 +285,8 @@ def simhash_pairs(
             F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
         )
         .withColumn("chunk", F.expr("substr(simhash, CAST(c * 4 AS INT) + 1, 4)"))
-        .persist()
     )
+    chunks = tracked_persist(chunks)
     a = chunks.select(
         F.col("c"), F.col("chunk"), F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a")
     )

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from basic_data_pipeline_spark.caching import tracked_persist
 from basic_data_pipeline_spark.partitioning import spread
 
 
@@ -185,8 +186,8 @@ def ann_topk_lsh(
                 )
             ).alias("t", "bucket"),
         )
-        .persist()
     )
+    buckets = tracked_persist(buckets)
     cand = (
         buckets.alias("a")
         .join(
@@ -208,8 +209,8 @@ def ann_topk_lsh(
             F.col("vec_id"), as_double_array(F.col("embedding")).alias("v")
         )
         .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
-        .persist()
     )
+    vecs = tracked_persist(vecs)
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     # spread by query_id: the cosine folds run at cluster parallelism and
     # the top-k window reuses the same hash partitioning
@@ -296,7 +297,7 @@ def ivf_topk(
     probe (nprobe=1). Candidates are same-cell pairs: the equi-join shape
     that scales; recall vs brute force asserted in tests."""
     cents = centroids(vectors, train_by, dim)
-    assigned = ivf_assign(vectors, cents, dim).persist()
+    assigned = tracked_persist(ivf_assign(vectors, cents, dim))
     q = assigned.select(
         F.col("cell"),
         F.col("vec_id").alias("query_id"),

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from basic_data_pipeline_spark.caching import tracked_persist
 from basic_data_pipeline_spark.catalog import load_table
 from basic_data_pipeline_spark.operators import dedup, multimodal, similarity, text
 from basic_data_pipeline_spark.partitioning import spread
@@ -263,7 +264,7 @@ def dedup_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pairs feed both branches — persist so the shingle+join pipeline
     # computes once (released by the caller's action completing; see
     # operators/dedup.py persist policy).
-    pairs = pairs.persist()
+    pairs = tracked_persist(pairs)
     pair_rows = pairs.select(
         F.lit("pair").alias("kind"),
         F.col("id_a").alias("a"),

@@ -15,10 +15,13 @@ pytest self-consistency asserts cover semantics.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+
+from basic_data_pipeline_spark.caching import release_persisted
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -45,8 +48,19 @@ def query(
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Release the PREVIOUS query's tracked persists (its consuming
+            # action has completed by the time the next query is built) —
+            # bounds cached blocks to one query's worth in any long-lived
+            # session without cooperation from the external driver.
+            release_persisted()
+            return fn(spark, sf_dir)
+
         REGISTRY[name] = Query(
-            name=name, fn=fn, oracle=oracle, headline=headline, doc=fn.__doc__ or ""
+            name=name, fn=wrapped, oracle=oracle, headline=headline,
+            doc=fn.__doc__ or "",
         )
         return fn
 
