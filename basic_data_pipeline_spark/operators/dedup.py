@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from basic_data_pipeline_spark.caching import tracked_persist
 from basic_data_pipeline_spark.partitioning import spread
@@ -114,13 +115,34 @@ def lsh_bands(signatures: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str, max_bucket: int | None = None
+) -> DataFrame:
     """(id_a, id_b) distinct pairs sharing at least one band. The join key
     is (band, bandkey) — cardinality ~n_docs×N_BANDS, never O(n²).
+
+    `max_bucket` caps the per-bucket contribution: a bucket of m docs
+    yields m² join rows, so one adversarial bucket (a boilerplate band
+    key shared by millions of docs) turns the banded join quadratic. With
+    the cap, each bucket keeps its max_bucket lowest ids (deterministic)
+    and contributes ≤ max_bucket² pairs — candidates are bounded by
+    n_buckets × max_bucket² no matter how skewed the input. Dropped
+    members of a giant bucket still pair up via their OTHER bands (OR
+    across bands), and a bucket that big is boilerplate, not signal —
+    near-dup sets of real documents collide on several bands at once.
+    Pass None for the exact (uncapped) candidate set — the oracle-checked
+    queries use that; production at corpus scale sets a cap.
 
     `bands` feeds BOTH join sides: persist it so the whole shingle→
     minhash pipeline runs once, not twice (it is O(n_docs×N_BANDS) rows —
     tiny next to its input)."""
+    if max_bucket is not None:
+        w = W.partitionBy("band", "bandkey").orderBy(id_col)
+        bands = (
+            bands.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= max_bucket)
+            .drop("_r")
+        )
     bands = tracked_persist(bands)
     a = bands.select(
         F.col("band"), F.col("bandkey"), F.col(id_col).alias("id_a")

@@ -268,10 +268,16 @@ def centroids(vectors: DataFrame, by: str, dim: int) -> DataFrame:
     )
 
 
-def ivf_assign(vectors: DataFrame, cents: DataFrame, dim: int) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine) — the IVF
-    coarse quantization. Centroids are broadcast (n_cells rows); one pass,
-    no shuffle of the vector side beyond its incoming partitioning."""
+def ivf_assign(
+    vectors: DataFrame, cents: DataFrame, dim: int, nprobe: int = 1
+) -> DataFrame:
+    """(vec_id, embedding, cell, probe): each vector's `nprobe` nearest
+    centroids by cosine, probe = 1..nprobe in similarity order — the IVF
+    coarse quantization. probe=1 is the storage assignment (each vector
+    lives in exactly one inverted list); probe>1 rows exist only for the
+    query side of a search. Centroids are broadcast (n_cells rows); one
+    pass, no shuffle of the vector side beyond its incoming
+    partitioning."""
     c = F.broadcast(
         cents.select(
             F.col(cents.columns[0]).alias("cell"), F.col("centroid")
@@ -282,32 +288,46 @@ def ivf_assign(vectors: DataFrame, cents: DataFrame, dim: int) -> DataFrame:
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "cell")
+        scored.withColumn("probe", F.row_number().over(w))
+        .filter(F.col("probe") <= nprobe)
+        .select("vec_id", "embedding", "cell", "probe")
     )
 
 
 def ivf_topk(
-    vectors: DataFrame, dim: int, k: int, train_by: str = "label"
+    vectors: DataFrame,
+    dim: int,
+    k: int,
+    train_by: str = "label",
+    nprobe: int = 2,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank): approximate top-k where the blocking
     key is a LEARNED coarse cell (centroids trained on `train_by` groups,
-    every vector re-assigned to its nearest centroid) — real IVF, single
-    probe (nprobe=1). Candidates are same-cell pairs: the equi-join shape
-    that scales; recall vs brute force asserted in tests."""
+    every vector re-assigned to its nearest centroid) — real IVF.
+
+    `nprobe` is the standard recall lever: the DATA side keeps exactly one
+    cell per vector (probe=1 inverted list), the QUERY side fans out to
+    its `nprobe` nearest cells, and the candidate join stays an equi-join
+    on cell — cost grows linearly in nprobe, never quadratically. A
+    (query, neighbor) pair cannot duplicate across probes because the
+    neighbor lives in exactly one cell. Recall vs brute force (and its
+    monotonicity in nprobe) asserted in tests/test_llm_ops.py."""
     cents = centroids(vectors, train_by, dim)
-    assigned = tracked_persist(ivf_assign(vectors, cents, dim))
+    assigned = tracked_persist(ivf_assign(vectors, cents, dim, nprobe=nprobe))
     q = assigned.select(
         F.col("cell"),
         F.col("vec_id").alias("query_id"),
         as_double_array(F.col("embedding")).alias("qv"),
     ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
-    c = assigned.select(
-        F.col("cell"),
-        F.col("vec_id").alias("neighbor_id"),
-        as_double_array(F.col("embedding")).alias("cv"),
-    ).withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    c = (
+        assigned.filter(F.col("probe") == 1)
+        .select(
+            F.col("cell"),
+            F.col("vec_id").alias("neighbor_id"),
+            as_double_array(F.col("embedding")).alias("cv"),
+        )
+        .withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         q.join(c, on="cell")

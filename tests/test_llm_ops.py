@@ -265,3 +265,50 @@ def test_no_persisted_rdd_leak_across_queries(spark):
     released = release_persisted()
     assert released > 0, "simhash chunks persist should have been tracked"
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_lsh_bucket_cap_bounds_candidates_keeps_recall(docs, spark):
+    """Adversarial hot bucket: many docs sharing one band key must not
+    explode the candidate join when max_bucket caps bucket contribution;
+    planted near-dup pairs (which collide on several bands) survive."""
+    sh = dedup.word_shingles(docs, "doc_id", "text", 3)
+    sig = dedup.minhash_signatures(sh, "doc_id")
+    bands = dedup.lsh_bands(sig, "doc_id")
+
+    # plant a hot bucket: 60 synthetic docs all sharing one band key
+    hot = spark.range(100000, 100060).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band"),
+        F.lit("HOTKEY").alias("bandkey"),
+    )
+    all_bands = bands.unionByName(hot)
+
+    capped = dedup.lsh_candidate_pairs(all_bands, "doc_id", max_bucket=10)
+    uncapped = dedup.lsh_candidate_pairs(all_bands, "doc_id")
+    hot_pairs_capped = capped.filter(F.col("id_a") >= 100000).count()
+    hot_pairs_uncapped = uncapped.filter(F.col("id_a") >= 100000).count()
+    assert hot_pairs_uncapped == 60 * 59 // 2
+    assert hot_pairs_capped == 10 * 9 // 2, "cap must bound bucket pairs"
+
+    # recall: every exact-Jaccard >= 0.9 planted pair still surfaces
+    exact = _pairs(dedup.jaccard_pairs(sh, "doc_id", 0.9))
+    got = _pairs(capped.filter(F.col("id_a") < 100000))
+    assert exact, "fixture should contain planted near-dups"
+    assert exact <= got
+
+
+def test_ivf_nprobe_recall_monotone(emb):
+    """nprobe is the IVF recall lever: probing more cells must not lose
+    pairs (every probe-1 candidate remains a candidate) and should raise
+    recall on uniform data; candidate cost grows linearly."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.topk_neighbors(emb, emb, 3).collect()
+    }
+    r = {}
+    for nprobe in (1, 4):
+        ivf = similarity.ivf_topk(emb, dim=64, k=3, train_by="label", nprobe=nprobe)
+        got = {(x["query_id"], x["neighbor_id"]) for x in ivf.collect()}
+        r[nprobe] = len(exact & got) / len(exact)
+    assert r[4] >= r[1], f"recall must be monotone in nprobe: {r}"
+    assert r[4] >= 0.15, f"nprobe=4 recall too low: {r}"
