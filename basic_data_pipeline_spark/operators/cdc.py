@@ -335,6 +335,16 @@ class SinkTable:
     key: str | None = None
     record_schema: T.StructType | None = None
     created: bool = False
+    # per-Kafka-partition high-water mark of applied offsets (replay
+    # dedup); None = unknown, recovered lazily from the sink on restart
+    applied_offsets: dict[int, int] | None = None
+
+    def __post_init__(self) -> None:
+        # A restarted process starts with a fresh SinkTable but the data
+        # directory survives — detect it so evolution/delete/replay logic
+        # treats the table as existing, not new.
+        if os.path.isdir(self.location):
+            self.created = True
 
     @property
     def location(self) -> str:
@@ -366,6 +376,7 @@ def apply_cdc_batch(
     mode: str = "append",
     sinks: dict[str, SinkTable] | None = None,
     write_dlq: bool = True,
+    dedup_replays: bool = False,
 ) -> tuple[dict[str, SinkTable], DataFrame]:
     """One micro-batch end-to-end: decode → per-table schema-sync /
     normalize / validate → apply. Returns (sinks, dlq_df).
@@ -405,6 +416,22 @@ def apply_cdc_batch(
         .collect()
     )
     stats = {r["table"]: r for r in probe}
+
+    # Replay dedup (append mode): per-(table, partition) max offsets of
+    # this batch, ONE extra driver round-trip when enabled. Combined with
+    # each sink's applied-offset high-water mark this upgrades append mode
+    # from at-least-once to effectively-once: a replayed epoch (crash
+    # between the parquet append and the checkpoint commit) is filtered
+    # out by offset, fully-replayed epochs skip their write entirely.
+    batch_offmax: dict[tuple[str, int], int] = {}
+    if dedup_replays and "offset" in events.columns:
+        for r in (
+            events.filter(is_upsert)
+            .groupBy("table", "partition")
+            .agg(F.max("offset").alias("m"))
+            .collect()
+        ):
+            batch_offmax[(r["table"], r["partition"])] = r["m"]
 
     dlq_schema = "table string, column string, value string, error string, payload string"
     dlq_all = spark.createDataFrame([], dlq_schema)
@@ -487,6 +514,40 @@ def apply_cdc_batch(
                 )
             sink.overwrite(compact_latest(merged, key=key).drop("_cdc_op"))
         else:
+            if good is not None and dedup_replays and "_cdc_offset" in good.columns:
+                if sink.created and sink.applied_offsets is None:
+                    # restart recovery: high-water marks from the sink
+                    # itself — a 2-column pruned scan, once per table per
+                    # process (steady state never re-reads)
+                    sink.applied_offsets = {
+                        r["_cdc_partition"]: r["m"]
+                        for r in sink.read()
+                        .groupBy("_cdc_partition")
+                        .agg(F.max("_cdc_offset").alias("m"))
+                        .collect()
+                    }
+                wm = sink.applied_offsets or {}
+                batch_parts = {
+                    part: mx
+                    for (t, part), mx in batch_offmax.items()
+                    if t == tbl
+                }
+                if batch_parts and all(
+                    mx <= wm.get(part, -1) for part, mx in batch_parts.items()
+                ):
+                    good = None  # fully-replayed epoch: skip the write
+                elif wm:
+                    wm_map = F.create_map(
+                        *[F.lit(x) for kv in wm.items() for x in kv]
+                    )
+                    seen = wm_map[F.col("_cdc_partition").cast("int")]
+                    good = good.filter(
+                        seen.isNull() | (F.col("_cdc_offset") > seen)
+                    )
+                new_wm = dict(wm)
+                for part, mx in batch_parts.items():
+                    new_wm[part] = max(new_wm.get(part, -1), mx)
+                sink.applied_offsets = new_wm
             if good is not None:
                 sink.append(good.drop("_cdc_op"))
             if tombstones is not None and sink.created:

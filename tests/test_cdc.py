@@ -386,3 +386,38 @@ def test_drifted_batch_still_infers_new_columns(spark, tmp_path):
         mode="append", sinks=sinks,
     )
     assert "role" in set(sinks["employees"].read().columns)
+
+
+# --- replay dedup (VERDICT r1 "Next round" #6) ----------------------------
+
+def test_replay_append_dedup_survives_crash_restart(spark, tmp_path, workload):
+    """dedup_replays upgrades append mode to effectively-once: a crash
+    between the parquet append and the checkpoint commit replays the
+    epoch into a FRESH process (new sinks dict = lost in-memory state),
+    and the offset high-water mark recovered from the sink itself filters
+    the duplicates; genuinely new rows still land."""
+    raw = envelopes_to_df(spark, workload)
+    # epoch 0 applied, then "crash" before the checkpoint committed
+    run_batches(spark, [raw], str(tmp_path), mode="append", dedup_replays=True)
+    baseline = _surviving_history(workload)
+
+    # restart: fresh sinks registry, epoch 0 replays in full
+    sinks = run_batches(
+        spark, [raw], str(tmp_path), mode="append", dedup_replays=True
+    )
+    assert sinks["employees"].read().count() == baseline, "replay duplicated rows"
+
+    # a partially-new epoch: half replayed rows, half new offsets
+    ts = 1_722_999_000_000
+    fresh = [
+        Envelope(
+            "dbserver1.testdb.employees", "c", None,
+            {"id": 9000 + i, "name": f"new{i}"}, ts + i, 0, 10_000 + i,
+        )
+        for i in range(4)
+    ]
+    mixed = envelopes_to_df(spark, workload + fresh)
+    sinks = run_batches(
+        spark, [mixed], str(tmp_path), mode="append", dedup_replays=True,
+        )
+    assert sinks["employees"].read().count() == baseline + 4
