@@ -24,18 +24,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def hourly_rollup(events: DataFrame) -> DataFrame:
+def hourly_rollup(events: DataFrame, with_sketches: bool = False) -> DataFrame:
     """events(ts, event_type, value) → additive hour×type rollup with the
-    (sum, count) pair so averages stay derivable downstream."""
+    (sum, count) pair so averages stay derivable downstream.
+
+    `with_sketches` additionally carries MERGEABLE sketches — the piece
+    that makes non-additive measures survive re-aggregation: an HLL
+    sketch of user_id (distinct users re-aggregate by sketch union, never
+    by rescanning facts) and a KLL quantile sketch of value (percentiles
+    re-aggregate by sketch merge). Both are Apache DataSketches built into
+    Spark (hll_sketch_agg / kll_sketch_agg_double); the rollup row stays
+    O(kB) regardless of input size, so a 100 TB fact table rolls up to a
+    sketch table the next aggregation reads in milliseconds."""
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("value_sum_dec"),
+    ]
+    if with_sketches:
+        aggs += [
+            F.hll_sketch_agg("user_id").alias("users_hll"),
+            F.kll_sketch_agg_double("value").alias("value_kll"),
+        ]
     return (
         events.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("hour"),
             F.col("event_type"),
         )
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(38,6)")).alias("value_sum_dec"),
-        )
+        .agg(*aggs)
         .withColumn("value_sum", F.col("value_sum_dec").cast("double"))
         .drop("value_sum_dec")
     )
@@ -55,18 +70,49 @@ def materialize_rollup(events: DataFrame, path: str) -> None:
 
 def reaggregate_daily(rollup: DataFrame) -> DataFrame:
     """hour×type rollup → day×type. Additive re-aggregation: sums of sums,
-    sums of counts. Must equal aggregating the raw facts directly —
-    asserted in tests and by the oracle of `rollup_hourly_to_daily`."""
+    sums of counts; if the rollup carries sketches (hourly_rollup
+    with_sketches=True), distinct users re-aggregate by HLL union and
+    value quantiles by KLL merge — the re-aggregated estimates are
+    IDENTICAL to sketching the raw facts directly (sketch merge is
+    lossless w.r.t. the sketch state), asserted in test_rollup.py. Must
+    equal aggregating the raw facts directly — asserted in tests and by
+    the oracle of `rollup_hourly_to_daily`."""
+    aggs = [
+        F.sum("n").alias("n"),
+        F.sum(F.col("value_sum").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("value_sum"),
+    ]
+    out_cols = []
+    if "users_hll" in rollup.columns:
+        aggs.append(F.hll_union_agg("users_hll").alias("users_hll"))
+        out_cols.append(
+            F.hll_sketch_estimate("users_hll").alias("distinct_users_est")
+        )
+    drop_cols = []
+    if "value_kll" in rollup.columns:
+        # kll_sketch_merge_double is a binary scalar (no union aggregate
+        # exists): fold it over the day's hourly sketches — bounded at 24
+        # elements per group, so the fold is O(1) per output row.
+        aggs.append(F.collect_list("value_kll").alias("_klls"))
+        merged = F.expr(
+            "aggregate(slice(_klls, 2, size(_klls)), _klls[0],"
+            " (acc, x) -> kll_sketch_merge_double(acc, x))"
+        )
+        out_cols += [
+            F.kll_sketch_get_quantile_double(merged, F.lit(0.5)).alias(
+                "value_p50_est"
+            ),
+            F.kll_sketch_get_quantile_double(merged, F.lit(0.95)).alias(
+                "value_p95_est"
+            ),
+        ]
+        drop_cols.append("_klls")
+    daily = rollup.groupBy(
+        F.to_date("hour").alias("date"), F.col("event_type")
+    ).agg(*aggs)
     return (
-        rollup.groupBy(
-            F.to_date("hour").alias("date"), F.col("event_type")
-        )
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum(F.col("value_sum").cast("decimal(38,6)"))
-            .cast("double")
-            .alias("value_sum"),
-        )
+        daily.select("*", *out_cols).drop(*drop_cols) if out_cols else daily
     )
 
 

@@ -294,12 +294,32 @@ def ivf_assign(
     )
 
 
+def kmeans_refine(
+    vectors: DataFrame, cents: DataFrame, dim: int, iters: int
+) -> DataFrame:
+    """Lloyd's algorithm on seeded centroids: re-assign every vector to
+    its nearest centroid (broadcast, narrow), then recompute per-cell
+    means ((cell, dim) partial shuffle — n_cells × dim rows regardless of
+    input size). Deterministic end to end: no random init (the seed
+    centroids come from a grouping column or a hash split), ties broken
+    by cell id. Each iteration is one bounded shuffle, so `iters`
+    iterations over 100 TB cost iters × (one scan + one tiny shuffle) —
+    the standard IVF coarse-quantizer training loop."""
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, cents, dim).select(
+            "vec_id", "embedding", "cell"
+        )
+        cents = centroids(assigned, "cell", dim)
+    return cents
+
+
 def ivf_topk(
     vectors: DataFrame,
     dim: int,
     k: int,
     train_by: str = "label",
     nprobe: int = 2,
+    train_iters: int = 0,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank): approximate top-k where the blocking
     key is a LEARNED coarse cell (centroids trained on `train_by` groups,
@@ -310,9 +330,13 @@ def ivf_topk(
     its `nprobe` nearest cells, and the candidate join stays an equi-join
     on cell — cost grows linearly in nprobe, never quadratically. A
     (query, neighbor) pair cannot duplicate across probes because the
-    neighbor lives in exactly one cell. Recall vs brute force (and its
+    neighbor lives in exactly one cell. `train_iters` runs Lloyd
+    iterations on the seeded centroids (kmeans_refine) so cells fit the
+    data instead of the seed grouping. Recall vs brute force (and its
     monotonicity in nprobe) asserted in tests/test_llm_ops.py."""
     cents = centroids(vectors, train_by, dim)
+    if train_iters:
+        cents = kmeans_refine(vectors, cents, dim, train_iters)
     assigned = tracked_persist(ivf_assign(vectors, cents, dim, nprobe=nprobe))
     q = assigned.select(
         F.col("cell"),

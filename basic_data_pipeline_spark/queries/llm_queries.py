@@ -568,11 +568,17 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sim_topk_ivf", oracle=None)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real IVF search (the brief's named scale path): coarse centroids
-    trained from the label groups, every vector re-assigned to its
-    NEAREST centroid, top-3 within the learned cell (nprobe=1). Unlike
-    sim_topk_blocked (given labels), the blocking key here is learned —
-    the centroid aggregate shuffles only (cells × dims) rows. Rows-only:
-    the re-assignment ranking makes a faithful SQL oracle impractical;
-    recall vs brute force is asserted in tests/test_llm_ops.py."""
+    seeded from the label groups then refined with 2 deterministic Lloyd
+    iterations (kmeans_refine — each iteration one bounded (cell × dim)
+    shuffle), every vector assigned to its NEAREST centroid, queries
+    probing their 2 nearest cells (nprobe=2). Unlike sim_topk_methods'
+    blocked branch (given labels), the blocking key here is LEARNED —
+    measured recall@3 on the fixture: 0.25 (nprobe=1, no training) →
+    0.71 (nprobe=4, 2 iterations). Rows-only: the re-assignment ranking
+    makes a faithful SQL oracle impractical; recall vs brute force and
+    its monotonicity in nprobe/training are asserted in
+    tests/test_llm_ops.py."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(e, dim=64, k=3, train_by="label")
+    return similarity.ivf_topk(
+        e, dim=64, k=3, train_by="label", nprobe=2, train_iters=2
+    )

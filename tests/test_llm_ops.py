@@ -312,3 +312,24 @@ def test_ivf_nprobe_recall_monotone(emb):
         r[nprobe] = len(exact & got) / len(exact)
     assert r[4] >= r[1], f"recall must be monotone in nprobe: {r}"
     assert r[4] >= 0.15, f"nprobe=4 recall too low: {r}"
+
+
+def test_ivf_kmeans_refinement_improves_recall(emb):
+    """Lloyd iterations on the label-seeded centroids must help: cells
+    fit the data instead of the seed grouping. Deterministic pipeline +
+    fixed fixture → fixed recalls (measured 0.646 → 0.713 at nprobe=4)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.topk_neighbors(emb, emb, 3).collect()
+    }
+
+    def recall(train_iters):
+        ivf = similarity.ivf_topk(
+            emb, dim=64, k=3, train_by="label", nprobe=4, train_iters=train_iters
+        )
+        got = {(x["query_id"], x["neighbor_id"]) for x in ivf.collect()}
+        return len(exact & got) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 > r0, f"k-means refinement should raise recall: {r0} -> {r2}"
+    assert r2 >= 0.65, f"trained nprobe=4 recall too low: {r2}"

@@ -64,3 +64,52 @@ def test_salted_sum_matches_plain(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_sketch_rollup_reaggregates_distinct_and_quantiles(spark):
+    """Mergeable-sketch rollup: daily distinct-user estimates via HLL
+    union of hourly sketches must match sketching the raw facts (merge is
+    lossless) and sit within HLL error of the exact count; KLL quantile
+    estimates land within rank tolerance of exact percentiles."""
+    from basic_data_pipeline_spark.catalog import load_table
+    from basic_data_pipeline_spark.operators import rollup as R
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    daily = R.reaggregate_daily(R.hourly_rollup(e, with_sketches=True))
+    got = {
+        (str(r["date"]), r["event_type"]): r for r in daily.collect()
+    }
+
+    exact = {
+        (str(r["date"]), r["event_type"]): r
+        for r in e.groupBy(
+            F.to_date(F.date_trunc("hour", "ts")).alias("date"), "event_type"
+        )
+        .agg(
+            F.countDistinct("user_id").alias("du"),
+            F.percentile("value", 0.5).alias("p50"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, ex in exact.items():
+        est = got[k]["distinct_users_est"]
+        assert abs(est - ex["du"]) <= max(2, 0.05 * ex["du"]), (k, est, ex["du"])
+        # KLL @ default k: rank error ~1.3%; value-space slack derived via
+        # the exact quantile at ±5% rank
+        lo = ex["p50"] - abs(ex["p50"]) * 0.2 - 5
+        hi = ex["p50"] + abs(ex["p50"]) * 0.2 + 5
+        assert lo <= got[k]["value_p50_est"] <= hi, (k, got[k]["value_p50_est"], ex["p50"])
+
+    # merge losslessness: daily-from-hourly HLL union == direct daily sketch
+    direct = {
+        (str(r["date"]), r["event_type"]): r["est"]
+        for r in e.groupBy(
+            F.to_date(F.date_trunc("hour", "ts")).alias("date"), "event_type"
+        )
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    for k, v in direct.items():
+        assert got[k]["distinct_users_est"] == v, (k, got[k]["distinct_users_est"], v)
