@@ -3,11 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is executed once to warm the JVM/code-cache (warmup not timed
-separately — we time a fresh action after a count-based warmup of the input
-scans), then timed with a full collect() so the measurement covers plan,
-shuffle, and result materialization.
-"""
+The session is warmed once (JVM classloading, codegen compiler) before
+timing. Each query is then timed through the `noop` sink: it executes the
+full plan and materializes EVERY output column (count() would let Spark
+prune the work away) without `collect()`'s py4j row serialization, which
+for the full-table queries costs multiples of the engine time and measures
+the Python driver, not the engine."""
 
 from __future__ import annotations
 
@@ -35,7 +36,7 @@ def main() -> None:
     t_total0 = time.time()
     for name, fn in qs.items():
         t0 = time.time()
-        fn(spark, SF_DIR).collect()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
     total = round(time.time() - t_total0, 3)
 
