@@ -137,3 +137,121 @@ def test_checkpoint_restart_applies_each_event_once(spark, tmp_path):
     )
     ids = sorted(r["id"] for r in rows)
     assert ids == sorted(e.after["id"] for e in wl), ids  # once each, no dups
+
+
+def _write_json(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with watermarks + a time-range bound: the
+    streaming result (file sources, availableNow) must equal the batch
+    range-join of the same data — and the range bound is what lets the
+    engine evict buffered state, so the query is viable on unbounded
+    input."""
+    from basic_data_pipeline_spark.streaming.joins import interval_join
+
+    base = 1_700_000_000
+    clicks = [
+        {"click_id": i, "user": i % 3, "ts_s": base + i * 300}
+        for i in range(24)
+    ]
+    buys = [
+        {"buy_id": 100 + i, "user": i % 3, "ts_s": base + i * 900 + 60}
+        for i in range(8)
+    ]
+    _write_json(tmp_path / "clicks" / "c.json", clicks)
+    _write_json(tmp_path / "buys" / "b.json", buys)
+
+    def load(reader, d, schema):
+        df = reader.schema(schema).json(str(tmp_path / d))
+        return df.withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+
+    c_schema = "click_id long, user long, ts_s long"
+    b_schema = "buy_id long, user long, ts_s long"
+
+    batch = interval_join(
+        load(spark.read, "clicks", c_schema).withColumnRenamed("ts", "cts"),
+        load(spark.read, "buys", b_schema).withColumnRenamed("ts", "bts"),
+        key="user", left_ts="cts", right_ts="bts", max_skew="30 minutes",
+    )
+    expected = {(r["click_id"], r["buy_id"]) for r in batch.collect()}
+    assert expected, "fixture should produce join matches"
+
+    stream = interval_join(
+        load(spark.readStream, "clicks", c_schema).withColumnRenamed("ts", "cts"),
+        load(spark.readStream, "buys", b_schema).withColumnRenamed("ts", "bts"),
+        key="user", left_ts="cts", right_ts="bts", max_skew="30 minutes",
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("ssj_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["buy_id"])
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    }
+    assert got == expected
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replayed event ids within the
+    watermark horizon are emitted once; state is bounded by the horizon."""
+    from basic_data_pipeline_spark.streaming.joins import dedup_within_watermark
+
+    base = 1_700_000_000
+    rows = [
+        {"event_id": i % 6, "ts_s": base + (i % 6) * 60, "v": float(i)}
+        for i in range(18)  # every id appears 3x with the same ts
+    ]
+    _write_json(tmp_path / "dups" / "d.json", rows)
+
+    def load(reader):
+        df = reader.schema("event_id long, ts_s long, v double").json(
+            str(tmp_path / "dups")
+        )
+        return df.withColumn("ts", F.timestamp_seconds("ts_s")).drop("ts_s")
+
+    out = dedup_within_watermark(load(spark.readStream), ["event_id"], "1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_wm_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = [r["event_id"] for r in spark.sql("SELECT * FROM dedup_wm_test").collect()]
+    assert sorted(got) == [0, 1, 2, 3, 4, 5]
+    # batch fallback path
+    assert dedup_within_watermark(load(spark.read), ["event_id"]).count() == 6
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: dimension broadcast per micro-batch, no state."""
+    from basic_data_pipeline_spark.streaming.joins import enrich_stream
+
+    base = 1_700_000_000
+    _write_json(
+        tmp_path / "se" / "e.json",
+        [{"event_id": i, "user": i % 3, "ts_s": base + i} for i in range(9)],
+    )
+    dim = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")], "user long, tier string"
+    )
+
+    def load(reader):
+        return reader.schema("event_id long, user long, ts_s long").json(
+            str(tmp_path / "se")
+        )
+
+    out = enrich_stream(load(spark.readStream), dim, "user")
+    q = (
+        out.writeStream.format("memory").queryName("enrich_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM enrich_test").collect()
+    assert len(rows) == 9
+    assert all(r["tier"] is not None for r in rows)
