@@ -1,0 +1,93 @@
+"""Physical-plan assertions: the scale properties the queries claim
+(pushdown, broadcasts, bounded shuffle counts) must survive refactors.
+Complements tests/test_relational.py's pushdown checks with the merged
+round-2 queries. Plans are inspected via explain(mode="formatted") text —
+the same artifact a human audit reads.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from basic_data_pipeline_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_scan_filter_project_pushes_every_predicate(spark):
+    plan = _plan(spark, "scan_filter_project")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    line = pushed[0]
+    for frag in (
+        "GreaterThanOrEqual(o_totalprice",
+        "LessThanOrEqual(o_totalprice",
+        "In(o_orderstatus",
+        "StringStartsWith(o_orderpriority",
+        "IsNotNull(o_orderdate)",
+    ):
+        assert frag in line, f"missing pushed predicate {frag}:\n{line}"
+
+
+def test_window_analytics_single_data_shuffle(spark):
+    """Every window frame shares the user_id partition: exactly ONE
+    exchange (plus none for output — the global sort was removed as a
+    scale anti-pattern)."""
+    plan = _plan(spark, "window_analytics")
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ") Exchange" in ln
+    ]
+    assert len(exchanges) == 1, plan
+
+
+def test_q5_broadcasts_all_dimensions(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3, plan  # supplier/nation/region
+
+
+def test_asof_union_window_is_joinless(spark):
+    """The linear as-of form: union + ONE window shuffle on user_id (plus
+    the query's own purchases pre-aggregation exchange). The property that
+    beats the range-join+row_number form at scale: NO join operator at
+    all — no per-key pair materialization to explode on hot keys."""
+    plan = _plan(spark, "join_asof_union_window")
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ") Exchange" in ln
+    ]
+    assert len(exchanges) <= 2, plan
+    assert plan.count(") Window") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_multimodal_pipeline_is_arrow_python(spark):
+    """The ONLY sanctioned Python hot path: exactly one Arrow mapInPandas
+    stage, no row-at-a-time Python UDFs anywhere in the plan."""
+    plan = _plan(spark, "multimodal_pipeline")
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan  # row-at-a-time python UDF
+
+
+def test_no_cartesian_products_in_merged_queries(spark):
+    for name in (
+        "join_flavors",
+        "join_semi_anti",
+        "agg_multilevel",
+        "set_ops_suite",
+        "subquery_suite",
+        "scalar_math_json",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
