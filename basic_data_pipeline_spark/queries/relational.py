@@ -1047,7 +1047,11 @@ def scalar_string_date_case(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ln(l_extendedprice + 1), 6)         AS price_ln,
            l_discount * l_discount                   AS disc_sq,
            CAST(l_quantity AS BIGINT) % 5            AS qty_mod,
-           CAST(json_extract_string(e.props, '$.k') AS BIGINT) AS prop_k
+           CAST(json_extract_string(e.props, '$.k') AS BIGINT) AS prop_k,
+           CAST(len(json_keys(e.props)) AS INT)      AS n_keys,
+           array_to_string(list_sort(json_keys(e.props)), ',') AS keys_csv,
+           json_extract_string(e.props, '$.k')       AS k_str,
+           json_extract(e.props, '$.k') IS NOT NULL  AS has_k
     FROM lineitem
     JOIN events e ON e.event_id = l_orderkey
     WHERE l_orderkey <= 60
@@ -1056,15 +1060,20 @@ def scalar_string_date_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_math_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math battery (abs/ceil/floor/sqrt/ln/pow/mod) + JSON path
-    extraction in one projection (merges r1's scalar_math_funcs /
-    scalar_json_extract — one §2 line). The JSON column rides in from
-    events via an equi-join (props stays a string at rest — the same
-    json→String decision as the reference, consumer_to_file.py:48-49 —
-    parsed on demand with get_json_object)."""
+    extraction + MAP functions in one projection (merges r1's
+    scalar_math_funcs / scalar_json_extract and covers §2.8 F12's map
+    surface). The JSON column rides in from events via an equi-join
+    (props stays a string at rest — the same json→String decision as the
+    reference, consumer_to_file.py:48-49 — parsed on demand): one branch
+    uses get_json_object (path extraction), the other parses into a real
+    map<string,string> and exercises map_keys / element_at /
+    map_contains_key — the map surface DuckDB mirrors with json_keys."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 60)
     e = _t(spark, sf_dir, "events").select("event_id", "props")
+    props_map = F.from_json("props", "map<string,string>")
     return (
         li.join(F.broadcast(e), e.event_id == li.l_orderkey)
+        .withColumn("_pm", props_map)
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -1076,6 +1085,12 @@ def scalar_math_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_discount") * F.col("l_discount")).alias("disc_sq"),
             (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod"),
             F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+            F.size(F.map_keys(F.col("_pm"))).alias("n_keys"),
+            F.concat_ws(",", F.array_sort(F.map_keys(F.col("_pm")))).alias(
+                "keys_csv"
+            ),
+            F.element_at(F.col("_pm"), "k").alias("k_str"),
+            F.map_contains_key(F.col("_pm"), "k").alias("has_k"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
