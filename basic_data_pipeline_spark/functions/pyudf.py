@@ -1,0 +1,126 @@
+"""The sanctioned Python-UDF surface (SURVEY.md §2.10) — every variant the
+engine supports, each with its placement rule:
+
+| variant                       | when                                    |
+|-------------------------------|-----------------------------------------|
+| built-in expressions          | ALWAYS first choice (whole-stage codegen)|
+| pandas_udf scalar             | numpy math over arrays Spark lacks      |
+| pandas_udf grouped agg        | custom aggregates (Arrow, partial-less) |
+| applyInPandas (grouped map)   | per-group reshaping needing pandas      |
+| mapInPandas                   | per-batch decode (operators/multimodal) |
+| applyInPandasWithState        | custom streaming state (streaming/)     |
+| row-at-a-time udf             | LAST resort: per-value Python-type logic|
+
+The reference is one big row-at-a-time scalar UDF pipeline
+(consumer_to_file.py:88-127); this engine keeps Python OFF the hot path —
+normalize/validate are column expressions (functions/normalize.py) — and
+routes the remaining Python through Arrow. Tests pin every variant to its
+JVM-side equivalent so the Python path can never drift semantically.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# -- pandas_udf scalar: vectorized cosine over array<double> ---------------
+
+@F.pandas_udf(T.DoubleType())
+def cosine_pudf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched cosine similarity: each batch becomes two numpy
+    matrices, one BLAS pass per batch — the ~10-100× win over row UDFs.
+    Equivalent to the JVM `aggregate` fold in operators/similarity.py
+    (asserted in tests); use THIS form when the expression fold gets
+    unwieldy (e.g. fused multi-metric kernels), the JVM fold when the
+    plan should stay UDF-free."""
+    ma = np.vstack(a.to_numpy())
+    mb = np.vstack(b.to_numpy())
+    num = (ma * mb).sum(axis=1)
+    den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return pd.Series(np.where(den == 0, 0.0, num / den))
+
+
+# -- pandas_udf grouped agg: weighted mean ---------------------------------
+
+@F.pandas_udf(T.DoubleType())
+def weighted_mean_pudf(v: pd.Series, w: pd.Series) -> float:
+    """Grouped-aggregate pandas UDF (one call per group, Arrow-fed).
+    NOTE the scale contract: unlike built-in aggregates there is NO
+    map-side partial — every group's rows move to one reducer. Fine for
+    bounded groups (per-user, per-day); for heavy-tailed groups prefer a
+    built-in decomposition (sum(v*w)/sum(w), which this must equal)."""
+    den = w.sum()
+    return float((v * w).sum() / den) if den else float("nan")
+
+
+# -- applyInPandas (grouped map): per-group standardization ----------------
+
+ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("label", T.LongType()),
+        T.StructField("z_value", T.DoubleType()),
+    ]
+)
+
+
+def zscore_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Grouped-map applyInPandas: standardize a value within its group
+    ((x - mean) / std, population std). One shuffle on the group key,
+    whole group in pandas memory — the reshaping escape hatch when the
+    per-group logic doesn't decompose into window expressions. This one
+    DOES decompose (tests assert equality with the window form), which is
+    exactly what makes it a safe pin for the mechanism."""
+
+    def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[value_col].to_numpy(dtype="float64")
+        std = x.std()  # population (ddof=0), matches F.stddev_pop
+        z = np.zeros_like(x) if std == 0 else (x - x.mean()) / std
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "label": pdf[group_col],
+                "z_value": z,
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(standardize, ZSCORE_SCHEMA)
+
+
+# -- row-at-a-time udf: the documented last resort -------------------------
+
+@F.udf(T.StringType())
+def python_type_of_json(value: str) -> str:
+    """The §2.10 escape hatch the survey names: value-level type inference
+    needing Python `isinstance` (the reference's infer_clickhouse_type,
+    consumer_to_file.py:115-127). Row-at-a-time by nature — each value
+    independently round-trips Python. KEEP OFF HOT PATHS: schema
+    inference runs on bounded samples only (operators/cdc.py limits to
+    10k rows)."""
+    if value is None:
+        return "none"
+    try:
+        v = json.loads(value)
+    except (ValueError, TypeError):
+        return "str"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, list):
+        return "list"
+    if isinstance(v, dict):
+        return "dict"
+    return "other"
