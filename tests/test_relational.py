@@ -82,3 +82,32 @@ def test_topk_per_group_k(spark):
     per_seg = Counter(r["c_mktsegment"] for r in rows)
     assert all(v <= 3 for v in per_seg.values())
     assert all(r["rn"] <= 3 for r in rows)
+
+
+def test_exact_scaled_sums_partition_invariant_and_equals_decimal(spark):
+    """The scaled-long two-level aggregation must produce the SAME double
+    as decimal(38,6) accumulation, independent of how rows are
+    partitioned (integer addition is exact and associative — the whole
+    point of the pattern)."""
+    from pyspark.sql import functions as F
+    from basic_data_pipeline_spark.queries.relational import _exact_grouped_sums
+
+    rows = [(i % 3, (i * 7919 % 100000) / 100.0) for i in range(5000)]
+    base = spark.createDataFrame(rows, "k int, x double")
+
+    def fast(df):
+        out = _exact_grouped_sums(df, ["k"], {"s": F.col("x")})
+        return {r["k"]: (r["s"], r["n"]) for r in out.collect()}
+
+    ref = {
+        r["k"]: (r["s"], r["n"])
+        for r in base.groupBy("k")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert fast(base.repartition(1)) == ref
+    assert fast(base.repartition(32)) == ref
+    assert fast(base.repartition(7, "k")) == ref
