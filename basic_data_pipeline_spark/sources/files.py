@@ -29,8 +29,18 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | str) -> Dat
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar like parquet (predicate pushdown, stripe
+    stats); supported for lakes standardized on ORC."""
+    return spark.read.orc(path)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -63,16 +63,19 @@ def test_partitioned_table_prunes(spark, warehouse):
     assert q.count() == expected
 
 
-def test_csv_json_roundtrip(spark, tmp_path):
+def test_csv_json_orc_roundtrip(spark, tmp_path):
     nation = spark.read.parquet(f"{SF}/nation.parquet")
     files.write_csv(nation, str(tmp_path / "n_csv"))
     files.write_json(nation, str(tmp_path / "n_json"))
+    files.write_orc(nation, str(tmp_path / "n_orc"))
     schema = "n_nationkey int, n_name string, n_regionkey int"
     back_csv = files.read_csv(spark, str(tmp_path / "n_csv"), schema)
     back_json = files.read_json(spark, str(tmp_path / "n_json"), schema)
+    back_orc = files.read_orc(spark, str(tmp_path / "n_orc"))
     orig = {tuple(r) for r in nation.collect()}
     assert {tuple(r) for r in back_csv.collect()} == orig
     assert {tuple(r) for r in back_json.collect()} == orig
+    assert {tuple(r) for r in back_orc.collect()} == orig
 
 
 def test_jdbc_gated(spark):
