@@ -140,3 +140,33 @@ def predicted_lang(text: Column) -> Column:
         .otherwise(F.lit("fr"))
     )
     return pred
+
+
+# --- PII scrubbing (training-data hygiene) --------------------------------
+
+# Shared Java/RE2 syntax only (no lookarounds, no backrefs): the detector
+# count in text_doc_profile and this scrubber must agree with the DuckDB
+# oracle's regexp_extract_all on the same pattern.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone_ish": r"\+?\d[\d \-()]{7,}\d",
+}
+
+
+def scrub_pii(text: Column, kinds: tuple[str, ...] = ("email", "ipv4")) -> Column:
+    """Mask PII spans with <KIND> sentinels — the scrub stage every
+    training-data pipeline runs before tokenization. Pure chained
+    regexp_replace: one codegen projection, no Python, embarrassingly
+    parallel at any scale. Order matters (email before phone_ish: an
+    address's digit runs must not be half-masked first), so `kinds`
+    preserves caller order."""
+    out = text
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def pii_counts(text: Column, kinds: tuple[str, ...] = ("email", "ipv4")) -> dict:
+    """Per-kind detection counts (what scrub_pii would mask)."""
+    return {k: F.regexp_count(text, F.lit(PII_PATTERNS[k])) for k in kinds}

@@ -63,6 +63,7 @@ _DUCK_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
     WITH base AS (
       SELECT doc_id,
              length(text) AS n_chars_exact,
+             {_DUCK_TOKENS} AS toks,
              len({_DUCK_TOKENS}) AS n_tokens,
              length(regexp_replace(text, '\\s+', '', 'g')) AS sum_token_chars,
              {_DUCK_HITS['en']} AS sw_hits,
@@ -70,8 +71,19 @@ _DUCK_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
                / length(text) AS punct_ratio,
              length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
                / length(text) AS upper_ratio,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
+               AS n_emails,
              {_DUCK_FP} AS fingerprint
-      FROM documents)
+      FROM documents),
+    shingled AS (
+      SELECT *,
+             CASE WHEN n_tokens >= 3 THEN n_tokens - 2 ELSE 0 END AS n_tri,
+             CASE WHEN n_tokens >= 3 THEN (
+               SELECT count(DISTINCT array_to_string(b.toks[i+1:i+3], ' '))
+               FROM UNNEST(range(0, n_tokens - 2)) AS t(i))
+             ELSE 0 END AS n_tri_distinct
+      FROM base b)
     SELECT doc_id, n_chars_exact, n_tokens, sum_token_chars,
            punct_ratio, upper_ratio,
            CAST(n_tokens >= 20 AS INT) AS enough_tokens,
@@ -84,9 +96,13 @@ _DUCK_FP = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
                    AND sum_token_chars * 1.0 / n_tokens <= 10 AS INT)
             + CAST(sw_hits * 1.0 / n_tokens >= 0.02 AS INT)
             + CAST(punct_ratio <= 0.2 AS INT)) / 4.0 AS quality_score,
+           CASE WHEN n_tri > 0
+                THEN (n_tri - n_tri_distinct) * 1.0 / n_tri
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_trigram_frac,
+           CAST(n_emails AS INT) AS n_emails,
            fingerprint,
            count(*) OVER (PARTITION BY fingerprint) AS group_size
-    FROM base
+    FROM shingled
     """,
     headline=True,
 )
@@ -95,15 +111,30 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass, as ONE codegen'd projection (merges r1's text_stats /
     text_quality_score / text_fingerprint — one §2 line): raw statistics
     (chars/tokens/punct/upper ratios), C4-style quality flags + mean
-    score in [0,1] (the keep/drop filter stage), and the canonical-form
-    md5 fingerprint with duplicate-group sizes (formatting-insensitive
-    exact-dedup key). One pass over text, no Python; spread so the regex
-    CPU runs at cluster parallelism even off a byte-small scan; the only
-    shuffle is the fingerprint-group window."""
+    score in [0,1] (the keep/drop filter stage), the Gopher-style
+    repetition signal (fraction of duplicated word trigrams — boilerplate
+    and degenerate text score high), a PII detection count (emails; the
+    scrub stage masks what this counts), and the canonical-form md5
+    fingerprint with duplicate-group sizes (formatting-insensitive
+    exact-dedup key). One pass over text, no Python — the trigram
+    dedup-fraction is array arithmetic (transform + array_distinct)
+    inside codegen, not a shuffle; spread so the regex CPU runs at
+    cluster parallelism even off a byte-small scan; the only shuffle is
+    the fingerprint-group window."""
     d = _docs_spread(spark, sf_dir)
     t = F.col("text")
     flags = text.quality_flags(t)
     fp = text.fingerprint(t)
+    toks = F.split(F.lower(t), r"\s+")
+    n_tri = F.greatest(F.size(toks) - 2, F.lit(0))
+    trigrams = F.expr(
+        "transform(sequence(0, greatest(size(split(lower(text), '\\\\s+')) - 3, 0)),"
+        " i -> concat_ws(' ', slice(split(lower(text), '\\\\s+'), i + 1, 3)))"
+    )
+    dup_frac = F.when(
+        n_tri > 0,
+        (n_tri - F.size(F.array_distinct(trigrams))) / n_tri.cast("double"),
+    ).otherwise(F.lit(0.0))
     return d.select(
         "doc_id",
         F.length(t).alias("n_chars_exact"),
@@ -113,6 +144,10 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.upper_ratio(t).alias("upper_ratio"),
         *[c.cast("int").alias(name) for name, c in flags.items()],
         text.quality_score(t).alias("quality_score"),
+        dup_frac.alias("dup_trigram_frac"),
+        F.regexp_count(
+            t, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+")
+        ).cast("int").alias("n_emails"),
         fp.alias("fingerprint"),
         F.count("*").over(W.partitionBy(fp)).alias("group_size"),
     )

@@ -333,3 +333,35 @@ def test_ivf_kmeans_refinement_improves_recall(emb):
     r0, r2 = recall(0), recall(2)
     assert r2 > r0, f"k-means refinement should raise recall: {r0} -> {r2}"
     assert r2 >= 0.65, f"trained nprobe=4 recall too low: {r2}"
+
+
+def test_scrub_pii_masks_and_counts_agree(spark):
+    from basic_data_pipeline_spark.operators.text import pii_counts, scrub_pii
+
+    rows = [
+        ("write me: a.b+c@ex-ample.org or x@y.io", 2, 0),
+        ("server at 10.0.255.3 timed out", 0, 1),
+        ("no pii here at all", 0, 0),
+        ("mixed: root@10.0.0.1 mail me admin@corp.net", 1, 1),
+    ]
+    df = spark.createDataFrame([(t,) for t, _, _ in rows], "text string")
+    counts = pii_counts(F.col("text"))
+    got = df.select(
+        scrub_pii(F.col("text")).alias("clean"),
+        counts["email"].alias("ne"),
+        counts["ipv4"].alias("ni"),
+    ).collect()
+    import re
+
+    from basic_data_pipeline_spark.operators.text import PII_PATTERNS
+
+    for (txt, ne, ni), r in zip(rows, got):
+        assert r["ne"] == ne, (txt, r["ne"])
+        assert r["ni"] == ni, (txt, r["ni"])
+        if ne:
+            assert "<EMAIL>" in r["clean"]
+        if ni:
+            assert "<IPV4>" in r["clean"]
+        # nothing matchable survives the scrub
+        assert not re.search(PII_PATTERNS["email"], r["clean"])
+        assert not re.search(PII_PATTERNS["ipv4"], r["clean"])
