@@ -73,23 +73,36 @@ def word_shingles(
     return out.distinct() if distinct else out
 
 
-def minhash_signatures(shingles: DataFrame, id_col: str) -> DataFrame:
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, family: str = "md5"
+) -> DataFrame:
     """(id, mh0..mh{N-1}): the N_HASHES column-wise minima of
-    md5(j || '|' || shingle) over the document's shingle multiset.
+    hash_j(shingle) over the document's shingle multiset, where
+    hash_j(g) = family(j || '|' || g).
 
     All N hashes are computed as COLUMNS of one projection and reduced by
     ONE hash aggregation — no ×N row explosion, and the shuffle carries
-    only the per-partition partial minima (one row of N strings per doc
+    only the per-partition partial minima (one row of N values per doc
     per map partition). ~3× faster than the exploded formulation at equal
     results; min() over a multiset == min() over the set, so duplicate
-    shingles need no pre-distinct either."""
+    shingles need no pre-distinct either.
+
+    `family`: ``md5`` (default) is the ORACLE family — the only 128-bit
+    hash DuckDB reproduces bit-for-bit, so every oracle-checked query
+    stays on it. ``xxhash64`` is the PRODUCTION family: same plan shape,
+    signatures are longs instead of 32-char strings (8 vs ~40 bytes per
+    value in the shuffle and the band keys), and the hash itself is far
+    cheaper than a cryptographic digest — measured in SCALING.md. Both
+    are valid min-hash families; only the signatures differ, not the
+    banding/candidate semantics downstream."""
+    if family == "md5":
+        h = lambda j: F.md5(F.concat_ws("|", F.lit(str(j)), F.col("shingle")))  # noqa: E731
+    elif family == "xxhash64":
+        h = lambda j: F.xxhash64(F.lit(str(j)), F.col("shingle"))  # noqa: E731
+    else:
+        raise ValueError(f"unknown minhash family {family!r}")
     return shingles.groupBy(id_col).agg(
-        *[
-            F.min(
-                F.md5(F.concat_ws("|", F.lit(str(j)), F.col("shingle")))
-            ).alias(f"mh{j}")
-            for j in range(N_HASHES)
-        ]
+        *[F.min(h(j)).alias(f"mh{j}") for j in range(N_HASHES)]
     )
 
 

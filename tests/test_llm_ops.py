@@ -365,3 +365,17 @@ def test_scrub_pii_masks_and_counts_agree(spark):
         # nothing matchable survives the scrub
         assert not re.search(PII_PATTERNS["email"], r["clean"])
         assert not re.search(PII_PATTERNS["ipv4"], r["clean"])
+
+
+def test_minhash_xxhash64_family_same_recall(docs):
+    """The production hash family (xxhash64 longs instead of md5 hex
+    strings) must surface every planted high-Jaccard pair through the
+    same banding — family choice changes signature bytes, not the LSH
+    semantics."""
+    sh = dedup.word_shingles(docs, "doc_id", "text", 3)
+    exact = _pairs(dedup.jaccard_pairs(sh, "doc_id", 0.9))
+    sig = dedup.minhash_signatures(sh, "doc_id", family="xxhash64")
+    cand = _pairs(
+        dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, "doc_id"), "doc_id")
+    )
+    assert exact and exact <= cand
