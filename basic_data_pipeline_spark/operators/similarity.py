@@ -363,3 +363,85 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: build once, add increments, search without re-train
+# ---------------------------------------------------------------------------
+
+
+def ivf_build_index(
+    vectors: DataFrame,
+    index_path: str,
+    dim: int,
+    train_by: str = "label",
+    train_iters: int = 2,
+) -> None:
+    """Train centroids (seed grouping + Lloyd refinement) and persist the
+    index: `centroids/` (n_cells rows) and `assigned/` (vec_id, embedding,
+    cell — the inverted lists, written partitioned BY CELL so a probe
+    reads only its cells' files). Training never reruns for increments —
+    the standard IVF contract: cells drift only on explicit re-build."""
+    import os
+
+    cents = centroids(vectors, train_by, dim)
+    if train_iters:
+        cents = kmeans_refine(vectors, cents, dim, train_iters)
+    cents.write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+    # re-read: the assigned lists must reference the PERSISTED centroids,
+    # not the lazy training lineage
+    spark = vectors.sparkSession
+    cents_stored = spark.read.parquet(os.path.join(index_path, "centroids"))
+    ivf_assign(vectors, cents_stored, dim).select(
+        "vec_id", "embedding", "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_path, "assigned")
+    )
+
+
+def ivf_index_add(vectors: DataFrame, index_path: str, dim: int) -> None:
+    """Assign new vectors to the EXISTING centroids and append to the
+    inverted lists — one broadcast pass, no training, no index rewrite."""
+    import os
+
+    spark = vectors.sparkSession
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    ivf_assign(vectors, cents, dim).select(
+        "vec_id", "embedding", "cell"
+    ).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_path, "assigned")
+    )
+
+
+def ivf_index_search(
+    queries: DataFrame, index_path: str, dim: int, k: int, nprobe: int = 2
+) -> DataFrame:
+    """Top-k against the persisted index: queries fan out to their nprobe
+    nearest stored centroids; the candidate join hits only those cells'
+    partitions (partition pruning on the `cell` directory key)."""
+    import os
+
+    spark = queries.sparkSession
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    assigned = spark.read.parquet(os.path.join(index_path, "assigned"))
+    q = ivf_assign(queries, cents, dim, nprobe=nprobe).select(
+        F.col("cell"),
+        F.col("vec_id").alias("query_id"),
+        as_double_array(F.col("embedding")).alias("qv"),
+    ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    c = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array(F.col("embedding")).alias("cv"),
+    ).withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        q.join(c, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

