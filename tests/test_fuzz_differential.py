@@ -1,0 +1,154 @@
+"""Differential fuzzing: deterministic pseudo-random queries from a safe
+shared-SQL grammar run on BOTH Spark and DuckDB over the same parquet —
+row counts and order-insensitive value hashes must match.
+
+This extends the hand-written oracle suite the same way SQLsmith extends
+hand-written engine tests: the grammar covers the relational core
+(predicate combinations, group-bys with exact aggregates, projections)
+using only constructs both engines define identically (no floats in
+aggregates without the decimal pattern, no engine-specific functions).
+Seeds are FIXED — failures reproduce exactly; bump N_CASES to widen."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+N_CASES = 40
+
+# (table, [(col, type)]) — integer/string/exact-decimal columns only; no
+# raw-double aggregation (engines disagree on accumulation order).
+TABLES = {
+    "orders": [
+        ("o_orderkey", "int"),
+        ("o_custkey", "int"),
+        ("o_orderstatus", "str"),
+        ("o_orderpriority", "str"),
+        ("o_totalprice", "money"),
+    ],
+    "customer": [
+        ("c_custkey", "int"),
+        ("c_nationkey", "int"),
+        ("c_mktsegment", "str"),
+        ("c_acctbal", "money"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "int"),
+        ("l_partkey", "int"),
+        ("l_suppkey", "int"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "money"),
+        ("l_extendedprice", "money"),
+        ("l_returnflag", "str"),
+        ("l_linestatus", "str"),
+    ],
+}
+
+STR_LITS = {
+    "o_orderstatus": ["'O'", "'F'", "'P'"],
+    "o_orderpriority": ["'1-URGENT'", "'3-MEDIUM'", "'5-LOW'"],
+    "c_mktsegment": ["'BUILDING'", "'MACHINERY'", "'AUTOMOBILE'"],
+    "l_returnflag": ["'A'", "'N'", "'R'"],
+    "l_linestatus": ["'O'", "'F'"],
+}
+
+
+def _predicate(rng: random.Random, cols) -> str:
+    col, typ = rng.choice(cols)
+    if typ == "str":
+        lits = STR_LITS[col]
+        if rng.random() < 0.5:
+            return f"{col} = {rng.choice(lits)}"
+        return f"{col} IN ({', '.join(rng.sample(lits, 2))})"
+    if typ == "money":
+        lo = rng.randint(0, 200000)
+        return rng.choice(
+            [
+                f"{col} > {lo}",
+                f"{col} <= {lo}",
+                f"{col} BETWEEN {lo} AND {lo + rng.randint(1, 100000)}",
+            ]
+        )
+    lo = rng.randint(0, 1000)
+    return rng.choice(
+        [
+            f"{col} % {rng.randint(2, 13)} = {rng.randint(0, 1)}",
+            f"{col} < {lo * 10}",
+            f"{col} >= {lo}",
+        ]
+    )
+
+
+def _gen_query(seed: int) -> str:
+    rng = random.Random(seed)
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    preds = " AND ".join(
+        _predicate(rng, cols) for _ in range(rng.randint(1, 3))
+    )
+    int_cols = [c for c, t in cols if t == "int"]
+    str_cols = [c for c, t in cols if t == "str"]
+    money_cols = [c for c, t in cols if t == "money"]
+    if rng.random() < 0.5 and str_cols:
+        # aggregate: group by a string col, exact aggregates only
+        g = rng.choice(str_cols)
+        m = rng.choice(money_cols)
+        i = rng.choice(int_cols)
+        return (
+            f"SELECT {g} AS k, count(*) AS n,"
+            f" CAST(sum(CAST({m} AS DECIMAL(38,6))) AS DOUBLE) AS s,"
+            f" min({i}) AS mn, max({i}) AS mx,"
+            f" count(DISTINCT {i}) AS nd"
+            f" FROM {table} WHERE {preds} GROUP BY {g}"
+        )
+    proj = ", ".join(c for c, _ in rng.sample(cols, min(3, len(cols))))
+    return f"SELECT {proj} FROM {table} WHERE {preds}"
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    return str(v)
+
+
+def _result_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(_canon_cell(r[i]) for i in order) for r in rows)
+    return len(rows), hash(tuple(lines))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.fixture(scope="module")
+def spark_views(spark):
+    for t in TABLES:
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").createOrReplaceTempView(t)
+    return spark
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_differential_query(seed, duck, spark_views):
+    sql = _gen_query(seed)
+    srows = spark_views.sql(sql).collect()
+    scols = spark_views.sql(sql).columns
+    drel = duck.execute(sql)
+    dcols = [d[0] for d in drel.description]
+    drows = drel.fetchall()
+    assert [c.lower() for c in scols] == [c.lower() for c in dcols], sql
+    assert _result_hash(scols, [tuple(r) for r in srows]) == _result_hash(
+        dcols, drows
+    ), f"mismatch for seed {seed}: {sql}"
