@@ -170,3 +170,35 @@ def scrub_pii(text: Column, kinds: tuple[str, ...] = ("email", "ipv4")) -> Colum
 def pii_counts(text: Column, kinds: tuple[str, ...] = ("email", "ipv4")) -> dict:
     """Per-kind detection counts (what scrub_pii would mask)."""
     return {k: F.regexp_count(text, F.lit(PII_PATTERNS[k])) for k in kinds}
+
+
+# --- compression-ratio quality signal (mapInPandas, Arrow) ----------------
+
+COMPRESSION_SCHEMA = "doc_id long, n_bytes int, zlib_bytes int, compression_ratio double"
+
+
+def compression_ratio(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document zlib compression ratio — the Gopher-style signal that
+    separates natural text (~2-4×) from degenerate repetition (≫4×) and
+    random noise (~1×). zlib is Python-side by necessity, so this is a
+    sanctioned Arrow path: mapInPandas, one vectorized batch at a time,
+    no per-row serde. Embarrassingly parallel, no shuffle."""
+    import zlib
+
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            raw = pdf[text_col].str.encode("utf-8")
+            n = raw.map(len).astype("int32")
+            z = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": n,
+                    "zlib_bytes": z,
+                    "compression_ratio": n / z,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, COMPRESSION_SCHEMA)

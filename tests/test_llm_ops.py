@@ -379,3 +379,29 @@ def test_minhash_xxhash64_family_same_recall(docs):
         dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, "doc_id"), "doc_id")
     )
     assert exact and exact <= cand
+
+
+def test_compression_ratio_separates_repetition_from_noise(spark):
+    """zlib ratio must rank: repeated text >> natural-ish text > random
+    noise, and agree with a driver-side zlib reference."""
+    import random
+    import zlib
+
+    from basic_data_pipeline_spark.operators.text import compression_ratio
+
+    rng = random.Random(7)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(2000))
+    repeated = "the same phrase again and again " * 80
+    natural = (
+        "training corpora mix many sources with varying quality and "
+        "style so filters must rely on robust statistics "
+    ) * 10
+    df = spark.createDataFrame(
+        [(1, noise), (2, repeated), (3, natural)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[2]["compression_ratio"] > got[3]["compression_ratio"] > got[1]["compression_ratio"]
+    for i, txt in ((1, noise), (2, repeated), (3, natural)):
+        b = txt.encode()
+        assert got[i]["n_bytes"] == len(b)
+        assert got[i]["zlib_bytes"] == len(zlib.compress(b, 6))
