@@ -368,3 +368,91 @@ def exact_dedup_survivors(docs: DataFrame, id_col: str, key: F.Column) -> DataFr
         )
         .drop("_k")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """(doc_id, cluster) — connected components over the duplicate-pair
+    graph via iterative min-label propagation: every doc's label becomes
+    the minimum label among itself and its neighbors until fixpoint.
+
+    The greedy keep-lowest-id rule drops any id appearing as the higher
+    side of a pair, which over-drops on transitive CHAINS (a~b, b~c, a≁c
+    drops both b and c even though c's only partner b is itself gone).
+    Clustering keeps exactly one survivor per connected component — the
+    policy large corpus dedups actually want.
+
+    Scale shape: each iteration is one self-join on the current labels +
+    one min-aggregation — O(E) shuffled rows per iteration, and the
+    iteration count is the graph diameter (duplicate clusters are
+    shallow; 20 covers a diameter-2²⁰ chain). Converges early: iteration
+    stops when no label changed (one count per iteration — acceptable
+    driver chatter for a maintenance job, not a per-query path)."""
+    edges = (
+        pairs.select("id_a", "id_b")
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("cluster").alias("nb_cluster"),
+                ),
+                "id_b",
+            )
+            .groupBy(F.col("id_a").alias("doc_id"))
+            .agg(F.min("nb_cluster").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    out = labels
+    # hand ownership to the caller's action; release on next tracked cycle
+    _ = tracked_persist(out)
+    return out
+
+
+def cluster_survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """One surviving doc per duplicate cluster (the component's minimum
+    id) plus every unpaired doc — the connected-components alternative to
+    greedy keep-lowest-id."""
+    clusters = duplicate_clusters(pairs)
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(dropped, id_col, "left_anti")

@@ -405,3 +405,35 @@ def test_compression_ratio_separates_repetition_from_noise(spark):
         b = txt.encode()
         assert got[i]["n_bytes"] == len(b)
         assert got[i]["zlib_bytes"] == len(zlib.compress(b, 6))
+
+
+def test_duplicate_clusters_handles_chains(spark):
+    """Chain a~b, b~c (a≁c): clustering keeps ONLY a (one survivor per
+    component), while greedy would also drop c's partner-less self; and
+    disjoint pairs cluster independently."""
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (10, 11, 0.95)],
+        "id_a long, id_b long, jaccard double",
+    )
+    clusters = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert clusters == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    surv = {r["doc_id"] for r in dedup.cluster_survivors(docs, pairs).collect()}
+    assert surv == {1, 10, 99}
+
+
+def test_cluster_survivors_matches_greedy_on_disjoint_pairs(docs):
+    """On the fixture (planted dups are disjoint pairs) the cluster policy
+    must equal greedy keep-lowest-id."""
+    sh = dedup.word_shingles(docs, "doc_id", "text", 3)
+    pairs = dedup.jaccard_pairs(sh, "doc_id", 0.5)
+    greedy_dropped = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+    surv = {r["doc_id"] for r in dedup.cluster_survivors(docs, pairs).collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert surv == all_ids - greedy_dropped
