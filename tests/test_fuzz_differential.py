@@ -152,3 +152,47 @@ def test_differential_query(seed, duck, spark_views):
     assert _result_hash(scols, [tuple(r) for r in srows]) == _result_hash(
         dcols, drows
     ), f"mismatch for seed {seed}: {sql}"
+
+
+JOINS = [
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+]
+
+
+def _gen_join_query(seed: int) -> str:
+    rng = random.Random(10_000 + seed)
+    lt, rt, on = rng.choice(JOINS)
+    lcols, rcols = TABLES[lt], TABLES[rt]
+    preds = " AND ".join(
+        _predicate(rng, rng.choice([lcols, rcols])) for _ in range(rng.randint(1, 2))
+    )
+    jt = rng.choice(["JOIN", "LEFT JOIN"])
+    g = rng.choice([c for c, t in lcols + rcols if t == "str"])
+    m = rng.choice([c for c, t in lcols if t == "money"])
+    i = rng.choice([c for c, t in rcols if t == "int"])
+    if rng.random() < 0.5:
+        return (
+            f"SELECT {g} AS k, count(*) AS n,"
+            f" CAST(sum(CAST({m} AS DECIMAL(38,6))) AS DOUBLE) AS s,"
+            f" count(DISTINCT {i}) AS nd"
+            f" FROM {lt} {jt} {rt} ON {on} WHERE {preds} GROUP BY {g}"
+        )
+    lk = [c for c, t in lcols if t == "int"][0]
+    return (
+        f"SELECT {lk}, {g}, {m} FROM {lt} {jt} {rt} ON {on} WHERE {preds}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_differential_join_query(seed, duck, spark_views):
+    sql = _gen_join_query(seed)
+    srows = spark_views.sql(sql).collect()
+    scols = spark_views.sql(sql).columns
+    drel = duck.execute(sql)
+    dcols = [d[0] for d in drel.description]
+    drows = drel.fetchall()
+    assert [c.lower() for c in scols] == [c.lower() for c in dcols], sql
+    assert _result_hash(scols, [tuple(r) for r in srows]) == _result_hash(
+        dcols, drows
+    ), f"mismatch for seed {seed}: {sql}"
