@@ -456,3 +456,38 @@ def cluster_survivors(
         F.col("doc_id").alias(id_col)
     )
     return docs.join(dropped, id_col, "left_anti")
+
+
+def near_dedup_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+    family: str = "md5",
+    survivor_policy: str = "cluster",
+) -> DataFrame:
+    """The one-call production near-dedup pipeline: shingle → MinHash →
+    LSH candidates (optionally hot-bucket-capped) → exact-Jaccard verify
+    on candidates only → survivor selection. Returns the surviving docs
+    with all their columns.
+
+    survivor_policy: ``cluster`` (default) keeps one doc per connected
+    duplicate component (correct on transitive chains); ``greedy`` keeps
+    lowest-id per pair (single pass, no iteration — what the
+    oracle-checked queries pin). family/max_bucket as documented on
+    minhash_signatures / lsh_candidate_pairs. For batch-over-batch
+    corpora use operators/incremental.py instead — it reuses a persisted
+    index rather than re-deduping everything."""
+    sh = tracked_persist(word_shingles(docs, id_col, text_col))
+    sig = minhash_signatures(sh, id_col, family=family)
+    cand = lsh_candidate_pairs(
+        lsh_bands(sig, id_col), id_col, max_bucket=max_bucket
+    )
+    pairs = jaccard_verify(sh, cand, id_col, threshold)
+    if survivor_policy == "cluster":
+        return cluster_survivors(docs, pairs, id_col)
+    if survivor_policy == "greedy":
+        dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return docs.join(dropped, id_col, "left_anti")
+    raise ValueError(f"unknown survivor_policy {survivor_policy!r}")

@@ -437,3 +437,25 @@ def test_cluster_survivors_matches_greedy_on_disjoint_pairs(docs):
     surv = {r["doc_id"] for r in dedup.cluster_survivors(docs, pairs).collect()}
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert surv == all_ids - greedy_dropped
+
+
+def test_near_dedup_corpus_end_to_end(docs):
+    """The one-call pipeline equals the composed stages, for both
+    survivor policies (fixture dups are disjoint pairs → policies agree),
+    and the xxhash64 family yields the same survivors."""
+    expected = None
+    for policy in ("cluster", "greedy"):
+        for family in ("md5", "xxhash64"):
+            surv = {
+                r["doc_id"]
+                for r in dedup.near_dedup_corpus(
+                    docs, survivor_policy=policy, family=family
+                ).collect()
+            }
+            if expected is None:
+                sh = dedup.word_shingles(docs, "doc_id", "text", 3)
+                pairs = dedup.jaccard_pairs(sh, "doc_id", 0.5)
+                dropped = {r["id_b"] for r in pairs.collect()}
+                all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+                expected = all_ids - dropped
+            assert surv == expected, (policy, family)
