@@ -1,0 +1,70 @@
+"""Corpus mixing & splitting (SURVEY.md §2.11): the sampling operators a
+training-data pipeline runs after filtering/dedup — per-source mixture
+ratios and leakage-proof train/validation splits.
+
+Both are DETERMINISTIC BY CONTENT KEY, not by RNG state: `rand()`-based
+sampling changes membership when partitioning changes or a stage retries,
+which silently breaks train/val hygiene. Hashing the id gives the same
+membership on every run, any cluster, any partitioning — and a doc keeps
+its split assignment even when the corpus around it grows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(id_col: str, salt: str, n: int = 1_000_000) -> F.Column:
+    """Stable bucket in [0, n): xxhash64 of (salt, id) — uniform, cheap,
+    and independent across salts (different salt → independent split)."""
+    return F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(n))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling: keep a row iff its id-hash
+    bucket falls under its stratum's fraction. The mixture tool: e.g.
+    {'web': 0.3, 'wiki': 1.0, 'code': 0.8} downsamples web 3.3× while
+    keeping all wiki. Strata absent from `fractions` are DROPPED (an
+    explicit mixture is a whitelist). One codegen filter — no shuffle, no
+    sampleBy RNG, exact same members every run."""
+    n = 1_000_000
+    frac = F.create_map(
+        *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    keep_frac = frac[F.col(strata_col)]
+    return df.filter(
+        keep_frac.isNotNull() & (_bucket(id_col, salt) < keep_frac * n)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> dict[str, DataFrame]:
+    """Disjoint, exhaustive, deterministic splits: {'train': .98,
+    'val': .01, 'test': .01} → dict of DataFrames. Membership depends
+    only on (salt, id), so re-running on a grown corpus never moves an
+    existing doc across splits — the property that prevents train/val
+    leakage over pipeline iterations. Weights must sum to 1 (±1e-9)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    n = 1_000_000
+    b = _bucket(id_col, salt)
+    out: dict[str, DataFrame] = {}
+    lo = 0.0
+    items = list(weights.items())
+    for i, (name, w) in enumerate(items):
+        hi = 1.0 if i == len(items) - 1 else lo + w
+        out[name] = df.filter((b >= F.lit(lo * n)) & (b < F.lit(hi * n)))
+        lo = hi
+    return out
