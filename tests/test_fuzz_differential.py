@@ -196,3 +196,41 @@ def test_differential_join_query(seed, duck, spark_views):
     assert _result_hash(scols, [tuple(r) for r in srows]) == _result_hash(
         dcols, drows
     ), f"mismatch for seed {seed}: {sql}"
+
+
+def _gen_window_query(seed: int) -> str:
+    rng = random.Random(20_000 + seed)
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    str_cols = [c for c, t in cols if t == "str"]
+    int_cols = [c for c, t in cols if t == "int"]
+    money_cols = [c for c, t in cols if t == "money"]
+    part = rng.choice(str_cols)
+    order_m = rng.choice(money_cols)
+    order_i = rng.choice(int_cols)
+    fn = rng.choice(["row_number()", "rank()", "dense_rank()"])
+    k = rng.randint(1, 5)
+    pred = _predicate(rng, cols)
+    # deterministic total order inside the window: money then unique-ish int
+    return (
+        f"SELECT * FROM ("
+        f" SELECT {part} AS p, {order_i} AS i,"
+        f" {fn} OVER (PARTITION BY {part}"
+        f" ORDER BY {order_m} DESC, {order_i}) AS rn"
+        f" FROM {table} WHERE {pred})"
+        f" WHERE rn <= {k}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_differential_window_query(seed, duck, spark_views):
+    sql = _gen_window_query(seed)
+    srows = spark_views.sql(sql).collect()
+    scols = spark_views.sql(sql).columns
+    drel = duck.execute(sql)
+    dcols = [d[0] for d in drel.description]
+    drows = drel.fetchall()
+    assert [c.lower() for c in scols] == [c.lower() for c in dcols], sql
+    assert _result_hash(scols, [tuple(r) for r in srows]) == _result_hash(
+        dcols, drows
+    ), f"mismatch for seed {seed}: {sql}"
