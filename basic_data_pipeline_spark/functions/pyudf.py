@@ -63,22 +63,26 @@ def weighted_mean_pudf(v: pd.Series, w: pd.Series) -> float:
 
 # -- applyInPandas (grouped map): per-group standardization ----------------
 
-ZSCORE_SCHEMA = T.StructType(
-    [
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("label", T.LongType()),
-        T.StructField("z_value", T.DoubleType()),
-    ]
-)
-
-
-def zscore_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+def zscore_by_group(
+    df: DataFrame, group_col: str, value_col: str, id_col: str = "vec_id"
+) -> DataFrame:
     """Grouped-map applyInPandas: standardize a value within its group
     ((x - mean) / std, population std). One shuffle on the group key,
     whole group in pandas memory — the reshaping escape hatch when the
     per-group logic doesn't decompose into window expressions. This one
     DOES decompose (tests assert equality with the window form), which is
-    exactly what makes it a safe pin for the mechanism."""
+    exactly what makes it a safe pin for the mechanism.
+
+    Output schema is (id_col, group_col, z_value), with id/group types
+    DERIVED from the input frame — string ids and non-long group keys
+    work unchanged."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            df.schema[group_col],
+            T.StructField("z_value", T.DoubleType()),
+        ]
+    )
 
     def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
         x = pdf[value_col].to_numpy(dtype="float64")
@@ -86,13 +90,13 @@ def zscore_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         z = np.zeros_like(x) if std == 0 else (x - x.mean()) / std
         return pd.DataFrame(
             {
-                "vec_id": pdf["vec_id"],
-                "label": pdf[group_col],
+                id_col: pdf[id_col],
+                group_col: pdf[group_col],
                 "z_value": z,
             }
         )
 
-    return df.groupBy(group_col).applyInPandas(standardize, ZSCORE_SCHEMA)
+    return df.groupBy(group_col).applyInPandas(standardize, out_schema)
 
 
 # -- row-at-a-time udf: the documented last resort -------------------------

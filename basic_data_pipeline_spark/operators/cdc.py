@@ -547,7 +547,8 @@ def apply_cdc_batch(
                 new_wm = dict(wm)
                 for part, mx in batch_parts.items():
                     new_wm[part] = max(new_wm.get(part, -1), mx)
-                sink.applied_offsets = new_wm
+            else:
+                new_wm = None
             if good is not None:
                 sink.append(good.drop("_cdc_op"))
             if tombstones is not None and sink.created:
@@ -583,6 +584,12 @@ def apply_cdc_batch(
                     .drop("_del_ver")
                 )
                 sink.overwrite(remaining)
+            # advance the replay watermark only AFTER the append (and
+            # delete apply) succeeded: advancing first would make an
+            # in-process retry of a failed batch look already-applied and
+            # silently drop its rows.
+            if new_wm is not None:
+                sink.applied_offsets = new_wm
 
     if write_dlq and dlq_all.take(1):
         dlq_all.write.mode("append").parquet(os.path.join(sink_root, "_dlq"))

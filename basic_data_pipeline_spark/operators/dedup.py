@@ -40,6 +40,15 @@ from basic_data_pipeline_spark.partitioning import spread
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
+# Default hot-bucket cap for the PRODUCTION entry points (near_dedup_corpus,
+# incremental.incremental_dedup). The 16× probe measured the uncapped
+# adversarial case at 10.4× super-linear (665k candidates) vs 137k with
+# K=8; 50 is comfortably above every organic bucket in the fixtures
+# (SCALING.md) while bounding the worst case to n_buckets×2500 pairs.
+# Low-level lsh_candidate_pairs keeps None (exact) — the oracle-checked
+# queries pin the uncapped candidate set.
+DEFAULT_MAX_BUCKET = 50
+
 
 def word_shingles(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
@@ -371,11 +380,17 @@ def exact_dedup_survivors(docs: DataFrame, id_col: str, key: F.Column) -> DataFr
 
 
 def duplicate_clusters(
-    pairs: DataFrame, max_iters: int = 20
+    pairs: DataFrame, max_iters: int = 20, checkpoint_every: int = 5
 ) -> DataFrame:
     """(doc_id, cluster) — connected components over the duplicate-pair
-    graph via iterative min-label propagation: every doc's label becomes
-    the minimum label among itself and its neighbors until fixpoint.
+    graph via min-label propagation ACCELERATED by pointer jumping: each
+    iteration takes the min over the neighbors' labels (one hop through
+    the edges) and then follows the new label one more step
+    (label(label(v)) — path halving). Plain propagation moves a min one
+    hop per iteration (O(diameter) iterations); the jumping step doubles
+    the reach each round, so convergence is O(log diameter) — 20
+    iterations cover any realistic chain (diameter ~2²⁰ with jumping,
+    vs only 20 hops without it, which is why the jump step exists).
 
     The greedy keep-lowest-id rule drops any id appearing as the higher
     side of a pair, which over-drops on transitive CHAINS (a~b, b~c, a≁c
@@ -383,12 +398,15 @@ def duplicate_clusters(
     Clustering keeps exactly one survivor per connected component — the
     policy large corpus dedups actually want.
 
-    Scale shape: each iteration is one self-join on the current labels +
-    one min-aggregation — O(E) shuffled rows per iteration, and the
-    iteration count is the graph diameter (duplicate clusters are
-    shallow; 20 covers a diameter-2²⁰ chain). Converges early: iteration
-    stops when no label changed (one count per iteration — acceptable
-    driver chatter for a maintenance job, not a per-query path)."""
+    Scale shape: per iteration, one edge⋈labels join + min-aggregation
+    (O(E) shuffled rows) and one labels⋈labels jump join (O(V)).
+    Converges early: iteration stops when no label changed (one count per
+    iteration — acceptable driver chatter for a maintenance job, not a
+    per-query path). Every `checkpoint_every` iterations the label frame
+    is localCheckpoint-ed so the plan stays shallow on deep chains
+    instead of nesting one iteration's lineage inside the next. If the
+    loop exits WITHOUT reaching fixpoint, raises RuntimeError rather
+    than silently returning a component split across labels."""
     edges = (
         pairs.select("id_a", "id_b")
         .unionByName(
@@ -405,7 +423,8 @@ def duplicate_clusters(
         .withColumn("cluster", F.col("doc_id"))
         .persist()
     )
-    for _ in range(max_iters):
+    changed = 0
+    for it in range(max_iters):
         neighbor_min = (
             edges.join(
                 labels.select(
@@ -417,16 +436,31 @@ def duplicate_clusters(
             .groupBy(F.col("id_a").alias("doc_id"))
             .agg(F.min("nb_cluster").alias("nb_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))
-                ).alias("cluster"),
-            )
-            .persist()
+        hop = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))
+            ).alias("cluster"),
         )
+        # pointer jump (path halving): follow the label one more step —
+        # label values are doc ids, so looking them up in the same frame
+        # yields label(label(v)); min-labels only ever decrease, so
+        # taking the least is safe and doubles propagation reach.
+        parent = hop.select(
+            F.col("doc_id").alias("cluster"), F.col("cluster").alias("_gp")
+        )
+        new_labels = hop.join(parent, "cluster", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("_gp"), F.col("cluster"))
+            ).alias("cluster"),
+        )
+        if (it + 1) % checkpoint_every == 0:
+            # cut the lineage: without this, each iteration's plan nests
+            # the previous one's and planning cost grows linearly
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -439,6 +473,11 @@ def duplicate_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} iterations"
+            " — raise max_iters (component diameter exceeds 2^max_iters)"
+        )
     out = labels
     # hand ownership to the caller's action; release on next tracked cycle
     _ = tracked_persist(out)
@@ -463,14 +502,15 @@ def near_dedup_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
     family: str = "md5",
     survivor_policy: str = "cluster",
 ) -> DataFrame:
     """The one-call production near-dedup pipeline: shingle → MinHash →
-    LSH candidates (optionally hot-bucket-capped) → exact-Jaccard verify
-    on candidates only → survivor selection. Returns the surviving docs
-    with all their columns.
+    LSH candidates (hot-bucket-capped by default — see DEFAULT_MAX_BUCKET;
+    pass max_bucket=None for the exact candidate set) → exact-Jaccard
+    verify on candidates only → survivor selection. Returns the surviving
+    docs with all their columns.
 
     survivor_policy: ``cluster`` (default) keeps one doc per connected
     duplicate component (correct on transitive chains); ``greedy`` keeps

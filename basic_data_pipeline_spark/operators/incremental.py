@@ -4,23 +4,44 @@ workflow a 100 TB training-data pipeline actually runs: the corpus was
 deduped once; every arriving increment is checked against the index and
 only survivors join it).
 
-The index holds two parquet tables per corpus:
-  bands/     (doc_id, band, bandkey)  — the LSH join keys (O(docs × bands))
-  shingles/  (doc_id, shingle)        — set-semantic word shingles, needed
-                                        by the exact-Jaccard verify stage
-                                        (O(corpus tokens); bucket by doc_id
-                                        at scale so verify joins co-locate)
+The index holds two BUCKETED parquet tables per corpus (written via
+sources/tables.write_bucketed, registered in the session catalog, files
+rooted under `index_path`):
+
+  bands/     (doc_id, band, bandkey)  — the LSH join keys, bucketed+sorted
+                                        by (band, bandkey): the
+                                        cross-increment candidate join
+                                        shuffles ONLY the increment side —
+                                        the index side scans in place.
+  shingles/  (doc_id, shingle)        — set-semantic word shingles for the
+                                        exact-Jaccard verify stage,
+                                        bucketed by doc_id so the
+                                        candidate-partner semi-join is
+                                        exchange-free on the index side.
+
+Why bucketing matters here: without it, EVERY increment re-shuffles the
+whole index's bands (O(corpus) shuffle per batch); with it, the per-batch
+cost is O(increment) shuffle + an in-place index scan — increment-cost
+dedup instead of corpus-cost. The bucket spec is persisted in
+`_meta.json` so appends always match, and a fresh session re-registers
+the tables from disk (`_ensure_registered`).
 
 An increment of n docs costs: shingle+sign n docs, ONE banded equi-join
-against the index bands (shuffle keyed on (band, bandkey) — never a scan
-of corpus text), exact verify on the surfaced candidates only, and an
-APPEND of the survivors' bands+shingles. Corpus text is never re-read.
+against the index bands (only the increment side shuffles to the bucket
+layout), exact verify on the surfaced candidates only, and an APPEND of
+the survivors' bands+shingles. Corpus text is never re-read.
 
-Chain semantics: sequential batches apply greedy keep-lowest-id per
-arrival. On transitive chains (a~b, b~c, a≁c) a full-corpus greedy drops
-both b and c, while sequential processing keeps c if its only partner b
-was already dropped — the standard behavior of every incremental dedup
-(the index contains only SURVIVORS). Tests pin both facts.
+Survivor policies (mirrors dedup.near_dedup_corpus):
+- ``greedy`` (default): keep-lowest-id per pair, per arrival. On
+  transitive chains ACROSS batches (a~b in batch 1 drops b; c~b arrives
+  later) the index only holds survivors, so c finds no partner and is
+  kept — the standard behavior of every survivors-only incremental dedup.
+- ``cluster``: the index additionally retains DROPPED docs' bands and
+  shingles, so a later c~b still surfaces and c is dropped — one survivor
+  per duplicate component even when the chain arrives across batches.
+  Within a batch, components are resolved by dedup.duplicate_clusters
+  (corpus docs anchor their components and always win). Costs index
+  growth proportional to the duplicate rate.
 
 Doc ids must be globally unique across the corpus and all increments
 (they key the index), and new-batch ids must sort AFTER existing ids for
@@ -29,17 +50,132 @@ keep-lowest-id to mean keep-oldest.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from basic_data_pipeline_spark.caching import tracked_persist
 from basic_data_pipeline_spark.operators import dedup
+from basic_data_pipeline_spark.sources import tables
+
+DEFAULT_INDEX_BUCKETS = 16
 
 
 def _p(index_path: str, name: str) -> str:
     return os.path.join(index_path, name)
+
+
+def _table_names(index_path: str) -> tuple[str, str]:
+    """Catalog table names derived from the index location — stable across
+    sessions (md5 of the absolute path, not Python's seeded hash())."""
+    h = hashlib.md5(os.path.abspath(index_path).encode()).hexdigest()[:12]
+    return f"dedup_idx_{h}_bands", f"dedup_idx_{h}_shingles"
+
+
+def _write_meta(index_path: str, meta: dict) -> None:
+    os.makedirs(index_path, exist_ok=True)
+    with open(_p(index_path, "_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def _read_meta(index_path: str) -> dict:
+    with open(_p(index_path, "_meta.json")) as f:
+        return json.load(f)
+
+
+def _ensure_registered(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+) -> DataFrame:
+    """Return the bucketed index table, re-registering it in the catalog
+    from the on-disk files if this session has never seen it (bucketing
+    metadata lives in the catalog; the parquet files alone don't carry
+    it). The bucket spec comes from _meta.json, so the registration
+    always matches what write_bucketed laid down."""
+    if not spark.catalog.tableExists(table):
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        bcols = ", ".join(f"`{c}`" for c in bucket_cols)
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+        )
+    return spark.table(table)
+
+
+def _index_tables(
+    spark: SparkSession, index_path: str, id_col: str
+) -> tuple[DataFrame, DataFrame, dict]:
+    meta = _read_meta(index_path)
+    bands_t, sh_t = _table_names(index_path)
+    idx_bands = _ensure_registered(
+        spark, bands_t, _p(index_path, "bands"), ["band", "bandkey"],
+        meta["n_buckets"],
+    )
+    idx_sh = _ensure_registered(
+        spark, sh_t, _p(index_path, "shingles"), [id_col], meta["n_buckets"]
+    )
+    return idx_bands, idx_sh, meta
+
+
+def _cross_candidates(
+    idx_bands: DataFrame, new_bands: DataFrame, id_col: str
+) -> DataFrame:
+    """(id_a = corpus doc, id_b = new doc) pairs sharing a band — ONE
+    equi-join on (band, bandkey). With the index bucketed on exactly that
+    key, only the increment side exchanges (plan-asserted in
+    test_incremental); the corpus side is an in-place bucketed scan."""
+    return (
+        idx_bands.select("band", "bandkey", F.col(id_col).alias("id_a"))
+        .join(
+            new_bands.select("band", "bandkey", F.col(id_col).alias("id_b")),
+            on=["band", "bandkey"],
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def _materialized_dropped(
+    spark: SparkSession, dropped_src: DataFrame, index_path: str, id_col: str
+) -> DataFrame:
+    """Materialize the dropped-id set to a staging parquet under the index
+    and read it back — a DISTRIBUTED lineage cut (never a driver-side
+    collect: a batch that is 100% duplicates would otherwise funnel every
+    id through the driver). The cut is required because the dropped-set
+    lineage reads the index directories, and the survivors frame returned
+    to the caller outlives this call — left lazy, a post-append
+    evaluation would see the batch's own rows in the index and drop every
+    survivor as its own duplicate. The id column keeps the caller's
+    name and type (no hardcoded schema — string ids work)."""
+    staging = _p(index_path, os.path.join("_staging", uuid.uuid4().hex))
+    dropped_src.write.mode("overwrite").parquet(staging)
+    return spark.read.parquet(staging)
+
+
+def _dropped_ids(pairs: DataFrame, id_col: str, survivor_policy: str) -> DataFrame:
+    """Per-policy dropped-id frame (column named `id_col`) from verified
+    duplicate pairs. Pairs are oriented (id_a wins, id_b drops) for
+    greedy; cluster resolves components with corpus/lowest ids as
+    anchors (a corpus id can surface in a component, but it is never in
+    the new batch, so the anti-join ignores it)."""
+    if survivor_policy == "greedy":
+        return pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if survivor_policy == "cluster":
+        clusters = dedup.duplicate_clusters(pairs)
+        return clusters.filter(F.col("doc_id") != F.col("cluster")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    raise ValueError(f"unknown survivor_policy {survivor_policy!r}")
 
 
 def build_index(
@@ -49,23 +185,52 @@ def build_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    n_buckets: int = DEFAULT_INDEX_BUCKETS,
+    survivor_policy: str = "greedy",
 ) -> DataFrame:
-    """Self-dedup `docs` (LSH candidates → exact verify → greedy
-    keep-lowest-id) and persist the SURVIVORS' bands + shingles as the
-    corpus index. Returns the surviving docs."""
+    """Self-dedup `docs` (LSH candidates → exact verify → survivor
+    selection per `survivor_policy`) and persist the corpus index as two
+    bucketed tables (see module docstring). Returns the surviving docs.
+
+    `n_buckets` sizes the bucketed layout: pick ~(corpus bands rows ÷
+    target bucket file size); appends reuse the spec from _meta.json.
+    ``greedy`` indexes only survivors; ``cluster`` indexes every doc so
+    cross-batch transitive chains resolve to one survivor."""
     sh = tracked_persist(dedup.word_shingles(docs, id_col, text_col))
     sig = dedup.minhash_signatures(sh, id_col)
     bands = tracked_persist(dedup.lsh_bands(sig, id_col))
     cand = dedup.lsh_candidate_pairs(bands, id_col)
     pairs = dedup.jaccard_verify(sh, cand, id_col, threshold)
-    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    dropped = _dropped_ids(pairs, id_col, survivor_policy)
     survivors = docs.join(dropped, id_col, "left_anti")
-    keep = survivors.select(id_col)
-    bands.join(keep, id_col).write.mode("overwrite").parquet(
-        _p(index_path, "bands")
+
+    if survivor_policy == "cluster":
+        idx_bands, idx_sh = bands, sh  # retain dropped docs: see module doc
+    else:
+        keep = survivors.select(id_col)
+        idx_bands = bands.join(keep, id_col)
+        idx_sh = sh.join(keep, id_col)
+
+    bands_t, sh_t = _table_names(index_path)
+    tables.write_bucketed(
+        idx_bands.select(id_col, "band", "bandkey"),
+        bands_t,
+        ["band", "bandkey"],
+        n_buckets,
+        sort_cols=["band", "bandkey"],
+        path=_p(index_path, "bands"),
     )
-    sh.join(keep, id_col).write.mode("overwrite").parquet(
-        _p(index_path, "shingles")
+    tables.write_bucketed(
+        idx_sh.select(id_col, "shingle"),
+        sh_t,
+        [id_col],
+        n_buckets,
+        sort_cols=[id_col],
+        path=_p(index_path, "shingles"),
+    )
+    _write_meta(
+        index_path,
+        {"n_buckets": n_buckets, "survivor_policy": survivor_policy},
     )
     return survivors
 
@@ -77,38 +242,39 @@ def incremental_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    max_bucket: int | None = None,
+    max_bucket: int | None = dedup.DEFAULT_MAX_BUCKET,
     update_index: bool = True,
+    survivor_policy: str | None = None,
 ) -> DataFrame:
     """Dedup an increment against the index (and within itself), append
-    the survivors to the index, return them.
+    to the index, return the surviving docs.
 
     Cross candidates come from ONE equi-join of new bands × index bands
-    on (band, bandkey); within-batch candidates from the banded self-join
-    (optionally `max_bucket`-capped). Verify reads index shingles ONLY
-    for candidate partners (join-pruned), never the whole corpus."""
+    on (band, bandkey) — the index side is a bucketed in-place scan, only
+    the increment shuffles. Verify reads index shingles ONLY for
+    candidate partners (bucketed semi-join), never the whole corpus.
+
+    `max_bucket` caps the within-batch candidate join's hot buckets
+    (default dedup.DEFAULT_MAX_BUCKET; pass None for the exact candidate
+    set). The cross join is not capped: the index side would need a
+    per-batch window over the whole index, which is exactly the
+    corpus-cost shuffle this module exists to avoid — a boilerplate-heavy
+    corpus should cap at build time instead.
+
+    `survivor_policy` defaults to whatever the index was built with
+    (_meta.json): ``greedy`` appends only survivors; ``cluster`` appends
+    every new doc so later increments match transitively (see module
+    docstring)."""
+    idx_bands, idx_sh, meta = _index_tables(spark, index_path, id_col)
+    policy = survivor_policy or meta.get("survivor_policy", "greedy")
+
     new_sh = tracked_persist(dedup.word_shingles(new_docs, id_col, text_col))
     new_sig = dedup.minhash_signatures(new_sh, id_col)
     new_bands = tracked_persist(dedup.lsh_bands(new_sig, id_col))
 
-    idx_bands = spark.read.parquet(_p(index_path, "bands"))
-    idx_sh = spark.read.parquet(_p(index_path, "shingles"))
-
-    # cross pairs oriented (id_a = corpus survivor, id_b = new doc): the
+    # cross pairs oriented (id_a = corpus doc, id_b = new doc): the
     # corpus side always wins
-    cross = (
-        idx_bands.select(
-            "band", "bandkey", F.col(id_col).alias("id_a")
-        )
-        .join(
-            new_bands.select(
-                "band", "bandkey", F.col(id_col).alias("id_b")
-            ),
-            on=["band", "bandkey"],
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cross = _cross_candidates(idx_bands, new_bands, id_col).distinct()
     within = dedup.lsh_candidate_pairs(new_bands, id_col, max_bucket=max_bucket)
     cand = cross.unionByName(within)
 
@@ -118,29 +284,38 @@ def incremental_dedup(
     verify_sh = new_sh.unionByName(idx_sh.join(old_ids, id_col, "left_semi"))
     pairs = dedup.jaccard_verify(verify_sh, cand, id_col, threshold)
 
-    # MATERIALIZE the dropped ids before any index write: the lineage
-    # above reads the index directories, and the returned survivors frame
-    # outlives this call — left lazy, a post-append evaluation would see
-    # the batch's own rows in the index and drop every survivor as its
-    # own duplicate. The dropped set is bounded by the duplicates found
-    # in ONE batch (not corpus size), so a driver round-trip is safe;
-    # re-planting it as a DataFrame keeps the anti-join distributed.
-    dropped_ids = [
-        r[0] for r in pairs.select(F.col("id_b")).distinct().collect()
-    ]
-    dropped = spark.createDataFrame(
-        [(i,) for i in dropped_ids] or [(None,)], f"{id_col} long"
-    ).where(F.col(id_col).isNotNull())
-    # only NEW docs can drop (cross pairs orient corpus-first; within
-    # pairs are new×new) — anti-join filters survivors of this batch
+    dropped = _materialized_dropped(
+        spark, _dropped_ids(pairs, id_col, policy), index_path, id_col
+    )
+    # only NEW docs can drop (cross pairs orient corpus-first; a corpus id
+    # labeled into another corpus doc's cluster is not in new_docs) —
+    # anti-join filters survivors of this batch
     survivors = new_docs.join(dropped, id_col, "left_anti")
 
     if update_index:
-        keep = survivors.select(id_col)
-        new_bands.join(keep, id_col).write.mode("append").parquet(
-            _p(index_path, "bands")
+        if policy == "cluster":
+            add_bands, add_sh = new_bands, new_sh  # retain dropped docs
+        else:
+            keep = survivors.select(id_col)
+            add_bands = new_bands.join(keep, id_col)
+            add_sh = new_sh.join(keep, id_col)
+        bands_t, sh_t = _table_names(index_path)
+        tables.write_bucketed(
+            add_bands.select(id_col, "band", "bandkey"),
+            bands_t,
+            ["band", "bandkey"],
+            meta["n_buckets"],
+            sort_cols=["band", "bandkey"],
+            mode="append",
+            path=_p(index_path, "bands"),
         )
-        new_sh.join(keep, id_col).write.mode("append").parquet(
-            _p(index_path, "shingles")
+        tables.write_bucketed(
+            add_sh.select(id_col, "shingle"),
+            sh_t,
+            [id_col],
+            meta["n_buckets"],
+            sort_cols=[id_col],
+            mode="append",
+            path=_p(index_path, "shingles"),
         )
     return survivors

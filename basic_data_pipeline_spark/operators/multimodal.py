@@ -49,14 +49,72 @@ MEDIA_META_SCHEMA = T.StructType(
 
 
 class RealDecodeUnavailable(NotImplementedError):
-    """Raised by the real-codec path: PIL/ffmpeg/soundfile are not in this
-    container. The deterministic fake below keeps the pipeline testable."""
+    """Raised by the real-codec path when the codec library for the
+    modality is not importable (PIL for images, soundfile for audio;
+    video has no in-container codec). The deterministic fake keeps the
+    pipeline testable either way."""
 
 
-def decode_with_real_codec(data: bytes, modality: str):  # pragma: no cover
-    raise RealDecodeUnavailable(
-        f"no codec library available for {modality}; use fake=True"
-    )
+def _load_codecs() -> dict:
+    """Import-try the optional codec libraries ONCE per process. Returns
+    {modality: decode_fn}; modalities whose library is absent are simply
+    missing (the container ships neither pillow nor soundfile — the fake
+    path is the tested default; this hook makes `fake=False` real the
+    moment the library appears, with no code change)."""
+    codecs: dict = {}
+    try:  # pragma: no cover - pillow not in the container
+        import io
+
+        from PIL import Image
+
+        def _img(data: bytes) -> dict:
+            with Image.open(io.BytesIO(data)) as im:
+                return {
+                    "width": im.width,
+                    "height": im.height,
+                    "n_frames": int(getattr(im, "n_frames", 1)),
+                }
+
+        codecs["image"] = _img
+    except ImportError:
+        pass
+    try:  # pragma: no cover - soundfile not in the container
+        import io
+
+        import soundfile
+
+        def _aud(data: bytes) -> dict:
+            info = soundfile.info(io.BytesIO(data))
+            # schema mapping for audio: width=channels, height=sample
+            # rate, n_frames=frame count
+            return {
+                "width": int(info.channels),
+                "height": int(info.samplerate),
+                "n_frames": int(info.frames),
+            }
+
+        codecs["audio"] = _aud
+    except ImportError:
+        pass
+    return codecs
+
+
+_CODECS: dict | None = None
+
+
+def decode_with_real_codec(data: bytes, modality: str) -> dict:
+    """Decode one media item with the real codec library for its
+    modality; raises RealDecodeUnavailable if that library is not
+    importable in this environment."""
+    global _CODECS
+    if _CODECS is None:
+        _CODECS = _load_codecs()
+    fn = _CODECS.get(modality)
+    if fn is None:
+        raise RealDecodeUnavailable(
+            f"no codec library available for {modality}; use fake=True"
+        )
+    return fn(data)  # pragma: no cover - requires pillow/soundfile
 
 
 def synth_media(docs: DataFrame) -> DataFrame:
@@ -104,9 +162,19 @@ def decode_media_meta(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n_bytes = pdf["data"].map(len).astype("int64")
-            if not fake:  # pragma: no cover
-                decode_with_real_codec(pdf["data"].iloc[0], pdf["modality"].iloc[0])
-            meta = _fake_meta(n_bytes)
+            if fake:
+                meta = _fake_meta(n_bytes)
+            else:
+                # codecs are per-item by nature; the Arrow batch still
+                # amortizes transfer, and absent libraries surface as
+                # RealDecodeUnavailable from the first row
+                meta = pd.DataFrame(
+                    [
+                        decode_with_real_codec(d, m)
+                        for d, m in zip(pdf["data"], pdf["modality"])
+                    ],
+                    columns=["width", "height", "n_frames"],
+                ).astype({"width": "int32", "height": "int32", "n_frames": "int32"})
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -174,18 +174,28 @@ def pii_counts(text: Column, kinds: tuple[str, ...] = ("email", "ipv4")) -> dict
 
 # --- compression-ratio quality signal (mapInPandas, Arrow) ----------------
 
-COMPRESSION_SCHEMA = "doc_id long, n_bytes int, zlib_bytes int, compression_ratio double"
-
-
 def compression_ratio(docs, id_col: str = "doc_id", text_col: str = "text"):
     """Per-document zlib compression ratio — the Gopher-style signal that
     separates natural text (~2-4×) from degenerate repetition (≫4×) and
     random noise (~1×). zlib is Python-side by necessity, so this is a
     sanctioned Arrow path: mapInPandas, one vectorized batch at a time,
-    no per-row serde. Embarrassingly parallel, no shuffle."""
+    no per-row serde. Embarrassingly parallel, no shuffle.
+
+    The id field of the output schema is DERIVED from the input (name and
+    type), so string or non-long document ids work unchanged."""
     import zlib
 
     import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            docs.schema[id_col],
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("zlib_bytes", T.IntegerType()),
+            T.StructField("compression_ratio", T.DoubleType()),
+        ]
+    )
 
     def run(batches):
         for pdf in batches:
@@ -194,11 +204,11 @@ def compression_ratio(docs, id_col: str = "doc_id", text_col: str = "text"):
             z = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int32")
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "n_bytes": n,
                     "zlib_bytes": z,
                     "compression_ratio": n / z,
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(run, COMPRESSION_SCHEMA)
+    return docs.select(id_col, text_col).mapInPandas(run, out_schema)

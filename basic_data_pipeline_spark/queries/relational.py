@@ -79,14 +79,20 @@ def _exact_grouped_sums(
     associative).
 
     Also emits `n` (count) so callers derive exact averages."""
-    # (x·10⁶ + 0.5) truncated = round-half-up for the non-negative money/
-    # quantity columns — pure codegen double math; F.round() would route
-    # every row through BigDecimal.setScale.
+    # (x·10⁶ + sign(x)·0.5) truncated = round-half-away-from-zero for BOTH
+    # signs (double→long cast truncates toward zero, so the half-step must
+    # point away from zero; a bare +0.5 would be off by 1e-6 per negative
+    # row, e.g. refund/credit columns) — pure codegen double math;
+    # F.round() would route every row through BigDecimal.setScale. This
+    # matches the decimal(38,6) oracle, whose double→decimal conversion
+    # also rounds half away from zero.
     partial = df.groupBy(
         *keys, F.spark_partition_id().alias("_p")
     ).agg(
         *[
-            F.sum((c * _EXACT_SCALE + 0.5).cast("long")).alias(f"_s_{name}")
+            F.sum(
+                (c * _EXACT_SCALE + F.signum(c) * 0.5).cast("long")
+            ).alias(f"_s_{name}")
             for name, c in sums.items()
         ],
         F.count("*").alias("_n"),
@@ -529,6 +535,13 @@ def join_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark SQL has no native ASOF; the idiomatic composition is
     equi-join on the key + range predicate + row_number()=1 to keep the
     latest match. The equi component (user_id) is the shuffle key.
+
+    SCALE NOTE: this form materializes every (left × in-range right) pair
+    per key before the rn=1 prune, so a hot key with many in-range events
+    explodes the join output. At scale — or with skewed keys — use the
+    linear union+window form in `operators/asof.py`
+    (`join_asof_union_window`): one sort per key, no pair
+    materialization, same semantics.
     """
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
     e = _t(spark, sf_dir, "events")

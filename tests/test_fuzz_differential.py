@@ -140,9 +140,7 @@ def spark_views(spark):
     return spark
 
 
-@pytest.mark.parametrize("seed", range(N_CASES))
-def test_differential_query(seed, duck, spark_views):
-    sql = _gen_query(seed)
+def _assert_differential(sql: str, duck, spark_views, seed) -> None:
     srows = spark_views.sql(sql).collect()
     scols = spark_views.sql(sql).columns
     drel = duck.execute(sql)
@@ -152,6 +150,11 @@ def test_differential_query(seed, duck, spark_views):
     assert _result_hash(scols, [tuple(r) for r in srows]) == _result_hash(
         dcols, drows
     ), f"mismatch for seed {seed}: {sql}"
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_differential_query(seed, duck, spark_views):
+    _assert_differential(_gen_query(seed), duck, spark_views, seed)
 
 
 JOINS = [
@@ -186,16 +189,7 @@ def _gen_join_query(seed: int) -> str:
 
 @pytest.mark.parametrize("seed", range(20))
 def test_differential_join_query(seed, duck, spark_views):
-    sql = _gen_join_query(seed)
-    srows = spark_views.sql(sql).collect()
-    scols = spark_views.sql(sql).columns
-    drel = duck.execute(sql)
-    dcols = [d[0] for d in drel.description]
-    drows = drel.fetchall()
-    assert [c.lower() for c in scols] == [c.lower() for c in dcols], sql
-    assert _result_hash(scols, [tuple(r) for r in srows]) == _result_hash(
-        dcols, drows
-    ), f"mismatch for seed {seed}: {sql}"
+    _assert_differential(_gen_join_query(seed), duck, spark_views, seed)
 
 
 def _gen_window_query(seed: int) -> str:
@@ -224,13 +218,82 @@ def _gen_window_query(seed: int) -> str:
 
 @pytest.mark.parametrize("seed", range(15))
 def test_differential_window_query(seed, duck, spark_views):
-    sql = _gen_window_query(seed)
-    srows = spark_views.sql(sql).collect()
-    scols = spark_views.sql(sql).columns
-    drel = duck.execute(sql)
-    dcols = [d[0] for d in drel.description]
-    drows = drel.fetchall()
-    assert [c.lower() for c in scols] == [c.lower() for c in dcols], sql
-    assert _result_hash(scols, [tuple(r) for r in srows]) == _result_hash(
-        dcols, drows
-    ), f"mismatch for seed {seed}: {sql}"
+    _assert_differential(_gen_window_query(seed), duck, spark_views, seed)
+
+
+def _gen_setop_query(seed: int) -> str:
+    """Set operations (§2.6): two branches over the same table with
+    different predicates, combined by UNION [ALL] / INTERSECT / EXCEPT —
+    identical multiset/set semantics in both engines."""
+    rng = random.Random(30_000 + seed)
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    proj = ", ".join(c for c, _ in rng.sample(cols, min(3, len(cols))))
+    p1 = " AND ".join(_predicate(rng, cols) for _ in range(rng.randint(1, 2)))
+    p2 = " AND ".join(_predicate(rng, cols) for _ in range(rng.randint(1, 2)))
+    op = rng.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+    return (
+        f"SELECT {proj} FROM {table} WHERE {p1}"
+        f" {op} SELECT {proj} FROM {table} WHERE {p2}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_differential_setop_query(seed, duck, spark_views):
+    _assert_differential(_gen_setop_query(seed), duck, spark_views, seed)
+
+
+# (outer table, inner table, outer key, inner key) — key domains overlap
+SUBQ_LINKS = [
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("customer", "orders", "c_custkey", "o_custkey"),
+]
+
+
+def _gen_subquery_query(seed: int) -> str:
+    """Nested subqueries (§2.7): IN / NOT IN / correlated EXISTS / scalar
+    comparisons, plus two-level IN-of-IN. Keys are non-null ints, so
+    NOT IN's three-valued-logic trap can't bite and both engines agree."""
+    rng = random.Random(40_000 + seed)
+    outer, inner, okey, ikey = rng.choice(SUBQ_LINKS)
+    ocols, icols = TABLES[outer], TABLES[inner]
+    proj = ", ".join(c for c, _ in rng.sample(ocols, min(3, len(ocols))))
+    pred_o = _predicate(rng, ocols)
+    pred_i = _predicate(rng, icols)
+    shape = rng.randrange(4)
+    if shape == 0:  # [NOT] IN
+        neg = rng.choice(["", "NOT "])
+        return (
+            f"SELECT {proj} FROM {outer} WHERE {okey} {neg}IN"
+            f" (SELECT {ikey} FROM {inner} WHERE {pred_i}) AND {pred_o}"
+        )
+    if shape == 1:  # correlated EXISTS
+        return (
+            f"SELECT {proj} FROM {outer} WHERE EXISTS"
+            f" (SELECT 1 FROM {inner} WHERE {ikey} = {okey} AND {pred_i})"
+            f" AND {pred_o}"
+        )
+    if shape == 2:  # scalar subquery comparison (empty inner → NULL → no rows)
+        int_i = [c for c, t in icols if t == "int"][0]
+        op = rng.choice(["<", ">=", "<="])
+        return (
+            f"SELECT {proj} FROM {outer} WHERE {okey} {op}"
+            f" (SELECT max({int_i}) FROM {inner} WHERE {pred_i}) AND {pred_o}"
+        )
+    # two-level nesting: IN of IN
+    o2, i2, ok2, ik2 = rng.choice(
+        [l for l in SUBQ_LINKS if l[0] == inner] or [(inner, outer, ikey, okey)]
+    )
+    pred_i2 = _predicate(rng, TABLES[i2])
+    return (
+        f"SELECT {proj} FROM {outer} WHERE {okey} IN"
+        f" (SELECT {ikey} FROM {inner} WHERE {ok2} IN"
+        f" (SELECT {ik2} FROM {i2} WHERE {pred_i2}) AND {pred_i})"
+        f" AND {pred_o}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_differential_subquery_query(seed, duck, spark_views):
+    _assert_differential(_gen_subquery_query(seed), duck, spark_views, seed)

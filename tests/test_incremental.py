@@ -72,6 +72,122 @@ def test_incremental_drops_cross_batch_duplicate(spark, tmp_path):
     assert after == before + 1
 
 
+def test_incremental_cross_join_shuffles_only_increment_side(spark, tmp_path):
+    """The scale contract of the bucketed index: the cross-candidate join
+    reads the index bands IN PLACE (bucketed scan, no Exchange on that
+    side) and exchanges only the increment's bands. Broadcast is disabled
+    so the assertion pins the sort-merge plan — the one whose scaling
+    matters when neither side is small."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") < 100)
+    b2 = docs.filter(F.col("doc_id").between(100, 150))
+    idx = str(tmp_path / "idx")
+    incremental.build_index(spark, b1, idx)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx_bands, _, _ = incremental._index_tables(spark, idx, "doc_id")
+        new_sh = dedup.word_shingles(b2, "doc_id", "text")
+        new_bands = dedup.lsh_bands(
+            dedup.minhash_signatures(new_sh, "doc_id"), "doc_id"
+        )
+        cross = incremental._cross_candidates(idx_bands, new_bands, "doc_id")
+        plan = cross._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    assert "SortMergeJoin" in plan
+    # left ( ":-" ) subtree of the join = the index side
+    lines = plan.splitlines()
+    join_at = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+    left = []
+    for l in lines[join_at + 1 :]:
+        if not l.lstrip().startswith(":"):
+            break  # first non-":"-prefixed line = the right (increment) child
+        left.append(l)
+    assert any("Bucketed: true" in l for l in left), "\n".join(left)
+    assert not any("Exchange" in l for l in left), "\n".join(left)
+
+
+# deterministic transitive chain a~b, b~c, a≁c: block construction
+# (a = S1+S2, b = S1+S2+S3, c = S2+S3 → J(a,b)=J(b,c)=0.659,
+# J(a,c)=0.318) with a word seed verified to collide in LSH band space
+# under the fixed md5 family for BOTH chain pairs.
+def _chain_docs():
+    blk = lambda s: " ".join(f"{s}tok{i}" for i in range(30))  # noqa: E731
+    s1, s2, s3 = blk("a5"), blk("b5"), blk("c5")
+    return (s1 + " " + s2, s1 + " " + s2 + " " + s3, s2 + " " + s3)
+
+
+def test_incremental_cluster_policy_resolves_cross_batch_chain(spark, tmp_path):
+    """survivor_policy='cluster': the index retains dropped docs'
+    bands/shingles, so a transitive chain arriving ACROSS batches keeps
+    exactly one survivor (b drops against a in batch 2; c still finds b
+    in the index and drops in batch 3, even though J(a,c) < threshold)."""
+    a, b, c = _chain_docs()
+    idx = str(tmp_path / "idx")
+    d1 = spark.createDataFrame([(1, a)], "doc_id long, text string")
+    s1 = incremental.build_index(spark, d1, idx, survivor_policy="cluster")
+    assert {r["doc_id"] for r in s1.collect()} == {1}
+
+    d2 = spark.createDataFrame([(2, b)], "doc_id long, text string")
+    s2 = incremental.incremental_dedup(spark, d2, idx)
+    assert {r["doc_id"] for r in s2.collect()} == set()
+
+    d3 = spark.createDataFrame([(3, c)], "doc_id long, text string")
+    s3 = incremental.incremental_dedup(spark, d3, idx)
+    assert {r["doc_id"] for r in s3.collect()} == set()  # one survivor: a
+
+
+def test_incremental_greedy_policy_keeps_chain_tail(spark, tmp_path):
+    """The documented greedy divergence on the same chain: the index holds
+    only survivors, so c finds no partner in batch 3 and survives."""
+    a, b, c = _chain_docs()
+    idx = str(tmp_path / "idx")
+    d1 = spark.createDataFrame([(1, a)], "doc_id long, text string")
+    incremental.build_index(spark, d1, idx, survivor_policy="greedy")
+
+    d2 = spark.createDataFrame([(2, b)], "doc_id long, text string")
+    s2 = incremental.incremental_dedup(spark, d2, idx)
+    assert {r["doc_id"] for r in s2.collect()} == set()
+
+    d3 = spark.createDataFrame([(3, c)], "doc_id long, text string")
+    s3 = incremental.incremental_dedup(spark, d3, idx)
+    assert {r["doc_id"] for r in s3.collect()} == {3}
+
+
+def test_incremental_string_ids(spark, tmp_path):
+    """The dropped-id materialization derives its schema from the input —
+    string doc ids must work end-to-end (build, increment, index append)."""
+    a, b, _ = _chain_docs()
+    idx = str(tmp_path / "idx")
+    d1 = spark.createDataFrame(
+        [("doc-a", a), ("doc-x", "entirely unrelated words forever alone")],
+        "doc_id string, text string",
+    )
+    s1 = incremental.build_index(spark, d1, idx)
+    assert {r["doc_id"] for r in s1.collect()} == {"doc-a", "doc-x"}
+
+    d2 = spark.createDataFrame(
+        [("doc-b", b)], "doc_id string, text string"
+    )
+    s2 = incremental.incremental_dedup(spark, d2, idx)
+    assert {r["doc_id"] for r in s2.collect()} == set()
+
+
+def test_incremental_module_has_no_driver_collect():
+    """The dropped-id set must stay distributed (a 100%-duplicate batch
+    would otherwise funnel every id through the driver as a Python
+    list)."""
+    import inspect
+
+    src = inspect.getsource(incremental)
+    assert ".collect()" not in src
+    assert ".toPandas()" not in src
+    assert ".toLocalIterator()" not in src
+
+
 def test_ivf_index_build_add_search(spark, tmp_path):
     """Persisted IVF index: build on half the vectors, append the rest
     via assignment-only (no retraining), then search the full index —

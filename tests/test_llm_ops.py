@@ -166,9 +166,37 @@ def test_multimodal_decode_meta_shape(docs, spark):
     )
 
 
-def test_multimodal_real_codec_is_stubbed():
-    with pytest.raises(multimodal.RealDecodeUnavailable):
-        multimodal.decode_with_real_codec(b"bytes", "image")
+def test_multimodal_real_codec_import_try():
+    """The real path is an import-try: with pillow/soundfile absent
+    (this container) every modality raises RealDecodeUnavailable; if a
+    library IS importable, its modality decodes real bytes instead."""
+    codecs = multimodal._load_codecs()
+    for modality in multimodal.MODALITIES:
+        if modality in codecs:  # pragma: no cover - codec lib present
+            continue
+        with pytest.raises(multimodal.RealDecodeUnavailable):
+            multimodal.decode_with_real_codec(b"bytes", modality)
+    assert "video" not in codecs  # no in-container video codec ever
+
+
+@pytest.mark.skipif(
+    not multimodal._load_codecs().get("image"), reason="pillow not installed"
+)
+def test_multimodal_real_image_decode(docs, spark):  # pragma: no cover
+    """Runs only where pillow exists: a real PNG decodes to its true
+    dimensions through the same mapInPandas pipeline."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (12, 7)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()))],
+        "media_id long, modality string, data binary",
+    )
+    row = multimodal.decode_media_meta(media, fake=False).collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (12, 7, 1)
 
 
 def test_resize_images_only_images_fixed_len(docs):
@@ -426,6 +454,36 @@ def test_duplicate_clusters_handles_chains(spark):
     )
     surv = {r["doc_id"] for r in dedup.cluster_survivors(docs, pairs).collect()}
     assert surv == {1, 10, 99}
+
+
+def test_duplicate_clusters_deep_chain_converges(spark):
+    """A diameter-60 path graph converges within the default 20
+    iterations — pointer jumping doubles propagation reach per round
+    (plain one-hop propagation would need 60). Also pins the lineage
+    checkpointing path (iterations > checkpoint_every)."""
+    n = 61
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(n - 1)],
+        "id_a long, id_b long, jaccard double",
+    )
+    clusters = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert clusters == {i: 0 for i in range(n)}
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    """max_iters too small for the diameter → explicit error, never a
+    silently split component."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(40)],
+        "id_a long, id_b long, jaccard double",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iters=2)
 
 
 def test_cluster_survivors_matches_greedy_on_disjoint_pairs(docs):

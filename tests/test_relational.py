@@ -111,3 +111,36 @@ def test_exact_scaled_sums_partition_invariant_and_equals_decimal(spark):
     assert fast(base.repartition(1)) == ref
     assert fast(base.repartition(32)) == ref
     assert fast(base.repartition(7, "k")) == ref
+
+
+def test_exact_scaled_sums_negative_values(spark):
+    """Sign-aware rounding: negative inputs (refund/credit columns) must
+    match the decimal oracle too — the double→long cast truncates toward
+    zero, so the half-step points AWAY from zero. 2-decimal money values
+    like -4.99 are the live case: x·10⁶ lands just past the integer on
+    the wrong side, so the old +0.5 form was off by 1e-6 on every
+    negative row."""
+    from pyspark.sql import functions as F
+    from basic_data_pipeline_spark.queries.relational import _exact_grouped_sums
+
+    rows = [
+        (i % 3, ((i * 7919 % 100000) / 100.0) * (-1 if i % 2 else 1))
+        for i in range(5000)
+    ]
+    rows += [(2, -4.99), (2, 0.0), (0, -0.01)]
+    base = spark.createDataFrame(rows, "k int, x double")
+
+    got = {
+        r["k"]: (r["s"], r["n"])
+        for r in _exact_grouped_sums(base.repartition(13), ["k"], {"s": F.col("x")}).collect()
+    }
+    ref = {
+        r["k"]: (r["s"], r["n"])
+        for r in base.groupBy("k")
+        .agg(
+            F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert got == ref
