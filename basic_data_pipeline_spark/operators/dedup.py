@@ -49,6 +49,32 @@ N_BANDS = 4  # 4 rows per band
 # queries pin the uncapped candidate set.
 DEFAULT_MAX_BUCKET = 50
 
+# One-row stats frame planted by the most recent CAPPED
+# lsh_candidate_pairs call (None when the last call ran uncapped) — read
+# via last_cap_stats(). A frame, not an Observation: the capped bands
+# feed a self-join, and a CollectMetrics node referenced from both join
+# branches breaks (JVM assertion / never fires); an explicit aggregate
+# over the already-persisted pre-cap frame is deterministic and costs
+# one tiny cache-read job, only when actually asked for.
+_LAST_CAP_STATS_SRC: DataFrame | None = None
+
+
+def last_cap_stats() -> dict | None:
+    """Stats of the most recent capped `lsh_candidate_pairs` call:
+    ``{"capped_rows": band memberships dropped, "capped_buckets":
+    approx distinct (band, bandkey) buckets that hit the cap}``.
+
+    Returns None if the last call was uncapped. Runs one small aggregate
+    job over the persisted pre-cap bands (cache-local while the candidate
+    pipeline's persists are live)."""
+    if _LAST_CAP_STATS_SRC is None:
+        return None
+    row = _LAST_CAP_STATS_SRC.first()
+    return {
+        "capped_rows": row["capped_rows"],
+        "capped_buckets": row["capped_buckets"],
+    }
+
 
 def word_shingles(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
@@ -153,19 +179,29 @@ def lsh_candidate_pairs(
     across bands), and a bucket that big is boilerplate, not signal —
     near-dup sets of real documents collide on several bands at once.
     Pass None for the exact (uncapped) candidate set — the oracle-checked
-    queries use that; production at corpus scale sets a cap.
+    queries use that; production at corpus scale sets a cap. When capped,
+    the dropped row/bucket counts are readable via `last_cap_stats()`
+    (one small cache-read job) — a corpus whose ORGANIC buckets exceed
+    the cap is under-deduped and should be noticed, not silent
+    (incremental_dedup warns for you).
 
     `bands` feeds BOTH join sides: persist it so the whole shingle→
     minhash pipeline runs once, not twice (it is O(n_docs×N_BANDS) rows —
     tiny next to its input)."""
+    global _LAST_CAP_STATS_SRC
     if max_bucket is not None:
         w = W.partitionBy("band", "bandkey").orderBy(id_col)
-        bands = (
-            bands.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= max_bucket)
-            .drop("_r")
+        ranked = tracked_persist(bands.withColumn("_r", F.row_number().over(w)))
+        _LAST_CAP_STATS_SRC = ranked.filter(F.col("_r") > max_bucket).agg(
+            F.count("*").alias("capped_rows"),
+            F.approx_count_distinct(
+                F.concat_ws("\x1f", "band", "bandkey")
+            ).alias("capped_buckets"),
         )
-    bands = tracked_persist(bands)
+        bands = ranked.filter(F.col("_r") <= max_bucket).drop("_r")
+    else:
+        _LAST_CAP_STATS_SRC = None
+        bands = tracked_persist(bands)
     a = bands.select(
         F.col("band"), F.col("bandkey"), F.col(id_col).alias("id_a")
     )
@@ -516,7 +552,9 @@ def near_dedup_corpus(
     duplicate component (correct on transitive chains); ``greedy`` keeps
     lowest-id per pair (single pass, no iteration — what the
     oracle-checked queries pin). family/max_bucket as documented on
-    minhash_signatures / lsh_candidate_pairs. For batch-over-batch
+    minhash_signatures / lsh_candidate_pairs. After the first action on
+    the result, `last_cap_stats()` reports how much the hot-bucket cap
+    dropped (zero extra jobs — plan-observed). For batch-over-batch
     corpora use operators/incremental.py instead — it reuses a persisted
     index rather than re-deduping everything."""
     sh = tracked_persist(word_shingles(docs, id_col, text_col))

@@ -53,7 +53,9 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -83,8 +85,29 @@ def _write_meta(index_path: str, meta: dict) -> None:
 
 
 def _read_meta(index_path: str) -> dict:
-    with open(_p(index_path, "_meta.json")) as f:
-        return json.load(f)
+    try:
+        with open(_p(index_path, "_meta.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"dedup index at {index_path!r} has no _meta.json — either the "
+            "path is not an index, or it predates the bucketed index format "
+            "(which stores its bucket spec there). Rebuild it with "
+            "build_index(); appending to an unbucketed layout would "
+            "silently lose the zero-shuffle join property."
+        ) from None
+
+
+def _prune_staging(index_path: str, meta: dict) -> None:
+    """Delete staged dropped-id parquets from all but the most recent
+    prior call (recorded in meta['staging']) — unbounded accumulation
+    otherwise. Retention contract: the survivors frame returned by call k
+    stays re-evaluable until call k+2 starts; consume (or persist) it
+    before then."""
+    staged = meta.get("staging", [])
+    for rel in staged[:-1]:
+        shutil.rmtree(_p(index_path, rel), ignore_errors=True)
+    meta["staging"] = staged[-1:]
 
 
 def _ensure_registered(
@@ -147,7 +170,7 @@ def _cross_candidates(
 
 def _materialized_dropped(
     spark: SparkSession, dropped_src: DataFrame, index_path: str, id_col: str
-) -> DataFrame:
+) -> tuple[DataFrame, str]:
     """Materialize the dropped-id set to a staging parquet under the index
     and read it back — a DISTRIBUTED lineage cut (never a driver-side
     collect: a batch that is 100% duplicates would otherwise funnel every
@@ -156,10 +179,13 @@ def _materialized_dropped(
     to the caller outlives this call — left lazy, a post-append
     evaluation would see the batch's own rows in the index and drop every
     survivor as its own duplicate. The id column keeps the caller's
-    name and type (no hardcoded schema — string ids work)."""
-    staging = _p(index_path, os.path.join("_staging", uuid.uuid4().hex))
+    name and type (no hardcoded schema — string ids work). Returns the
+    frame and the index-relative staging path (for meta tracking /
+    pruning by later calls — see _prune_staging)."""
+    rel = os.path.join("_staging", uuid.uuid4().hex)
+    staging = _p(index_path, rel)
     dropped_src.write.mode("overwrite").parquet(staging)
-    return spark.read.parquet(staging)
+    return spark.read.parquet(staging), rel
 
 
 def _dropped_ids(pairs: DataFrame, id_col: str, survivor_policy: str) -> DataFrame:
@@ -211,6 +237,9 @@ def build_index(
         idx_bands = bands.join(keep, id_col)
         idx_sh = sh.join(keep, id_col)
 
+    # a rebuild invalidates any staged dropped-id parquets from a prior
+    # index at the same path
+    shutil.rmtree(_p(index_path, "_staging"), ignore_errors=True)
     bands_t, sh_t = _table_names(index_path)
     tables.write_bucketed(
         idx_bands.select(id_col, "band", "bandkey"),
@@ -230,7 +259,11 @@ def build_index(
     )
     _write_meta(
         index_path,
-        {"n_buckets": n_buckets, "survivor_policy": survivor_policy},
+        {
+            "n_buckets": n_buckets,
+            "survivor_policy": survivor_policy,
+            "staging": [],
+        },
     )
     return survivors
 
@@ -262,11 +295,21 @@ def incremental_dedup(
     corpus should cap at build time instead.
 
     `survivor_policy` defaults to whatever the index was built with
-    (_meta.json): ``greedy`` appends only survivors; ``cluster`` appends
-    every new doc so later increments match transitively (see module
-    docstring)."""
+    (_meta.json); passing one that DISAGREES with the index raises —
+    mixing append semantics (``cluster`` retains dropped docs, ``greedy``
+    doesn't) would silently break the index's invariant for every later
+    batch. Rebuild with build_index(survivor_policy=...) to switch."""
     idx_bands, idx_sh, meta = _index_tables(spark, index_path, id_col)
-    policy = survivor_policy or meta.get("survivor_policy", "greedy")
+    built_with = meta.get("survivor_policy", "greedy")
+    if survivor_policy is not None and survivor_policy != built_with:
+        raise ValueError(
+            f"survivor_policy={survivor_policy!r} conflicts with the "
+            f"index at {index_path!r}, built with {built_with!r} — the "
+            "policy fixes what the index retains, so it cannot change "
+            "per batch; rebuild the index to switch policies"
+        )
+    policy = built_with
+    _prune_staging(index_path, meta)
 
     new_sh = tracked_persist(dedup.word_shingles(new_docs, id_col, text_col))
     new_sig = dedup.minhash_signatures(new_sh, id_col)
@@ -284,9 +327,23 @@ def incremental_dedup(
     verify_sh = new_sh.unionByName(idx_sh.join(old_ids, id_col, "left_semi"))
     pairs = dedup.jaccard_verify(verify_sh, cand, id_col, threshold)
 
-    dropped = _materialized_dropped(
+    dropped, staging_rel = _materialized_dropped(
         spark, _dropped_ids(pairs, id_col, policy), index_path, id_col
     )
+    meta["staging"] = meta.get("staging", []) + [staging_rel]
+    _write_meta(index_path, meta)
+    # surface the hot-bucket cap's drop counts (one tiny aggregate over
+    # the still-cached pre-cap bands) so a corpus whose organic buckets
+    # exceed max_bucket is noticed rather than silently under-deduped
+    cap = dedup.last_cap_stats()
+    if cap and cap.get("capped_rows"):
+        warnings.warn(
+            f"incremental_dedup: hot-bucket cap (max_bucket={max_bucket}) "
+            f"dropped {cap['capped_rows']} band memberships across "
+            f"~{cap['capped_buckets']} buckets in this batch; pass "
+            "max_bucket=None for the exact candidate set",
+            stacklevel=2,
+        )
     # only NEW docs can drop (cross pairs orient corpus-first; a corpus id
     # labeled into another corpus doc's cluster is not in new_docs) —
     # anti-join filters survivors of this batch

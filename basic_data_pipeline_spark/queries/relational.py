@@ -539,9 +539,9 @@ def join_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALE NOTE: this form materializes every (left × in-range right) pair
     per key before the rn=1 prune, so a hot key with many in-range events
     explodes the join output. At scale — or with skewed keys — use the
-    linear union+window form in `operators/asof.py`
-    (`join_asof_union_window`): one sort per key, no pair
-    materialization, same semantics.
+    linear union+window form in `operators/asof.py` (`asof_join`,
+    registered as the `join_asof_union_window` query): one sort per
+    key, no pair materialization, same semantics.
     """
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
     e = _t(spark, sf_dir, "events")

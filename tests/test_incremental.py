@@ -176,6 +176,89 @@ def test_incremental_string_ids(spark, tmp_path):
     assert {r["doc_id"] for r in s2.collect()} == set()
 
 
+def test_incremental_staging_is_pruned(spark, tmp_path):
+    """Staged dropped-id parquets must not accumulate unboundedly: each
+    call prunes all but the prior call's staging dir (the documented
+    retention contract — call k's survivors frame stays re-evaluable
+    until call k+2 starts)."""
+    import os
+
+    a, b, _ = _chain_docs()
+    idx = str(tmp_path / "idx")
+    d1 = spark.createDataFrame([(1, a)], "doc_id long, text string")
+    incremental.build_index(spark, d1, idx)
+
+    for i in range(4):
+        d = spark.createDataFrame(
+            [(10 + i, f"fresh unique text number {i} nothing shared here")],
+            "doc_id long, text string",
+        )
+        incremental.incremental_dedup(spark, d, idx).collect()
+
+    staged = os.listdir(os.path.join(idx, "_staging"))
+    assert len(staged) <= 2  # current call's + the prior call's
+    # and the meta ledger tracks exactly what's on disk
+    meta = incremental._read_meta(idx)
+    assert set(meta["staging"]) == {os.path.join("_staging", s) for s in staged}
+
+
+def test_incremental_prior_survivors_stay_valid(spark, tmp_path):
+    """The retention contract's useful half: the survivors frame returned
+    by call k must still be collectable after call k+1 ran (its staging
+    dir is kept; only older ones are pruned)."""
+    a, _, _ = _chain_docs()
+    idx = str(tmp_path / "idx")
+    d1 = spark.createDataFrame([(1, a)], "doc_id long, text string")
+    incremental.build_index(spark, d1, idx)
+
+    d2 = spark.createDataFrame(
+        [(2, "completely novel sentence with original words")],
+        "doc_id long, text string",
+    )
+    s2 = incremental.incremental_dedup(spark, d2, idx)  # NOT consumed yet
+    d3 = spark.createDataFrame(
+        [(3, "another disjoint vocabulary entirely different")],
+        "doc_id long, text string",
+    )
+    incremental.incremental_dedup(spark, d3, idx).collect()
+    # call k+1 pruned only staging dirs OLDER than call k's
+    assert {r["doc_id"] for r in s2.collect()} == {2}
+
+
+def test_incremental_missing_meta_raises_clearly(spark, tmp_path):
+    """A pre-bucketed-format index (plain parquet, no _meta.json) must
+    fail with an actionable error, not a bare FileNotFoundError."""
+    import pytest
+
+    legacy = str(tmp_path / "legacy_idx")
+    spark.createDataFrame(
+        [(1, 0, "k")], "doc_id long, band int, bandkey string"
+    ).write.parquet(f"{legacy}/bands")
+    d = spark.createDataFrame([(2, "text here")], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="_meta.json.*build_index"):
+        incremental.incremental_dedup(spark, d, legacy)
+
+
+def test_incremental_conflicting_policy_raises(spark, tmp_path):
+    """An explicit survivor_policy that disagrees with what the index was
+    built with must raise — mixing append semantics silently breaks the
+    cluster index's retain-dropped-docs invariant for all later batches."""
+    import pytest
+
+    a, _, _ = _chain_docs()
+    idx = str(tmp_path / "idx")
+    d1 = spark.createDataFrame([(1, a)], "doc_id long, text string")
+    incremental.build_index(spark, d1, idx, survivor_policy="cluster")
+
+    d2 = spark.createDataFrame([(2, "whatever")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="conflicts with the.*index"):
+        incremental.incremental_dedup(spark, d2, idx, survivor_policy="greedy")
+    # matching explicit policy is fine
+    incremental.incremental_dedup(
+        spark, d2, idx, survivor_policy="cluster"
+    ).collect()
+
+
 def test_incremental_module_has_no_driver_collect():
     """The dropped-id set must stay distributed (a 100%-duplicate batch
     would otherwise funnel every id through the driver as a Python

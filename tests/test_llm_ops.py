@@ -325,6 +325,26 @@ def test_lsh_bucket_cap_bounds_candidates_keeps_recall(docs, spark):
     assert exact <= got
 
 
+def test_lsh_cap_stats_observed(spark):
+    """When the hot-bucket cap triggers, the dropped row/bucket counts
+    must be visible post-action via last_cap_stats() (plan-observed, no
+    extra job); an uncapped call resets the stats to None."""
+    hot = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band"),
+        F.lit("HOTKEY").alias("bandkey"),
+    )
+    capped = dedup.lsh_candidate_pairs(hot, "doc_id", max_bucket=5)
+    assert capped.count() == 5 * 4 // 2
+    stats = dedup.last_cap_stats()
+    assert stats is not None
+    assert stats["capped_rows"] == 15  # 20 members, 5 kept
+    assert stats["capped_buckets"] >= 1
+
+    dedup.lsh_candidate_pairs(hot, "doc_id").count()
+    assert dedup.last_cap_stats() is None
+
+
 def test_ivf_nprobe_recall_monotone(emb):
     """nprobe is the IVF recall lever: probing more cells must not lose
     pairs (every probe-1 candidate remains a candidate) and should raise
