@@ -41,10 +41,18 @@ BROADCASTABLE: frozenset[str] = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Column pruning/pushdown happen in Catalyst.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL). We read nanos
-    as long (legacy conf) and convert to a microsecond timestamp in the
-    plan — a zero-shuffle projection that stays inside whole-stage codegen;
+    ``events.ts`` has been written by the driver in two physical forms so
+    far, so we normalize BOTH at this one boundary:
+
+    * parquet TIMESTAMP(NANOS) — Spark's vectorized reader rejects it
+      outright (PARQUET_TYPE_ILLEGAL); we read nanos as long (legacy conf)
+      and convert to a microsecond timestamp in the plan.
+    * parquet TIMESTAMP(MICROS) with no timezone — loads as
+      ``TIMESTAMP_NTZ``, which Spark 4 refuses to ``cast("long")`` or feed
+      to ``unix_millis``; we cast NTZ→LTZ, value-preserving under the
+      pinned UTC session timezone (session.py).
+
+    Both branches are zero-shuffle projections inside whole-stage codegen;
     the DuckDB oracle applies the matching CAST(ts AS TIMESTAMP).
     """
     if name not in TABLES:
@@ -52,10 +60,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

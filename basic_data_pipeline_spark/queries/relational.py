@@ -603,14 +603,41 @@ def agg_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", oracle=None)
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           CAST(abs(approx_count_distinct(l_partkey)
+                    - count(DISTINCT l_partkey))
+                <= 0.05 * count(DISTINCT l_partkey) AS INTEGER)
+               AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog approximate distinct (sketch differs from DuckDB's, so
-    rows-only check; pytest asserts it is within 5% of exact)."""
+    """HyperLogLog approximate distinct, oracle-checked by BOUND rather than
+    by value: Spark's HLL++ sketch and DuckDB's HLL produce different
+    estimates, so the comparable surface is (exact count, did-my-own-sketch
+    land within ±5% of it). Each engine asserts its own sketch; the hash
+    compare then enforces both the exact counts and the tolerance flags.
+    A pytest additionally pins Spark's estimate within 5% of exact."""
     li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_approx"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"))
+        agg.select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            )
+            .cast("int")
+            .alias("approx_within_5pct"),
+        )
         .orderBy("l_returnflag")
     )
 

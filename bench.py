@@ -38,31 +38,47 @@ def main() -> None:
     qs = headline_queries()
     # warm the session (JVM classloading, codegen compiler) on the smallest
     # query once; per-query numbers below are per-run cold-cache plans.
-    next(iter(qs.values()))(spark, SF_DIR).count()
+    # Error isolation everywhere: one broken query must not zero the whole
+    # artifact (BENCH_r04 lesson — the warm-up threw and rc=1 lost every
+    # number). Failures are recorded per-query and the JSON line always
+    # prints.
+    errors: dict[str, str] = {}
+    try:
+        next(iter(qs.values()))(spark, SF_DIR).count()
+    except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
+        errors["_warmup"] = f"{type(exc).__name__}: {exc}"[:500]
 
     best: dict[str, float] = {}
     for _ in range(N_RUNS):
         for name, fn in qs.items():
+            if name in errors:
+                continue
             t0 = time.time()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                best.pop(name, None)
+                continue
             dt = round(time.time() - t0, 3)
             if name not in best or dt < best[name]:
                 best[name] = dt
     total = round(sum(best.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": best,
-                "runs": N_RUNS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": best,
+        "runs": N_RUNS,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

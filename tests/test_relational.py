@@ -62,17 +62,22 @@ def test_q1_scan_prunes_columns(spark):
 
 
 def test_approx_distinct_close_to_exact(spark):
+    """The query now emits (exact_parts, approx_within_5pct) so the oracle
+    can hash-compare it; cross-check exact against agg_core and require the
+    within-tolerance flag to be set for every group."""
     qs = registry.queries()
-    approx = {
-        r["l_returnflag"]: r["approx_parts"]
+    rows = {
+        r["l_returnflag"]: r
         for r in qs["agg_approx_distinct"](spark, SF_SMOKE).collect()
     }
     exact = {
         r["l_returnflag"]: r["n_parts"]
         for r in qs["agg_core"](spark, SF_SMOKE).collect()
     }
+    assert set(rows) == set(exact)
     for k, v in exact.items():
-        assert abs(approx[k] - v) / v < 0.05
+        assert rows[k]["exact_parts"] == v
+        assert rows[k]["approx_within_5pct"] == 1
 
 
 def test_topk_per_group_k(spark):

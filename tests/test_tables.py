@@ -81,3 +81,28 @@ def test_csv_json_orc_roundtrip(spark, tmp_path):
 def test_jdbc_gated(spark):
     with pytest.raises(files.JdbcUnavailable):
         files.read_jdbc(spark, "jdbc:clickhouse://localhost:8123/raw", "employees")
+
+
+@pytest.mark.parametrize(
+    "sf_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+)
+def test_events_ts_loads_as_ltz_timestamp(spark, sf_dir):
+    """Environment canary: the driver has regenerated events.parquet twice
+    (TIMESTAMP(NANOS) → TIMESTAMP(MICROS)/no-tz), and each change broke a
+    different part of the surface. catalog.load_table normalizes every
+    physical form to a session-tz TIMESTAMP; if the fixture or engine
+    drifts again, THIS test fails first, in one obvious place, instead of
+    window_analytics + cdc_normalize_values + the bench all going red.
+    """
+    from pyspark.sql.types import TimestampType
+
+    from basic_data_pipeline_spark import catalog
+
+    df = catalog.load_table(spark, sf_dir, "events")
+    ts_field = df.schema["ts"]
+    assert isinstance(ts_field.dataType, TimestampType), ts_field.dataType
+    # The two Spark-4 pain points that went red in round 4 must both work:
+    df.select(
+        F.col("ts").cast("long"), F.unix_millis(F.col("ts"))
+    ).limit(1).collect()
