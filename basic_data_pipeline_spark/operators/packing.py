@@ -1,0 +1,125 @@
+"""Training-sequence packing and benchmark-contamination operators.
+
+Two corpus-preparation stages every LLM training pipeline runs after
+dedup/filtering, absent from the reference (its pipeline stops at CDC
+ingest, /root/reference/consumer_to_file.py) and from round-4's surface:
+
+* ``pack_sequences`` — assign each document a position in the stream of
+  fixed-length training windows (the "sequence packing" step that turns a
+  ragged corpus into dense ``seq_len``-token rows). The core is a GLOBAL
+  prefix sum of token counts in a deterministic document order. A naive
+  ``Window.orderBy(id)`` computes it on ONE partition — a non-starter at
+  corpus scale — so this implements the classic two-phase distributed scan:
+  range-partition by id, per-partition partial sums, a driver-side prefix
+  over the per-partition totals (#partitions rows, bounded control-plane
+  data), then a broadcast join of the offsets back onto each partition's
+  local running sum. Every heavy stage stays fully parallel.
+
+* ``contamination_hits`` — per-document count of word n-grams shared with
+  a benchmark/eval set (the train-test decontamination check). Expressed
+  as a shingle-explode + equi-join + per-doc countDistinct: never an
+  all-pairs document comparison; the join key space is the benchmark's
+  shingle set, which is small by construction (eval suites are ~10^3-10^6
+  docs even when the corpus is 100 TB). The benchmark side is aggregated
+  to distinct shingles and broadcast when small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from basic_data_pipeline_spark.operators.dedup import word_shingles
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str,
+    ntok_col: Column,
+    seq_len: int,
+    parts: int | None = None,
+) -> DataFrame:
+    """(id, n_tok, seq_bin, bin_pos): chunked packing of documents, in
+    ``id_col`` order, into a stream of ``seq_len``-token windows.
+
+    ``seq_bin`` is the window index where the document STARTS
+    (= floor(tokens_before / seq_len)) and ``bin_pos`` its offset inside
+    that window — enough for a writer to lay out dense training rows.
+    Documents longer than ``seq_len`` simply span multiple windows, as in
+    standard packed-causal-LM preprocessing.
+
+    Scale design: the only global dependency is the prefix sum, computed
+    as range-partitioned local scans + a driver prefix over per-partition
+    totals. The single ``collect()`` is bounded by the partition count
+    (control-plane size, not data size). Output is deterministic — range
+    boundaries only split the id order, never permute it.
+    """
+    n = parts or docs.sparkSession.sparkContext.defaultParallelism
+    d = (
+        docs.select(F.col(id_col), ntok_col.cast("long").alias("n_tok"))
+        .repartitionByRange(n, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # Local running sums within each id-range partition.
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_local_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    # Per-partition totals -> driver prefix scan (#partitions rows).
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in d.groupBy("_pid").agg(F.sum("n_tok").alias("tot")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off_df = F.broadcast(
+        d.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
+    )
+    cum_before = F.col("_local_before") + F.col("_offset")
+    return (
+        d.join(off_df, "_pid")
+        .select(
+            F.col(id_col),
+            F.col("n_tok"),
+            F.floor(cum_before / seq_len).alias("seq_bin"),
+            (cum_before % seq_len).alias("bin_pos"),
+        )
+    )
+
+
+def contamination_hits(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """(id, contam_hits): per-document count of distinct word ``n``-grams
+    that also occur in ``bench`` (under a DIFFERENT document id, so a
+    benchmark doc is not trivially contaminated by itself when the two
+    frames overlap).
+
+    The n-gram length is the decontamination knob: 8-gram overlap is the
+    conventional "verbatim leak" signal (long enough that chance collision
+    in natural text is negligible). Only documents with at least one hit
+    appear — left-join and coalesce to 0 at the call site if a dense
+    column is wanted.
+    """
+    corpus_sh = word_shingles(docs, id_col, text_col, n)
+    bench_sh = word_shingles(bench, id_col, text_col, n).withColumnRenamed(
+        id_col, "_bench_id"
+    )
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    return (
+        corpus_sh.join(bench_sh, "shingle")
+        .filter(F.col(id_col) != F.col("_bench_id"))
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("contam_hits"))
+    )

@@ -19,7 +19,13 @@ from pyspark.sql.window import Window as W
 
 from basic_data_pipeline_spark.caching import tracked_persist
 from basic_data_pipeline_spark.catalog import load_table
-from basic_data_pipeline_spark.operators import dedup, multimodal, similarity, text
+from basic_data_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    packing,
+    similarity,
+    text,
+)
 from basic_data_pipeline_spark.partitioning import spread
 from basic_data_pipeline_spark.registry import query
 
@@ -598,6 +604,64 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup.minhash_signatures(sh, "doc_id")
     cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, "doc_id"), "doc_id")
     return dedup.jaccard_verify(sh, cand, "doc_id", 0.5)
+
+
+@query(
+    "corpus_pack_contam",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+                  FROM documents),
+    base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM toks),
+    cum AS (SELECT doc_id, n_tok,
+                   COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cum_before
+            FROM base),
+    sh AS (SELECT DISTINCT doc_id, array_to_string(w[i+1:i+8], ' ') AS shingle
+           FROM toks, UNNEST(range(0, greatest(len(w) - 8, 0) + 1)) AS t(i)),
+    hits AS (SELECT a.doc_id, count(DISTINCT a.shingle) AS contam_hits
+             FROM sh a JOIN sh b ON a.shingle = b.shingle
+                               AND b.doc_id % 50 = 0
+                               AND b.doc_id <> a.doc_id
+             GROUP BY a.doc_id)
+    SELECT c.doc_id, c.n_tok,
+           CAST(floor(c.cum_before / 256) AS BIGINT) AS seq_bin,
+           CAST(c.cum_before % 256 AS BIGINT) AS bin_pos,
+           CAST(c.doc_id % 50 = 0 AS INT) AS is_benchmark,
+           COALESCE(h.contam_hits, 0) AS contam_hits,
+           CAST(COALESCE(h.contam_hits, 0) > 0 AS INT) AS contaminated
+    FROM cum c LEFT JOIN hits h ON h.doc_id = c.doc_id
+    """,
+)
+def corpus_pack_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing + benchmark decontamination in one
+    per-document result (operators/packing.py) — the two corpus-prep
+    stages downstream of dedup that the round-4 surface lacked.
+
+    Packing branch: every document's (seq_bin, bin_pos) in the stream of
+    256-token training windows, via a DISTRIBUTED prefix sum (range
+    partition → local scans → driver prefix over per-partition totals →
+    broadcast offsets); a naive global-order window would serialize the
+    corpus through one partition. Contamination branch: distinct shared
+    8-grams against the synthetic benchmark set (doc_id % 50 = 0),
+    shingle-join + countDistinct — linear in shingle volume, the
+    benchmark side broadcast. The oracle reproduces both branches
+    exactly, including the window arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = text.n_tokens(F.col("text"))
+    packed = packing.pack_sequences(d, "doc_id", ntok, 256)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    hits = packing.contamination_hits(d, bench, "doc_id", "text", 8)
+    contam = F.coalesce(F.col("contam_hits"), F.lit(0))
+    return packed.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        "seq_bin",
+        "bin_pos",
+        (F.col("doc_id") % 50 == 0).cast("int").alias("is_benchmark"),
+        contam.alias("contam_hits"),
+        (contam > 0).cast("int").alias("contaminated"),
+    )
 
 
 @query("sim_topk_ivf", oracle=None)

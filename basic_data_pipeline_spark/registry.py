@@ -142,6 +142,9 @@ CANONICAL_ORDER: tuple[str, ...] = (
     "sim_ann_lsh",
     "sim_topk_ivf",
     "multimodal_pipeline",
+    # round 5: sequence packing + decontamination (50th and final slot of
+    # the driver's 50-query recording budget)
+    "corpus_pack_contam",
 )
 
 

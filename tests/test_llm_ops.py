@@ -537,3 +537,82 @@ def test_near_dedup_corpus_end_to_end(docs):
                 all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
                 expected = all_ids - dropped
             assert surv == expected, (policy, family)
+
+
+# --- sequence packing + contamination (operators/packing.py) --------------
+
+
+def test_pack_sequences_matches_serial_prefix_sum(docs):
+    """The distributed two-phase prefix sum must equal the serial scan in
+    doc_id order, for any partition count (1 partition == the serial
+    case; 8 exercises the offset machinery)."""
+    from basic_data_pipeline_spark.operators import packing, text
+
+    ntok = text.n_tokens(F.col("text"))
+    expected_order = [
+        (r["doc_id"], r["n"])
+        for r in docs.select("doc_id", ntok.alias("n")).orderBy("doc_id").collect()
+    ]
+    cum = 0
+    expected = {}
+    for doc_id, n in expected_order:
+        expected[doc_id] = (n, cum // 128, cum % 128)
+        cum += n
+
+    for parts in (1, 8):
+        got = {
+            r["doc_id"]: (r["n_tok"], r["seq_bin"], r["bin_pos"])
+            for r in packing.pack_sequences(
+                docs, "doc_id", ntok, 128, parts=parts
+            ).collect()
+        }
+        assert got == expected, f"parts={parts}"
+
+
+def test_pack_sequences_stays_distributed(docs):
+    """The plan must not funnel data through a single-partition global
+    sort: no Exchange SinglePartition / global Sort over the data path."""
+    from basic_data_pipeline_spark.operators import packing, text
+
+    plan = packing.pack_sequences(
+        docs, "doc_id", text.n_tokens(F.col("text")), 128, parts=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_contamination_flags_planted_duplicates(docs, spark):
+    """A doc sharing an 8-gram with a benchmark doc (other than itself)
+    must be flagged; docs with no overlap must not appear. Verified
+    against a brute-force python recomputation on the small fixture."""
+    from basic_data_pipeline_spark.operators import packing
+
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    got = {
+        r["doc_id"]: r["contam_hits"]
+        for r in packing.contamination_hits(
+            docs, bench, "doc_id", "text", 8
+        ).collect()
+    }
+
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+
+    def grams(t):
+        w = t.lower().split()
+        if len(w) <= 8:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 8]) for i in range(len(w) - 7)}
+
+    bench_grams = {}
+    for did, t in rows:
+        if did % 50 == 0:
+            bench_grams[did] = grams(t)
+    expected = {}
+    for did, t in rows:
+        others = set().union(
+            *(g for b, g in bench_grams.items() if b != did), set()
+        )
+        n = len(grams(t) & others)
+        if n:
+            expected[did] = n
+    assert got == expected
+    assert expected, "fixture's planted dups should contaminate something"
