@@ -44,6 +44,79 @@ def stratified_sample(
     )
 
 
+def weighted_mix(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-stratum mixing that also UPSAMPLES: fraction 2.5 yields each
+    row 2 or 3 times (floor + deterministic fractional extra), fraction
+    0.3 keeps ~30% — generalizing `stratified_sample` to epoch-style
+    repetition of rare, high-value sources. Output carries a `replica`
+    column (1..k) so downstream keys can stay unique.
+
+    Replication is `explode(sequence(...))` on a per-row copy count — one
+    codegen projection, no join, no RNG; membership and copy counts are
+    pure functions of (salt, id), so any partitioning/retry produces the
+    same multiset. Strata absent from `fractions` are dropped."""
+    n = 1_000_000
+    frac = F.create_map(
+        *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    f = frac[F.col(strata_col)]
+    extra = (_bucket(id_col, salt) < (f - F.floor(f)) * n).cast("int")
+    copies = (F.floor(f) + extra).cast("int")
+    return (
+        df.withColumn("_copies", F.when(f.isNotNull(), copies).otherwise(F.lit(0)))
+        .filter(F.col("_copies") > 0)
+        .withColumn("replica", F.explode(F.expr("sequence(1, _copies)")))
+        .drop("_copies")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    temperature: float,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Temperature-weighted source mixing (the multilingual/multi-domain
+    rebalancing rule): sample stratum i with probability ∝ (n_i/N)^(1/T),
+    so T=1 preserves the natural distribution and larger T flattens it
+    toward uniform, upsampling rare sources (via `weighted_mix` fractional
+    replication) and downsampling dominant ones.
+
+    The per-stratum counts come from one groupBy collected to the driver —
+    bounded control-plane data (#sources rows, not corpus rows). The
+    resulting expected output size is `target_rows` (default: the input
+    size N)."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = {
+        r["k"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("k"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    if not total:
+        return weighted_mix(df, strata_col, {}, id_col, salt)
+    weights = {k: (v / total) ** (1.0 / temperature) for k, v in counts.items()}
+    z = sum(weights.values())
+    target = target_rows if target_rows is not None else total
+    # Round away float-summation noise so e.g. T=1 yields exactly 1.0 per
+    # stratum (a 0.999999999 fraction would deterministically drop the
+    # highest hash buckets instead of keeping the corpus bit-identical).
+    fractions = {
+        k: round((weights[k] / z) * target / counts[k], 9) for k in counts
+    }
+    return weighted_mix(df, strata_col, fractions, id_col, salt)
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float],

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 from basic_data_pipeline_spark.operators.sampling import (
     hash_split,
     stratified_sample,
+    temperature_mix,
+    weighted_mix,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -68,3 +70,77 @@ def test_hash_split_rejects_bad_weights(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     with _pytest.raises(ValueError):
         hash_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_weighted_mix_upsamples_deterministically(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sources = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )
+    fractions = {sources[0]: 2.5, sources[1]: 0.4}
+    out = weighted_mix(docs, "source", fractions)
+
+    # determinism under repartitioning: same (doc_id, replica) multiset
+    key = lambda df: sorted(
+        (r["doc_id"], r["replica"]) for r in df.select("doc_id", "replica").collect()
+    )
+    assert key(out) == key(weighted_mix(docs.repartition(13), "source", fractions))
+
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    per_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # fraction 2.5 → every row 2 or 3 times, expected ≈ 2.5×
+    up = per_src[sources[0]] / totals[sources[0]]
+    assert 2.0 <= up <= 3.0, up
+    per_doc = (
+        out.filter(F.col("source") == sources[0])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("k"))
+    )
+    assert {r["k"] for r in per_doc.collect()} <= {2, 3}
+    down = per_src.get(sources[1], 0) / totals[sources[1]]
+    assert 0.2 < down < 0.6, down
+    assert set(per_src) <= set(fractions)
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    natural = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+
+    def shares(df):
+        per = {
+            r["source"]: r["n"]
+            for r in df.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        tot = sum(per.values())
+        return {k: v / tot for k, v in per.items()}
+
+    # T=1 keeps the corpus bit-identical (all fractions exactly 1.0)
+    t1 = temperature_mix(docs, "source", 1.0)
+    assert t1.count() == docs.count()
+    assert shares(t1) == shares(docs)
+
+    # higher T flattens: rare sources gain share, dominant ones lose
+    t5 = shares(temperature_mix(docs, "source", 5.0))
+    nat_tot = sum(natural.values())
+    rare = min(natural, key=natural.get)
+    dominant = max(natural, key=natural.get)
+    if natural[rare] != natural[dominant]:
+        assert t5[rare] > natural[rare] / nat_tot
+        assert t5[dominant] < natural[dominant] / nat_tot
+    # expected size preserved within replication rounding
+    n5 = temperature_mix(docs, "source", 5.0).count()
+    assert abs(n5 - docs.count()) / docs.count() < 0.15
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_mix(docs, "source", 0.0)
