@@ -33,6 +33,52 @@ from pyspark.sql.window import Window as W
 from basic_data_pipeline_spark.operators.dedup import word_shingles
 
 
+def _cum_before(
+    docs: DataFrame,
+    id_col: str,
+    ntok_col: Column,
+    parts: int | None = None,
+) -> DataFrame:
+    """(id, n_tok, cum_before): global prefix sum of token counts in
+    ``id_col`` order, without a single-partition global sort — range
+    partition by id, local running sums, a driver prefix over the
+    per-partition totals (the one ``collect()``, bounded by the partition
+    count: control-plane size, not data size), broadcast the offsets
+    back. Deterministic — range boundaries only split the id order,
+    never permute it."""
+    n = parts or docs.sparkSession.sparkContext.defaultParallelism
+    d = (
+        docs.select(F.col(id_col), ntok_col.cast("long").alias("n_tok"))
+        .repartitionByRange(n, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    d = d.withColumn("_local_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in d.groupBy("_pid").agg(F.sum("n_tok").alias("tot")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid]
+    off_df = F.broadcast(
+        d.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
+    )
+    return (
+        d.join(off_df, "_pid")
+        .select(
+            F.col(id_col),
+            F.col("n_tok"),
+            (F.col("_local_before") + F.col("_offset")).alias("cum_before"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     id_col: str,
@@ -47,47 +93,68 @@ def pack_sequences(
     (= floor(tokens_before / seq_len)) and ``bin_pos`` its offset inside
     that window — enough for a writer to lay out dense training rows.
     Documents longer than ``seq_len`` simply span multiple windows, as in
-    standard packed-causal-LM preprocessing.
-
-    Scale design: the only global dependency is the prefix sum, computed
-    as range-partitioned local scans + a driver prefix over per-partition
-    totals. The single ``collect()`` is bounded by the partition count
-    (control-plane size, not data size). Output is deterministic — range
-    boundaries only split the id order, never permute it.
+    standard packed-causal-LM preprocessing. See ``_cum_before`` for the
+    distributed prefix-sum design.
     """
-    n = parts or docs.sparkSession.sparkContext.defaultParallelism
-    d = (
-        docs.select(F.col(id_col), ntok_col.cast("long").alias("n_tok"))
-        .repartitionByRange(n, F.col(id_col))
-        .withColumn("_pid", F.spark_partition_id())
+    cum = _cum_before(docs, id_col, ntok_col, parts)
+    return cum.select(
+        F.col(id_col),
+        F.col("n_tok"),
+        F.floor(F.col("cum_before") / seq_len).alias("seq_bin"),
+        (F.col("cum_before") % seq_len).alias("bin_pos"),
     )
-    # Local running sums within each id-range partition.
-    w = (
-        W.partitionBy("_pid")
-        .orderBy(id_col)
-        .rowsBetween(W.unboundedPreceding, -1)
+
+
+def pack_token_windows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int,
+    parts: int | None = None,
+) -> DataFrame:
+    """(seq_bin, n_tokens, n_docs, tokens): the MATERIALIZED packed
+    training rows — every window is exactly ``seq_len`` lower-cased
+    whitespace tokens (the final window may be shorter), documents
+    crossing a boundary contribute their head to one window and their
+    tail to the next, exactly as a packed-causal-LM data loader lays out
+    the token stream.
+
+    Plan shape: the per-document global offset comes from the distributed
+    prefix sum (``_cum_before``); tokens then posexplode with
+    ``global_pos = cum_before + pos`` and group by
+    ``floor(global_pos / seq_len)``. The groupBy shuffles each token row
+    once — linear in corpus token count, the unavoidable packing
+    shuffle — and each output group is bounded by ``seq_len`` (one
+    training row), so no group can overwhelm an executor regardless of
+    document-length skew."""
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "pos", "token"
+        ),
     )
-    d = d.withColumn("_local_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
-    # Per-partition totals -> driver prefix scan (#partitions rows).
-    totals = {
-        r["_pid"]: r["tot"]
-        for r in d.groupBy("_pid").agg(F.sum("n_tok").alias("tot")).collect()
-    }
-    offsets, acc = [], 0
-    for pid in sorted(totals):
-        offsets.append((pid, acc))
-        acc += totals[pid]
-    off_df = F.broadcast(
-        d.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
+    cum = _cum_before(
+        docs, id_col, F.size(F.split(F.lower(F.col(text_col)), r"\s+")), parts
     )
-    cum_before = F.col("_local_before") + F.col("_offset")
+    g = F.col("cum_before") + F.col("pos")
     return (
-        d.join(off_df, "_pid")
+        toks.join(cum.select(id_col, "cum_before"), id_col)
         .select(
             F.col(id_col),
-            F.col("n_tok"),
-            F.floor(cum_before / seq_len).alias("seq_bin"),
-            (cum_before % seq_len).alias("bin_pos"),
+            F.floor(g / seq_len).alias("seq_bin"),
+            g.alias("_gpos"),
+            "token",
+        )
+        .groupBy("seq_bin")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_gpos"), F.col("token")))
+                ),
+                lambda s: s["token"],
+            ).alias("tokens"),
         )
     )
 

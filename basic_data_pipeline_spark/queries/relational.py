@@ -611,21 +611,34 @@ def agg_core(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(abs(approx_count_distinct(l_partkey)
                     - count(DISTINCT l_partkey))
                 <= 0.05 * count(DISTINCT l_partkey) AS INTEGER)
-               AS approx_within_5pct
+               AS approx_within_5pct,
+           CAST(abs(approx_quantile(l_extendedprice, 0.5)
+                    - quantile_cont(l_extendedprice, 0.5))
+                <= 0.02 * (max(l_extendedprice) - min(l_extendedprice))
+                AS INTEGER) AS p50_within_2pct_range
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog approximate distinct, oracle-checked by BOUND rather than
-    by value: Spark's HLL++ sketch and DuckDB's HLL produce different
-    estimates, so the comparable surface is (exact count, did-my-own-sketch
-    land within ±5% of it). Each engine asserts its own sketch; the hash
-    compare then enforces both the exact counts and the tolerance flags.
-    A pytest additionally pins Spark's estimate within 5% of exact."""
+    """Sketch aggregates (HyperLogLog distinct + quantile sketch),
+    oracle-checked by BOUND rather than by value: Spark's HLL++/Greenwald-
+    Khanna and DuckDB's HLL/t-digest produce different estimates (and
+    even the EXACT interpolated median can differ in the last float ulp),
+    so the comparable surface is (exact count, did-my-own-sketch land
+    within tolerance of my-own-exact). Each engine asserts its own
+    sketches; the hash compare then enforces the exact counts and both
+    tolerance flags. A pytest additionally pins Spark's HLL estimate
+    within 5% of exact."""
     li = _t(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_partkey", 0.01).alias("_approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_p50_exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias(
+            "_p50_approx"
+        ),
+        F.max("l_extendedprice").alias("_max"),
+        F.min("l_extendedprice").alias("_min"),
     )
     return (
         agg.select(
@@ -637,6 +650,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("int")
             .alias("approx_within_5pct"),
+            (
+                F.abs(F.col("_p50_approx") - F.col("_p50_exact"))
+                <= 0.02 * (F.col("_max") - F.col("_min"))
+            )
+            .cast("int")
+            .alias("p50_within_2pct_range"),
         )
         .orderBy("l_returnflag")
     )

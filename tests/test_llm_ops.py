@@ -616,3 +616,30 @@ def test_contamination_flags_planted_duplicates(docs, spark):
             expected[did] = n
     assert got == expected
     assert expected, "fixture's planted dups should contaminate something"
+
+
+def test_pack_token_windows_reconstructs_stream(docs):
+    """Concatenating the windows in bin order must reproduce the exact
+    token stream of the corpus in doc_id order; every window except the
+    last holds exactly seq_len tokens; boundary-crossing docs appear in
+    more than one window."""
+    from basic_data_pipeline_spark.operators import packing
+
+    seq_len = 96
+    wins = packing.pack_token_windows(docs, "doc_id", "text", seq_len)
+    rows = sorted(
+        (r["seq_bin"], r["n_tokens"], r["n_docs"], r["tokens"])
+        for r in wins.collect()
+    )
+    assert [b for b, *_ in rows] == list(range(len(rows))), "bins contiguous"
+    for b, n, _, toks in rows[:-1]:
+        assert n == seq_len and len(toks) == seq_len, (b, n)
+    stream = [t for *_, toks in rows for t in toks]
+
+    expected = []
+    for r in docs.select("doc_id", "text").orderBy("doc_id").collect():
+        expected.extend(r["text"].lower().split())
+    # split(\s+) keeps a leading '' for leading whitespace; python split()
+    # does not — fixture docs have none, so the streams must agree exactly
+    assert stream == expected
+    assert any(nd > 1 for _, _, nd, _ in rows), "windows should pack docs"
