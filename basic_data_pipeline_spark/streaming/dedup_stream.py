@@ -1,0 +1,160 @@
+"""Streaming near-dedup: readStream → foreachBatch(incremental_dedup).
+
+Continuously deduplicates an incoming document stream against the
+persisted corpus index (operators/incremental.py): each micro-batch is
+LSH-candidated against the bucketed index (only the increment shuffles),
+verified, appended to the index, and its survivors written to an
+epoch-tagged output directory. This is the streaming face of the same
+batch operator — one code path, driven either by the streaming engine
+(`dedup_files`, file source standing in for Kafka as in ingest.py) or by
+explicit micro-batches in tests (`run_dedup_batches`).
+
+Delivery semantics, stated precisely: foreachBatch is at-least-once, and
+a replayed index APPEND is not harmless here — duplicate (doc_id,
+shingle) rows inflate `jaccard_verify` intersection counts for every
+later batch (dedup.py:273-276 requires set semantics). So this module
+keeps a per-checkpoint epoch ledger NEXT TO the index:
+
+* an epoch ≤ the ledger's last-applied mark is a FULL REPLAY of a batch
+  whose work completed (crash after ledger write, before checkpoint
+  commit) — skipped outright, including its write;
+* an INTENT marker is written before the index append and cleared after
+  the ledger advances; finding a stale marker on replay means the crash
+  landed MID-APPEND, the index may hold a partial append, and the only
+  safe continuation is a rebuild — raised loudly as `DirtyIndexError`
+  rather than silently double-appending;
+* survivor output is an epoch-subdir overwrite, idempotent by
+  construction.
+
+The ledger file is tiny driver-side JSON (control-plane state, like the
+index _meta.json) — no data-plane cost at any corpus size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from basic_data_pipeline_spark.operators.incremental import incremental_dedup
+
+
+class DirtyIndexError(RuntimeError):
+    """A previous run crashed between the index append and the epoch
+    ledger write: the bucketed index may contain a partial append for
+    that epoch, and set-semantics consumers (jaccard_verify) would be
+    corrupted by re-appending. Rebuild the index (build_index over the
+    surviving corpus) before resuming the stream."""
+
+
+def _ledger_path(index_path: str) -> str:
+    return os.path.join(index_path, "_stream_ledger.json")
+
+
+def _read_ledger(index_path: str) -> dict:
+    try:
+        with open(_ledger_path(index_path)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _write_ledger(index_path: str, ledger: dict) -> None:
+    os.makedirs(index_path, exist_ok=True)
+    tmp = _ledger_path(index_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ledger, f)
+    os.replace(tmp, _ledger_path(index_path))
+
+
+def make_dedup_batch_fn(
+    index_path: str,
+    out_root: str,
+    tag: str = "stream",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **dedup_kw,
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch body: epoch-guarded incremental dedup with
+    epoch-tagged survivor output under ``out_root/epoch=N/``."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        ledger = _read_ledger(index_path)
+        state = ledger.get(tag, {"last_epoch": -1, "intent": None})
+        if epoch_id <= state["last_epoch"]:
+            return  # full replay of completed work — drop it
+        if state["intent"] is not None:
+            raise DirtyIndexError(
+                f"epoch {state['intent']} of stream {tag!r} crashed "
+                f"mid-append into the index at {index_path!r}; rebuild "
+                "the index before resuming"
+            )
+        if batch_df.isEmpty():
+            state["last_epoch"] = epoch_id
+            ledger[tag] = state
+            _write_ledger(index_path, ledger)
+            return
+
+        state["intent"] = epoch_id
+        ledger[tag] = state
+        _write_ledger(index_path, ledger)
+
+        survivors = incremental_dedup(
+            batch_df.sparkSession,
+            batch_df,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            **dedup_kw,
+        )
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"epoch={epoch_id}")
+        )
+
+        state["last_epoch"] = epoch_id
+        state["intent"] = None
+        ledger[tag] = state
+        _write_ledger(index_path, ledger)
+
+    return fn
+
+
+def dedup_files(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    out_root: str,
+    checkpoint: str,
+    schema: str = "doc_id long, text string",
+    **kw,
+):
+    """Drive the streaming dedup through the real streaming engine off a
+    file source (the in-container stand-in for Kafka, as in
+    ingest.ingest_files); availableNow drains what exists and stops."""
+    fn = make_dedup_batch_fn(index_path, out_root, **kw)
+    raw = spark.readStream.schema(schema).json(source_dir)
+    return (
+        raw.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_dedup_batches(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    index_path: str,
+    out_root: str,
+    start_epoch: int = 0,
+    **kw,
+) -> Callable[[DataFrame, int], None]:
+    """Drive the foreachBatch body over explicit micro-batches (tests
+    needing precise batch boundaries / simulated replays). Returns the
+    body so callers can replay epochs explicitly."""
+    fn = make_dedup_batch_fn(index_path, out_root, **kw)
+    for i, b in enumerate(batches):
+        fn(b, start_epoch + i)
+    return fn
