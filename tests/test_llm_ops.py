@@ -643,3 +643,123 @@ def test_pack_token_windows_reconstructs_stream(docs):
     # does not — fixture docs have none, so the streams must agree exactly
     assert stream == expected
     assert any(nd > 1 for _, _, nd, _ in rows), "windows should pack docs"
+
+
+# --- product quantization (similarity.py PQ section) ----------------------
+
+
+def _brute_euclid_topk(emb, queries, k):
+    import itertools
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    out = {}
+    for q in queries:
+        qv = vecs[q]
+        d = {
+            o: sum((a - b) ** 2 for a, b in zip(qv, ov))
+            for o, ov in vecs.items()
+            if o != q
+        }
+        out[q] = [o for o, _ in sorted(d.items(), key=lambda t: (t[1], t[0]))[:k]]
+    return out
+
+
+def test_pq_codes_shape_and_determinism(emb):
+    from basic_data_pipeline_spark.operators import similarity
+
+    book = similarity.pq_train(emb, dim=64, m=8, k_codes=16, iters=1)
+    codes = similarity.pq_encode(emb, book, dim=64, m=8)
+    rows = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert len(rows) == emb.count()
+    assert all(len(c) == 8 for c in rows.values())
+    assert all(0 <= x < 16 for c in rows.values() for x in c)
+
+    # partition invariance: same codebook and codes from a reshuffled input
+    emb13 = emb.repartition(13)
+    book2 = similarity.pq_train(emb13, dim=64, m=8, k_codes=16, iters=1)
+    codes2 = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.pq_encode(emb13, book2, dim=64, m=8).collect()
+    }
+    assert rows == codes2
+
+
+def test_pq_matches_numpy_reference(emb, spark):
+    """The Spark PQ pipeline (train from the deterministic hash init,
+    Lloyd, encode) must agree with a numpy implementation of the SAME
+    algorithm started from the SAME init — codebooks to float tolerance,
+    codes exactly. This is the correctness check; recall on the random
+    fixture is inherently low at 32x compression (distance concentration)
+    and is pinned on the rerank path instead."""
+    import numpy as np
+
+    from basic_data_pipeline_spark.operators import similarity
+
+    m, k, dim, iters = 8, 16, 64, 1
+    d_sub = dim // m
+    rows = sorted(
+        (r["vec_id"], list(r["embedding"])) for r in emb.collect()
+    )
+    ids = [i for i, _ in rows]
+    X = np.array([v for _, v in rows], dtype=np.float64)
+    init = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id",
+            F.pmod(F.xxhash64(F.lit("pq"), F.col("vec_id")), F.lit(k)).alias("c"),
+        ).collect()
+    }
+
+    books, codes_np = [], []
+    for j in range(m):
+        S = X[:, j * d_sub : (j + 1) * d_sub]
+        code = np.array([init[i] for i in ids])
+        for _ in range(iters + 1):
+            book = np.array(
+                [S[code == c].mean(axis=0) for c in range(k)]
+            )
+            d = ((S[:, None, :] - book[None, :, :]) ** 2).sum(-1)
+            # ties break toward the lower code, as min_by(struct(d, code))
+            code = d.argmin(1)
+        books.append(book)
+        codes_np.append(code)
+    codes_np = np.stack(codes_np, axis=1)
+
+    book_df = similarity.pq_train(emb, dim=dim, m=m, k_codes=k, iters=iters)
+    got_book = {
+        (r["j"], r["code"]): r["centroid"] for r in book_df.collect()
+    }
+    assert len(got_book) == m * k
+    for (j, c), cent in got_book.items():
+        assert np.allclose(cent, books[j][c], atol=1e-9), (j, c)
+
+    got_codes = {
+        r["vec_id"]: r["codes"]
+        for r in similarity.pq_encode(emb, book_df, dim=dim, m=m).collect()
+    }
+    for pos, i in enumerate(ids):
+        assert got_codes[i] == list(codes_np[pos]), i
+
+
+def test_pq_rerank_recall_floor(emb):
+    """ADC shortlist → exact rerank (the production PQ pattern): with a
+    50-deep shortlist over 8x16 codebooks, exact top-5 recall on the
+    fixture is ≈0.66 (deterministic) vs ≈0.12 for raw ADC — pin a floor
+    under it."""
+    from basic_data_pipeline_spark.operators import similarity
+    from pyspark.sql import functions as FF
+
+    book = similarity.pq_train(emb, dim=64, m=8, k_codes=16, iters=2)
+    codes = similarity.pq_encode(emb, book, dim=64, m=8)
+    queries = emb.filter(FF.col("vec_id") < 10)
+    res = similarity.pq_search_rerank(
+        queries, codes, book, emb, dim=64, m=8, k=5, shortlist=50
+    )
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    exact = _brute_euclid_topk(emb, list(range(10)), 5)
+    hits = sum(len(got.get(q, set()) & set(exact[q])) for q in exact)
+    recall = hits / (5 * len(exact))
+    assert recall >= 0.5, recall
