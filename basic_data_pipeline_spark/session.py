@@ -52,6 +52,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # NOTE: spark.sql.optimizer.runtime.bloomFilter.enabled is already
+        # true by default on Spark 4 (runtime row-level join filtering), so
+        # it is not set here; forcing the semiJoinReduction variant was
+        # tried and rejected — the bench ran multiples slower with it set
+        # (extra build-side scans dwarf the benefit at this data size)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
