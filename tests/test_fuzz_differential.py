@@ -338,3 +338,56 @@ def _gen_scalar_query(seed: int) -> str:
 @pytest.mark.parametrize("seed", range(30))
 def test_differential_scalar_ansi_query(seed, duck, spark_views):
     _assert_differential(_gen_scalar_query(seed), duck, spark_views, seed)
+
+
+def _gen_rollup_query(seed: int) -> str:
+    """Multi-level aggregation (§2.4): ROLLUP / CUBE / GROUPING SETS over
+    two string columns with exact aggregates + HAVING — identical
+    null-extension and grouping() semantics in both engines ON NON-EMPTY
+    INPUT. Empty input is a genuine divergence the fuzzer caught (pinned
+    in test_rollup_empty_input_divergence below), so this shape uses only
+    always-selective string predicates."""
+    rng = random.Random(60_000 + seed)
+    table = rng.choice(["orders", "lineitem"])
+    cols = TABLES[table]
+    str_cols = [c for c, t in cols if t == "str"]
+    g1, g2 = rng.sample(str_cols, 2) if len(str_cols) >= 2 else (str_cols[0],) * 2
+    m = rng.choice([c for c, t in cols if t == "money"])
+    i = rng.choice([c for c, t in cols if t == "int"])
+    pred = _predicate(rng, str_cols and [(c, "str") for c in str_cols])
+    form = rng.choice(
+        [
+            f"ROLLUP ({g1}, {g2})",
+            f"CUBE ({g1}, {g2})",
+            f"GROUPING SETS (({g1}), ({g2}), ())",
+        ]
+    )
+    having = ""
+    if rng.random() < 0.5:
+        having = f" HAVING count(*) > {rng.randint(1, 50)}"
+    return (
+        f"SELECT {g1} AS k1, {g2} AS k2, count(*) AS n,"
+        f" CAST(sum(CAST({m} AS DECIMAL(38,6))) AS DOUBLE) AS s,"
+        f" min({i}) AS mn"
+        f" FROM {table} WHERE {pred} GROUP BY {form}{having}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_differential_rollup_query(seed, duck, spark_views):
+    _assert_differential(_gen_rollup_query(seed), duck, spark_views, seed)
+
+
+def test_rollup_empty_input_divergence(duck, spark_views):
+    """Documented engine divergence (found by the rollup fuzz shape):
+    GROUP BY ROLLUP over an EMPTY relation yields the grand-total row
+    (NULL, NULL, count 0) in DuckDB — the standard reading, grouping set
+    () aggregates zero rows — but ZERO rows in Spark 4. Pin both so a
+    future Spark alignment shows up here instead of as fuzz noise."""
+    sql = (
+        "SELECT l_returnflag AS k1, l_linestatus AS k2, count(*) AS n"
+        " FROM lineitem WHERE l_quantity < 0"
+        " GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    )
+    assert spark_views.sql(sql).count() == 0
+    assert duck.execute(sql).fetchall() == [(None, None, 0)]
