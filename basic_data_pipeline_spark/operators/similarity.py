@@ -660,3 +660,97 @@ def pq_search_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivfpq_search(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 5,
+    train_by: str = "label",
+    nprobe: int = 2,
+    train_iters: int = 1,
+    m: int = 8,
+    k_codes: int = 16,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank): the composed production ANN
+    architecture — IVF coarse cells bound WHERE to look, PQ codes bound
+    WHAT is scanned there, exact rerank restores precision:
+
+      1. coarse: centroids (+ Lloyd refinement), every vector assigned to
+         its nearest cell; queries fan out to `nprobe` cells (ivf_assign);
+      2. scan: within probed cells candidates are scored from m-int PQ
+         codes via the query's ADC lookup table — the per-cell scan never
+         touches a float vector;
+      3. rerank: the ADC shortlist (per query) is reranked with exact
+         distances over just `shortlist` fetched vectors.
+
+    Cost at scale: coarse training is bounded shuffles (see
+    kmeans_refine); the cell-restricted ADC join is an equi-join on
+    (cell, j, code)-partitioned code rows; float vectors are read
+    shortlist × n_queries times total. Every stage is deterministic.
+    Self-search convention matches ivf_topk: every vector is both query
+    and corpus, self-matches excluded."""
+    cents = centroids(vectors, train_by, dim)
+    if train_iters:
+        cents = kmeans_refine(vectors, cents, dim, train_iters)
+    assigned = tracked_persist(ivf_assign(vectors, cents, dim, nprobe=nprobe))
+    book = pq_train(vectors, dim, m, k_codes, iters=train_iters, id_col=id_col)
+    codes = pq_encode(vectors, book, dim, m, id_col=id_col)
+
+    # corpus side: each vector's codes live in its probe=1 cell
+    cell_codes = (
+        assigned.filter(F.col("probe") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "cell")
+        .join(codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+        .select("cell", "neighbor_id", F.posexplode("codes").alias("j", "code"))
+    )
+    # query side: ADC table per (query, probed cell, j, code)
+    q_tab = (
+        assigned.select(F.col("vec_id").alias("query_id"), "cell")
+        .join(
+            vectors.select(
+                F.col(id_col).alias("query_id"),
+                as_double_array(F.col("embedding")).alias("qv"),
+            ),
+            "query_id",
+        )
+        .crossJoin(F.broadcast(book))
+        .select(
+            "query_id",
+            "cell",
+            "j",
+            "code",
+            _sq_l2(
+                _subvec(F.col("qv"), F.col("j"), dim // m), F.col("centroid")
+            ).alias("d"),
+        )
+    )
+    w_short = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    short = (
+        cell_codes.join(F.broadcast(q_tab), ["cell", "j", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("dist"))
+        .withColumn("rank", F.row_number().over(w_short))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qv = vectors.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(F.col("embedding")).alias("qv"),
+    )
+    cv = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col("embedding")).alias("cv"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        short.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("dist", _sq_l2(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -763,3 +763,29 @@ def test_pq_rerank_recall_floor(emb):
     hits = sum(len(got.get(q, set()) & set(exact[q])) for q in exact)
     recall = hits / (5 * len(exact))
     assert recall >= 0.5, recall
+
+
+def test_ivfpq_recall_floor_and_determinism(emb):
+    """The composed IVF-PQ pipeline (coarse probe -> per-cell ADC ->
+    exact rerank) must recover most of exact euclidean top-3 on the
+    fixture; nprobe=4 over the 5 label-seeded cells keeps coarse loss
+    small, the 50-deep rerank absorbs PQ loss. Deterministic end to end:
+    the same call twice gives identical rows."""
+    from basic_data_pipeline_spark.operators import similarity
+
+    def run():
+        res = similarity.ivfpq_search(
+            emb, dim=64, k=3, nprobe=4, train_iters=1, shortlist=50
+        )
+        out = {}
+        for r in res.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    got = run()
+    assert got == run(), "must be deterministic"
+
+    exact = _brute_euclid_topk(emb, list(got)[:20], 3)
+    hits = sum(len(got[q] & set(exact[q])) for q in exact)
+    recall = hits / (3 * len(exact))
+    assert recall >= 0.5, recall
