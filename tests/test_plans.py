@@ -91,3 +91,39 @@ def test_no_cartesian_products_in_merged_queries(spark):
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_pq_encode_broadcasts_codebook_no_single_partition(spark):
+    """PQ encoding must broadcast the (m x k_codes)-row codebook and keep
+    the per-vector work distributed — no single-partition exchange."""
+    from pyspark.sql import functions as F
+
+    from basic_data_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    book = similarity.pq_train(emb, dim=64, m=8, k_codes=16, iters=0)
+    enc = similarity.pq_encode(emb, book, dim=64, m=8)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_scd2_apply_no_global_sort(spark):
+    """SCD2's windows partition by key — no global sort / single-partition
+    funnel may appear when folding a batch into a history."""
+    from basic_data_pipeline_spark.operators.scd import scd2_apply
+
+    ch = spark.createDataFrame(
+        [(1, "a", 1, "c"), (2, "b", 2, "c"), (1, "a2", 3, "u")],
+        "id long, v string, ts long, op string",
+    )
+    hist = scd2_apply(None, ch, ["id"])
+    out = scd2_apply(hist, ch.withColumn("ts", ch.ts + 10), ["id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_corpus_pack_contam_no_single_partition(spark):
+    """The packing query's prefix sum must stay distributed end to end."""
+    plan = _plan(spark, "corpus_pack_contam")
+    assert "Exchange SinglePartition" not in plan, plan

@@ -106,3 +106,32 @@ def test_events_ts_loads_as_ltz_timestamp(spark, sf_dir):
     df.select(
         F.col("ts").cast("long"), F.unix_millis(F.col("ts"))
     ).limit(1).collect()
+
+
+def test_fixture_schema_canary(spark):
+    """Whole-fixture schema pin: the driver has regenerated fixtures
+    between rounds with changed physical types before (events.ts
+    NANOS → MICROS/no-tz broke three surfaces in round 4). This canary
+    makes ANY fixture/engine type drift fail in one obvious place, with
+    the full expected-vs-actual diff, so the next change is a deliberate
+    re-audit instead of scattered query failures. events.ts is asserted
+    post-normalization (catalog.load_table)."""
+    from basic_data_pipeline_spark import catalog
+
+    expected = {
+        "region": [("r_regionkey", "int"), ("r_name", "string")],
+        "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+        "customer": [("c_custkey", "bigint"), ("c_name", "string"), ("c_nationkey", "int"), ("c_acctbal", "double"), ("c_mktsegment", "string")],
+        "supplier": [("s_suppkey", "bigint"), ("s_name", "string"), ("s_nationkey", "int"), ("s_acctbal", "double")],
+        "part": [("p_partkey", "bigint"), ("p_name", "string"), ("p_brand", "string"), ("p_type", "string"), ("p_size", "int"), ("p_retailprice", "double")],
+        "orders": [("o_orderkey", "bigint"), ("o_custkey", "bigint"), ("o_orderstatus", "string"), ("o_totalprice", "double"), ("o_orderdate", "timestamp_ntz"), ("o_orderpriority", "string")],
+        "lineitem": [("l_orderkey", "bigint"), ("l_partkey", "bigint"), ("l_suppkey", "bigint"), ("l_linenumber", "int"), ("l_quantity", "double"), ("l_extendedprice", "double"), ("l_discount", "double"), ("l_tax", "double"), ("l_returnflag", "string"), ("l_linestatus", "string"), ("l_shipdate", "timestamp_ntz")],
+        "events": [("event_id", "bigint"), ("ts", "timestamp"), ("user_id", "bigint"), ("event_type", "string"), ("value", "double"), ("props", "string")],
+        "documents": [("doc_id", "bigint"), ("text", "string"), ("lang", "string"), ("source", "string"), ("n_chars", "bigint")],
+        "embeddings": [("vec_id", "bigint"), ("embedding", "array<float>"), ("label", "int")],
+    }
+    got = {
+        t: catalog.load_table(spark, "/root/testdata/sf0.001", t).dtypes
+        for t in catalog.TABLES
+    }
+    assert got == {k: [tuple(x) for x in v] for k, v in expected.items()}
