@@ -391,3 +391,41 @@ def test_rollup_empty_input_divergence(duck, spark_views):
     )
     assert spark_views.sql(sql).count() == 0
     assert duck.execute(sql).fetchall() == [(None, None, 0)]
+
+
+def _gen_temporal_query(seed: int) -> str:
+    """Temporal shape aimed at the round-4 failure family: the fixture's
+    o_orderdate loads as TIMESTAMP_NTZ in Spark 4 and plain TIMESTAMP in
+    DuckDB, and both must agree on extraction (year/month/day), coarse
+    truncation, literal comparison, and grouping — under the pinned UTC
+    session timezone these are value-identical."""
+    rng = random.Random(70_000 + seed)
+    y = rng.randint(1993, 1997)
+    pred2 = _predicate(rng, TABLES["orders"])
+    shape = rng.randrange(3)
+    if shape == 0:  # extraction grouping
+        return (
+            "SELECT year(o_orderdate) AS yy, month(o_orderdate) AS mm,"
+            " count(*) AS n, min(o_orderkey) AS mn"
+            f" FROM orders WHERE {pred2}"
+            " GROUP BY year(o_orderdate), month(o_orderdate)"
+        )
+    if shape == 1:  # literal comparison + truncation
+        return (
+            "SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE)"
+            " AS mstart"
+            f" FROM orders WHERE o_orderdate >= TIMESTAMP '{y}-0{rng.randint(1, 9)}-01'"
+            f" AND o_orderdate < TIMESTAMP '{y + 1}-01-01' AND {pred2}"
+        )
+    # day arithmetic: quarter + day-of-month extraction, grouped
+    return (
+        "SELECT quarter(o_orderdate) AS q, CAST(day(o_orderdate) AS INT) AS d,"
+        " count(*) AS n"
+        f" FROM orders WHERE year(o_orderdate) = {y}"
+        " GROUP BY quarter(o_orderdate), day(o_orderdate)"
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_differential_temporal_query(seed, duck, spark_views):
+    _assert_differential(_gen_temporal_query(seed), duck, spark_views, seed)
