@@ -509,12 +509,53 @@ def sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute.unionByName(blocked)
 
 
-@query("sim_ann_lsh", oracle=None)
+@query(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH planes AS (
+      SELECT t, p,
+             [CASE WHEN substr(md5(CAST(t*1000+p AS VARCHAR) || ':'
+                                   || CAST(d AS VARCHAR)), 2, 1)
+                        IN ('1','3','5','7','9','b','d','f')
+                   THEN 1.0 ELSE -1.0 END
+              FOR d IN range(0, 64)] AS hp
+      FROM UNNEST(range(0, 8)) AS tt(t), UNNEST(range(0, 4)) AS pp(p)),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+    bits AS (SELECT vec_id, t,
+                    CASE WHEN list_inner_product(v, hp) >= 0
+                         THEN '1' ELSE '0' END AS bit, p
+             FROM vecs CROSS JOIN planes),
+    buckets AS (SELECT vec_id, t,
+                       string_agg(bit, '' ORDER BY p) AS bucket
+                FROM bits GROUP BY vec_id, t),
+    cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+             FROM buckets a
+             JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+                           AND a.vec_id <> b.vec_id),
+    scored AS (SELECT query_id, neighbor_id,
+                      {_DUCK_COS.format(a="qa.v", b="qb.v")} AS cos
+               FROM cand
+               JOIN vecs qa ON qa.vec_id = query_id
+               JOIN vecs qb ON qb.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, rank, cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 via multi-table random-hyperplane LSH (8 tables
     × 4 fixed ±1 hyperplanes; candidates deduped before distance
-    evaluation). Not SQL-expressible compactly — recall ≈ 0.74 vs the
-    brute-force baseline, asserted in tests/test_llm_ops.py."""
+    evaluation). Oracle-checked since round 5: the hyperplane components
+    are md5-byte-parity (= parity of the md5 hex string's 2nd digit, so
+    DuckDB rebuilds them exactly), and both engines compute every dot as
+    the SAME sequential left-to-right fold (Spark `aggregate`, DuckDB
+    `list_inner_product`), making buckets, candidate sets, cosines and
+    ranks bit-identical. Recall ≈ 0.74 vs the brute-force baseline,
+    asserted in tests/test_llm_ops.py."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.ann_topk_lsh(e, dim=64, k=3, n_planes=4, n_tables=8)
 
