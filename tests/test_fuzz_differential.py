@@ -429,3 +429,29 @@ def _gen_temporal_query(seed: int) -> str:
 @pytest.mark.parametrize("seed", range(20))
 def test_differential_temporal_query(seed, duck, spark_views):
     _assert_differential(_gen_temporal_query(seed), duck, spark_views, seed)
+
+
+def _gen_orderlimit_query(seed: int) -> str:
+    """Sort/limit shape (§2.6): top-k under a TOTAL order (money tiebroken
+    by a unique-ish int key) so the limited set is engine-independent."""
+    rng = random.Random(80_000 + seed)
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    m = rng.choice([c for c, t in cols if t == "money"])
+    # ALL int columns as tiebreakers: (l_orderkey, …, l_linenumber) is a
+    # unique key for lineitem, single int keys are unique elsewhere — the
+    # order must be TOTAL or the limit boundary is engine-dependent
+    ties = ", ".join(c for c, t in cols if t == "int")
+    pred = _predicate(rng, cols)
+    k = rng.randint(1, 40)
+    direction = rng.choice(["ASC", "DESC"])
+    proj = ", ".join(c for c, _ in rng.sample(cols, min(3, len(cols))))
+    return (
+        f"SELECT {proj} FROM {table} WHERE {pred}"
+        f" ORDER BY {m} {direction}, {ties} LIMIT {k}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(15))
+def test_differential_orderlimit_query(seed, duck, spark_views):
+    _assert_differential(_gen_orderlimit_query(seed), duck, spark_views, seed)
