@@ -754,3 +754,151 @@ def ivfpq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index: compressed codes on disk, cell-partitioned
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_build_index(
+    vectors: DataFrame,
+    index_path: str,
+    dim: int,
+    train_by: str = "label",
+    train_iters: int = 1,
+    m: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+) -> None:
+    """Train coarse centroids + PQ codebooks and persist the compressed
+    index: `centroids/` (n_cells rows), `codebook/` (m × k_codes rows),
+    `codes/` — (id, codes) PARTITIONED BY CELL so a probe reads only its
+    cells' files — and `vectors/` (the floats, same cell layout, read
+    only for shortlist rerank). The scan-side state on disk is m bytes-ish
+    per vector instead of dim floats; training never reruns for adds."""
+    import os
+
+    spark = vectors.sparkSession
+    cents = centroids(vectors, train_by, dim)
+    if train_iters:
+        cents = kmeans_refine(vectors, cents, dim, train_iters)
+    cents.write.mode("overwrite").parquet(os.path.join(index_path, "centroids"))
+    book = pq_train(vectors, dim, m, k_codes, iters=train_iters, id_col=id_col)
+    book.write.mode("overwrite").parquet(os.path.join(index_path, "codebook"))
+    _ivfpq_append(vectors, index_path, dim, m, id_col, mode="overwrite")
+
+
+def _ivfpq_append(
+    vectors: DataFrame,
+    index_path: str,
+    dim: int,
+    m: int,
+    id_col: str,
+    mode: str,
+) -> None:
+    import os
+
+    spark = vectors.sparkSession
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    book = spark.read.parquet(os.path.join(index_path, "codebook"))
+    assigned = ivf_assign(
+        vectors.withColumnRenamed(id_col, "vec_id"), cents, dim
+    ).select(F.col("vec_id").alias(id_col), "cell")
+    codes = pq_encode(vectors, book, dim, m, id_col=id_col)
+    assigned.join(codes, id_col).write.mode(mode).partitionBy("cell").parquet(
+        os.path.join(index_path, "codes")
+    )
+    vectors.select(id_col, "embedding").join(assigned, id_col).write.mode(
+        mode
+    ).partitionBy("cell").parquet(os.path.join(index_path, "vectors"))
+
+
+def ivfpq_index_add(
+    vectors: DataFrame,
+    index_path: str,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+) -> None:
+    """Encode new vectors against the STORED centroids/codebook and append
+    — one broadcast pass each, no retraining, no index rewrite."""
+    _ivfpq_append(vectors, index_path, dim, m, id_col, mode="append")
+
+
+def ivfpq_index_search(
+    queries: DataFrame,
+    index_path: str,
+    dim: int,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 8,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank) against the persisted compressed
+    index: queries fan out to their `nprobe` nearest stored centroids,
+    the ADC scan touches only those cells' code partitions (directory
+    pruning on `cell`), and the shortlist reranks from `vectors/`."""
+    import os
+
+    spark = queries.sparkSession
+    cents = spark.read.parquet(os.path.join(index_path, "centroids"))
+    book = spark.read.parquet(os.path.join(index_path, "codebook"))
+    codes = spark.read.parquet(os.path.join(index_path, "codes"))
+    stored = spark.read.parquet(os.path.join(index_path, "vectors"))
+
+    q_assigned = ivf_assign(
+        queries.withColumnRenamed(id_col, "vec_id"), cents, dim, nprobe=nprobe
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    q_tab = (
+        q_assigned.join(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                as_double_array(F.col("embedding")).alias("qv"),
+            ),
+            "query_id",
+        )
+        .crossJoin(F.broadcast(book))
+        .select(
+            "query_id",
+            "cell",
+            "j",
+            "code",
+            _sq_l2(
+                _subvec(F.col("qv"), F.col("j"), dim // m), F.col("centroid")
+            ).alias("d"),
+        )
+    )
+    cell_codes = codes.select(
+        "cell",
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("j", "code"),
+    )
+    w_short = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    short = (
+        cell_codes.join(F.broadcast(q_tab), ["cell", "j", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("dist"))
+        .withColumn("rank", F.row_number().over(w_short))
+        .filter(F.col("rank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(F.col("embedding")).alias("qv"),
+    )
+    cv = stored.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col("embedding")).alias("cv"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("dist", _sq_l2(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

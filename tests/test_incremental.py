@@ -301,3 +301,48 @@ def test_ivf_index_build_add_search(spark, tmp_path):
 
     # odd (appended) vectors appear as neighbors — the add path is live
     assert any(n % 2 == 1 for v in per_q.values() for n in v)
+
+
+def test_ivfpq_index_build_add_search(spark, tmp_path):
+    """Persisted compressed index: build → search recovers most of exact
+    top-3 (shortlist rerank); adding an exact clone of an indexed vector
+    WITHOUT retraining makes it that vector's nearest neighbor."""
+    from pyspark.sql import functions as F
+
+    from basic_data_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivfpq")
+    similarity.ivfpq_build_index(emb, idx, dim=64, train_iters=1)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    res = similarity.ivfpq_index_search(
+        queries, idx, dim=64, k=3, nprobe=5, shortlist=100
+    )
+    got = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    hits = 0
+    for q in range(10):
+        d = {
+            o: sum((a - b) ** 2 for a, b in zip(vecs[q], ov))
+            for o, ov in vecs.items()
+            if o != q
+        }
+        exact = {o for o, _ in sorted(d.items(), key=lambda t: (t[1], t[0]))[:3]}
+        hits += len(got.get(q, set()) & exact)
+    assert hits / 30 >= 0.5, hits / 30
+
+    # add an exact clone of vector 3 under a new id; search for vector 3
+    # must now return the clone as its top neighbor (distance 0)
+    clone = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(900001).alias("vec_id"), "embedding", "label"
+    )
+    similarity.ivfpq_index_add(clone, idx, dim=64)
+    res2 = similarity.ivfpq_index_search(
+        emb.filter(F.col("vec_id") == 3), idx, dim=64, k=1, nprobe=2
+    )
+    rows = res2.collect()
+    assert len(rows) == 1 and rows[0]["neighbor_id"] == 900001, rows
