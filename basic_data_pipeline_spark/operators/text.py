@@ -212,3 +212,59 @@ def compression_ratio(docs, id_col: str = "doc_id", text_col: str = "text"):
             )
 
     return docs.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+# --- corpus-trained bigram LM score (quality-filter signal) ---------------
+
+def bigram_lm_scores(
+    docs, id_col: str = "doc_id", text_col: str = "text", alpha: float = 0.5
+):
+    """(id, n_bigrams, lm_score): mean log2 P(w_i | w_{i-1}) per document
+    under an add-alpha-smoothed bigram model trained ON THE CORPUS ITSELF
+    — the self-perplexity signal quality pipelines threshold on (natural,
+    in-distribution text scores high; shuffled or out-of-distribution
+    word salad scores low) without any external LM artifact.
+
+    Plan shape, all linear: one bigram explode, two count aggregations
+    (C(w1,w2), C(w1)) keyed by bigram/unigram with map-side combine, one
+    broadcast-eligible join of the doc bigrams against the conditional
+    probabilities, one per-doc mean. The vocabulary size V is the single
+    driver-side scalar (one bounded action). Docs with < 2 tokens emit
+    NULL scores (no bigrams)."""
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.lower(F.col(text_col)), WS)
+    bi = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(split(lower(text), '\\\\s+')) - 2, 0)),"
+                " i -> struct(element_at(split(lower(text), '\\\\s+'), i + 1) AS w1,"
+                "             element_at(split(lower(text), '\\\\s+'), i + 2) AS w2))"
+            )
+        ).alias("b"),
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    # a 1-token doc's transform yields one struct with w2 = NULL: drop it
+    bi = bi.filter(F.col("w2").isNotNull())
+
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = docs.select(
+        F.explode(toks).alias("w")
+    ).select("w").distinct().count()
+
+    prob = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        (
+            F.log2((F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha * v)))
+        ).alias("lp"),
+    )
+    return (
+        bi.join(prob, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg("lp").alias("lm_score"),
+        )
+    )

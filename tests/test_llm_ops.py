@@ -789,3 +789,35 @@ def test_ivfpq_recall_floor_and_determinism(emb):
     hits = sum(len(got[q] & set(exact[q])) for q in exact)
     recall = hits / (3 * len(exact))
     assert recall >= 0.5, recall
+
+
+def test_bigram_lm_score_separates_natural_from_shuffled(spark):
+    """Self-trained bigram LM: text made of recurring bigram patterns
+    must outscore the same tokens in a scrambled order (whose bigrams
+    are mostly unseen → smoothed floor), and repeated boilerplate must
+    outscore both. Deterministic and partition-invariant."""
+    from basic_data_pipeline_spark.operators import text as T
+
+    natural = "the cat sat on the mat and the cat ran to the mat " * 8
+    boiler = "click here to subscribe " * 20
+    # same multiset as `natural`, deterministically interleaved so nearly
+    # every adjacent pair is one the natural corpus never produces
+    w = natural.split()
+    shuffled = " ".join(x for pair in zip(w[: len(w) // 2], reversed(w[len(w) // 2 :])) for x in pair)
+    docs = spark.createDataFrame(
+        [(1, natural), (2, boiler), (3, shuffled)], "doc_id long, text string"
+    )
+    scores = {
+        r["doc_id"]: r["lm_score"]
+        for r in T.bigram_lm_scores(docs).collect()
+    }
+    assert scores[2] > scores[1] > scores[3], scores
+
+    scores13 = {
+        r["doc_id"]: r["lm_score"]
+        for r in T.bigram_lm_scores(docs.repartition(13)).collect()
+    }
+    # the mean's accumulation order varies with partitioning: equal to
+    # float tolerance, not bit-for-bit
+    assert set(scores) == set(scores13)
+    assert all(abs(scores[k] - scores13[k]) < 1e-9 for k in scores)
