@@ -52,7 +52,15 @@ def scd2_apply(
     `skip_unchanged=True` drops upserts whose attributes equal the key's
     previous version (within the batch via lag; against the incoming open
     history row for the first change of each key) — the standard "only
-    real changes make versions" refinement."""
+    real changes make versions" refinement.
+
+    Precondition (the same one every SCD2 merge has): batches arrive in
+    per-key timestamp order — a batch must not contain changes OLDER than
+    the history's open row for that key (CDC sources guarantee this via
+    per-key partition ordering; Kafka keys by primary key). A violation
+    produces a version whose valid_to precedes its valid_from rather than
+    silent reordering, so it is detectable downstream with one interval
+    scan."""
     attr_cols = [
         c for c in changes.columns if c not in (*key_cols, ts_col, op_col)
     ]

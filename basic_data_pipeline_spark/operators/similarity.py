@@ -779,7 +779,6 @@ def ivfpq_build_index(
     per vector instead of dim floats; training never reruns for adds."""
     import os
 
-    spark = vectors.sparkSession
     cents = centroids(vectors, train_by, dim)
     if train_iters:
         cents = kmeans_refine(vectors, cents, dim, train_iters)

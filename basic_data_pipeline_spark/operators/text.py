@@ -229,8 +229,9 @@ def bigram_lm_scores(
     (C(w1,w2), C(w1)) keyed by bigram/unigram with map-side combine, one
     broadcast-eligible join of the doc bigrams against the conditional
     probabilities, one per-doc mean. The vocabulary size V is the single
-    driver-side scalar (one bounded action). Docs with < 2 tokens emit
-    NULL scores (no bigrams)."""
+    driver-side scalar (one bounded action). Docs with < 2 tokens have no
+    bigrams and emit no row — left-join at the call site for a dense
+    column."""
     from pyspark.sql import functions as F
 
     toks = F.split(F.lower(F.col(text_col)), WS)

@@ -1,0 +1,110 @@
+"""One-call training-corpus preparation: the end-to-end pipeline a user
+of this engine runs between "raw crawl" and "tokenizer input".
+
+Chains the package's operators in the order production corpora use them,
+with per-stage row accounting so a run is auditable:
+
+    exact dedup → near dedup (LSH+verify) → quality filter →
+    benchmark decontamination → mixing (temperature or explicit) →
+    sequence packing
+
+Every stage is one of the already-tested operators (dedup.py, text.py,
+packing.py, sampling.py); this module adds only the composition and the
+accounting. All stages are deterministic (hash-based sampling, md5/xxhash
+families), so the same inputs produce the same corpus on any cluster,
+any partitioning, any retry — the property that makes training runs
+reproducible.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from basic_data_pipeline_spark.operators import dedup, packing, sampling, text
+
+
+@dataclass
+class CorpusPrepResult:
+    """Surviving docs (with `seq_bin`/`bin_pos` packing assignments) plus
+    the per-stage row ledger."""
+
+    docs: DataFrame
+    ledger: dict[str, int] = field(default_factory=dict)
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    near_dup_threshold: float = 0.5,
+    min_quality: float = 0.5,
+    benchmark: DataFrame | None = None,
+    contamination_ngram: int = 8,
+    mix: dict[str, float] | None = None,
+    mix_col: str = "source",
+    temperature: float | None = None,
+    seq_len: int = 2048,
+) -> CorpusPrepResult:
+    """Run the full prep pipeline; see module docstring for the stages.
+
+    `mix` (explicit per-source fractions, may upsample) and `temperature`
+    ((n_i/N)^(1/T) rebalancing) are mutually exclusive; neither skips
+    mixing entirely. The ledger counts rows AFTER each stage — each entry
+    costs one count() action, acceptable for an offline prep job and
+    essential for auditing what each stage dropped."""
+    if mix is not None and temperature is not None:
+        raise ValueError("pass either mix= or temperature=, not both")
+    ledger = {"input": docs.count()}
+
+    # 1. exact dedup under the canonical fingerprint (formatting-proof)
+    survivors = dedup.exact_dedup_survivors(
+        docs, id_col, text.fingerprint(F.col(text_col))
+    ).select(id_col)
+    d = docs.join(survivors, id_col, "left_semi")
+    ledger["exact_dedup"] = d.count()
+
+    # 2. near dedup: LSH candidates → exact verify → cluster survivors
+    d = dedup.near_dedup_corpus(
+        d, id_col, text_col, threshold=near_dup_threshold
+    )
+    ledger["near_dedup"] = d.count()
+
+    # 3. quality floor (C4-style flags → mean score in [0, 1])
+    d = d.filter(text.quality_score(F.col(text_col)) >= min_quality)
+    ledger["quality"] = d.count()
+
+    # 4. benchmark decontamination (drop docs sharing an n-gram)
+    if benchmark is not None:
+        hits = packing.contamination_hits(
+            d, benchmark, id_col, text_col, contamination_ngram
+        )
+        d = d.join(hits.select(id_col), id_col, "left_anti")
+        ledger["decontaminated"] = d.count()
+
+    # 5. mixing
+    if temperature is not None:
+        d = sampling.temperature_mix(d, mix_col, temperature, id_col=id_col)
+        ledger["mixed"] = d.count()
+    elif mix is not None:
+        d = sampling.weighted_mix(d, mix_col, mix, id_col=id_col)
+        ledger["mixed"] = d.count()
+
+    # 6. sequence packing assignments (replicas get distinct pack ids so
+    # upsampled copies land in different windows)
+    pack_id = (
+        F.concat_ws("#", F.col(id_col).cast("string"), F.col("replica"))
+        if "replica" in d.columns
+        else F.col(id_col).cast("string")
+    )
+    d = d.withColumn("_pack_id", pack_id)
+    packed = packing.pack_sequences(
+        d, "_pack_id", text.n_tokens(F.col(text_col)), seq_len
+    )
+    out = d.join(packed.select("_pack_id", "seq_bin", "bin_pos"), "_pack_id").drop(
+        "_pack_id"
+    )
+    ledger["packed"] = out.count()
+    return CorpusPrepResult(docs=out, ledger=ledger)

@@ -1,0 +1,74 @@
+"""End-to-end corpus-prep pipeline: stage ledger is monotone through the
+drop stages, every stage's contract holds on the output, and the whole
+run is deterministic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from basic_data_pipeline_spark.pipeline import prepare_training_corpus
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_prepare_training_corpus_end_to_end(spark, docs):
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    res = prepare_training_corpus(
+        docs,
+        min_quality=0.5,
+        benchmark=bench,
+        temperature=3.0,
+        seq_len=256,
+    )
+    led = res.ledger
+    # drop stages only drop; the order of keys is the pipeline order
+    assert led["input"] >= led["exact_dedup"] >= led["near_dedup"] >= led["quality"]
+    assert led["quality"] >= led["decontaminated"]
+    assert led["packed"] == led["mixed"]
+    assert led["near_dedup"] < led["input"], "fixture dups must drop"
+
+    out = res.docs
+    # no surviving doc shares an 8-gram with the benchmark (besides itself)
+    out_ids = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    bench_texts = [r["text"] for r in bench.collect()]
+
+    def grams(t, n=8):
+        w = t.lower().split()
+        return {" ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 1))}
+
+    bench_grams_by_id = {
+        r["doc_id"]: grams(r["text"]) for r in bench.collect()
+    }
+    for r in out.select("doc_id", "text").distinct().collect():
+        g = grams(r["text"])
+        for bid, bg in bench_grams_by_id.items():
+            if bid != r["doc_id"]:
+                assert not (g & bg), (r["doc_id"], bid)
+
+    # every output row has a packing assignment; bin positions valid
+    assert out.filter(F.col("seq_bin").isNull()).count() == 0
+    assert out.filter((F.col("bin_pos") < 0) | (F.col("bin_pos") >= 256)).count() == 0
+
+    # determinism: same inputs → same ledger and same survivor ids
+    res2 = prepare_training_corpus(
+        docs.repartition(13),
+        min_quality=0.5,
+        benchmark=bench,
+        temperature=3.0,
+        seq_len=256,
+    )
+    assert res2.ledger == led
+    assert {
+        r["doc_id"] for r in res2.docs.select("doc_id").distinct().collect()
+    } == out_ids
+
+
+def test_prepare_training_corpus_rejects_conflicting_mixing(spark, docs):
+    with pytest.raises(ValueError):
+        prepare_training_corpus(docs, mix={"web": 1.0}, temperature=2.0)
