@@ -416,7 +416,7 @@ def exact_dedup_survivors(docs: DataFrame, id_col: str, key: F.Column) -> DataFr
 
 
 def duplicate_clusters(
-    pairs: DataFrame, max_iters: int = 20, checkpoint_every: int = 5
+    pairs: DataFrame, max_iters: int = 20, checkpoint_every: int = 1
 ) -> DataFrame:
     """(doc_id, cluster) — connected components over the duplicate-pair
     graph via min-label propagation ACCELERATED by pointer jumping: each
@@ -428,6 +428,16 @@ def duplicate_clusters(
     iterations cover any realistic chain (diameter ~2²⁰ with jumping,
     vs only 20 hops without it, which is why the jump step exists).
 
+    `checkpoint_every` defaults to 1 — NOT an optimization knob: each
+    iteration references the previous labels frame twice (neighbor join +
+    pointer jump), so un-checkpointed lineage DOUBLES per iteration and
+    any downstream consumer that renders the plan tree (persist/cache
+    materialization, explain) hits exponential `generateTreeString` cost
+    — observed as a driver heap OOM on tiny data when the round-5 corpus
+    pipeline persisted this function's output after 4 un-checkpointed
+    iterations. The labels frame is V rows, so an eager localCheckpoint
+    per iteration is control-plane cost.
+
     The greedy keep-lowest-id rule drops any id appearing as the higher
     side of a pair, which over-drops on transitive CHAINS (a~b, b~c, a≁c
     drops both b and c even though c's only partner b is itself gone).
@@ -438,11 +448,9 @@ def duplicate_clusters(
     (O(E) shuffled rows) and one labels⋈labels jump join (O(V)).
     Converges early: iteration stops when no label changed (one count per
     iteration — acceptable driver chatter for a maintenance job, not a
-    per-query path). Every `checkpoint_every` iterations the label frame
-    is localCheckpoint-ed so the plan stays shallow on deep chains
-    instead of nesting one iteration's lineage inside the next. If the
-    loop exits WITHOUT reaching fixpoint, raises RuntimeError rather
-    than silently returning a component split across labels."""
+    per-query path). If the loop exits WITHOUT reaching fixpoint, raises
+    RuntimeError rather than silently returning a component split across
+    labels."""
     edges = (
         pairs.select("id_a", "id_b")
         .unionByName(
