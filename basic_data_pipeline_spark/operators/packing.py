@@ -52,6 +52,12 @@ def _cum_before(
         .repartitionByRange(n, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
     )
+    # Pin the partition assignment: repartitionByRange samples its
+    # boundaries per-execution, so without materializing here the totals
+    # job and the caller's downstream job could see DIFFERENT _pid
+    # assignments for boundary rows, silently corrupting the prefix sum.
+    # localCheckpoint is eager and immune to cache eviction.
+    d = d.localCheckpoint(eager=True)
     w = (
         W.partitionBy("_pid")
         .orderBy(id_col)
@@ -179,14 +185,29 @@ def contamination_hits(
     column is wanted.
     """
     corpus_sh = word_shingles(docs, id_col, text_col, n)
-    bench_sh = word_shingles(bench, id_col, text_col, n).withColumnRenamed(
-        id_col, "_bench_id"
+    # Aggregate the benchmark side to DISTINCT shingles before the
+    # (optional) broadcast — benchmark suites repeat boilerplate across
+    # docs, and broadcasting the raw (shingle, bench_id) pairs inflates
+    # the broadcast by exactly that repetition. The ≠-id exclusion only
+    # needs, per shingle, whether it occurs under >1 bench id and one
+    # witness id: a shingle is a hit for corpus doc X iff it occurs in
+    # bench under some id != X ⇔ n_bench_ids > 1 OR witness_id != X.
+    bench_sh = (
+        word_shingles(bench, id_col, text_col, n)
+        .groupBy("shingle")
+        .agg(
+            F.countDistinct(id_col).alias("_n_bench_ids"),
+            F.min(id_col).alias("_bench_witness"),
+        )
     )
     if broadcast_bench:
         bench_sh = F.broadcast(bench_sh)
     return (
         corpus_sh.join(bench_sh, "shingle")
-        .filter(F.col(id_col) != F.col("_bench_id"))
+        .filter(
+            (F.col("_n_bench_ids") > 1)
+            | (F.col(id_col) != F.col("_bench_witness"))
+        )
         .groupBy(id_col)
         .agg(F.countDistinct("shingle").alias("contam_hits"))
     )

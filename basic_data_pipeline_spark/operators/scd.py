@@ -64,7 +64,15 @@ def scd2_apply(
     attr_cols = [
         c for c in changes.columns if c not in (*key_cols, ts_col, op_col)
     ]
-    order = [F.col(ts_col).asc(), F.col(op_col).asc()]  # 'c' < 'd': see doc
+    # Deletes order explicitly LAST among same-ts changes: ops are c/u/r/d
+    # and a plain op-asc sort would put 'u'/'r' AFTER 'd' (re-opening a key
+    # a simultaneous delete should have closed). The delete flag dominates,
+    # then op code for full determinism among the upsert flavors.
+    order = [
+        F.col(ts_col).asc(),
+        (F.col(op_col) == DELETE_OP).cast("int").asc(),
+        F.col(op_col).asc(),
+    ]
     wk = W.partitionBy(*key_cols).orderBy(*order)
 
     ch = changes

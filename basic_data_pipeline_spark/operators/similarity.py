@@ -579,13 +579,18 @@ def pq_search_adc(
     m: int = 8,
     k: int = 5,
     id_col: str = "vec_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank): approximate euclidean top-k via
     Asymmetric Distance Computation — the query stays a float vector, the
     corpus stays codes. Per (query, subspace, code) the distance table
     entry is computed ONCE (n_queries × m × k_codes rows, broadcast-sized
-    for any sane query batch); every candidate is then scored by summing
-    its m lookups — no float vector ever leaves the codebook.
+    for a BOUNDED query batch — that assumption is what
+    ``broadcast_queries=True`` asserts; pass False when the query side is
+    query-proportional-large, e.g. corpus-as-queries self-search, and the
+    (j, code) equi-join shuffles both sides instead); every candidate is
+    then scored by summing its m lookups — no float vector ever leaves
+    the codebook.
 
     At full scale this runs UNDER an IVF probe (per-cell candidate sets);
     standalone it scans all codes, which is still m ints per corpus
@@ -609,9 +614,11 @@ def pq_search_adc(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode("codes").alias("j", "code"),
     )
+    if broadcast_queries:
+        q_tab = F.broadcast(q_tab)
     w = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
     return (
-        cand.join(F.broadcast(q_tab), ["j", "code"])
+        cand.join(q_tab, ["j", "code"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d").alias("dist"))
@@ -631,29 +638,40 @@ def pq_search_rerank(
     k: int = 5,
     shortlist: int = 50,
     id_col: str = "vec_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank): the production PQ pattern — ADC over
     the compressed codes produces a `shortlist`-deep candidate set per
     query, then ONLY those candidates' float vectors are fetched and
-    reranked by exact distance. The wide scan stays on 8-int codes; float
+    reranked by exact distance. ``broadcast_queries`` gates the
+    bounded-query-batch broadcast exactly as in ``pq_search_adc``. The wide scan stays on 8-int codes; float
     vectors are touched shortlist × n_queries times total, independent of
     corpus size. `shortlist` is the recall lever (measured on the fixture:
     recall@5 ≈ 0.12 raw ADC → ≥ 0.6 with a 50-deep rerank), exactly the
     ADC-then-rerank trade described in the PQ literature."""
     short = pq_search_adc(
-        queries, codes, codebook, dim, m, k=shortlist, id_col=id_col
+        queries,
+        codes,
+        codebook,
+        dim,
+        m,
+        k=shortlist,
+        id_col=id_col,
+        broadcast_queries=broadcast_queries,
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_array(F.col("embedding")).alias("qv"),
     )
+    if broadcast_queries:
+        qv = F.broadcast(qv)
     cv = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col("embedding")).alias("cv"),
     )
     w = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
     return (
-        short.join(F.broadcast(qv), "query_id")
+        short.join(qv, "query_id")
         .join(cv, "neighbor_id")
         .withColumn("dist", _sq_l2(F.col("qv"), F.col("cv")))
         .withColumn("rank", F.row_number().over(w))
@@ -727,9 +745,14 @@ def ivfpq_search(
             ).alias("d"),
         )
     )
+    # NO broadcast hint on q_tab: in this self-search convention the
+    # queries ARE the corpus, so q_tab is n_vectors × nprobe × m × k_codes
+    # rows — query-proportional, never broadcast-sized. The (cell, j,
+    # code) equi-join lets Catalyst/AQE shuffle both sides (and AQE will
+    # still broadcast on its own if a future caller's q_tab is tiny).
     w_short = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
     short = (
-        cell_codes.join(F.broadcast(q_tab), ["cell", "j", "code"])
+        cell_codes.join(q_tab, ["cell", "j", "code"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d").alias("dist"))
@@ -834,11 +857,18 @@ def ivfpq_index_search(
     m: int = 8,
     shortlist: int = 50,
     id_col: str = "vec_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank) against the persisted compressed
     index: queries fan out to their `nprobe` nearest stored centroids,
     the ADC scan touches only those cells' code partitions (directory
-    pruning on `cell`), and the shortlist reranks from `vectors/`."""
+    pruning on `cell`), and the shortlist reranks from `vectors/`.
+
+    ``broadcast_queries=True`` asserts the BOUNDED-BATCH assumption: the
+    ADC table is n_queries × nprobe × m × k_codes rows and is broadcast
+    only because interactive query batches are small. Pass False for a
+    query-proportional batch (e.g. re-searching a whole corpus against
+    the index) and the (cell, j, code) equi-join shuffles instead."""
     import os
 
     spark = queries.sparkSession
@@ -869,6 +899,8 @@ def ivfpq_index_search(
             ).alias("d"),
         )
     )
+    if broadcast_queries:
+        q_tab = F.broadcast(q_tab)
     cell_codes = codes.select(
         "cell",
         F.col(id_col).alias("neighbor_id"),
@@ -876,7 +908,7 @@ def ivfpq_index_search(
     )
     w_short = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
     short = (
-        cell_codes.join(F.broadcast(q_tab), ["cell", "j", "code"])
+        cell_codes.join(q_tab, ["cell", "j", "code"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d").alias("dist"))
@@ -888,13 +920,15 @@ def ivfpq_index_search(
         F.col(id_col).alias("query_id"),
         as_double_array(F.col("embedding")).alias("qv"),
     )
+    if broadcast_queries:
+        qv = F.broadcast(qv)
     cv = stored.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(F.col("embedding")).alias("cv"),
     )
     w = W.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
     return (
-        short.join(F.broadcast(qv), "query_id")
+        short.join(qv, "query_id")
         .join(cv, "neighbor_id")
         .withColumn("dist", _sq_l2(F.col("qv"), F.col("cv")))
         .withColumn("rank", F.row_number().over(w))

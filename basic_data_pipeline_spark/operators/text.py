@@ -235,17 +235,25 @@ def bigram_lm_scores(
     from pyspark.sql import functions as F
 
     toks = F.split(F.lower(F.col(text_col)), WS)
-    bi = docs.select(
+    # Pure Column API (honors text_col) with try_element_at: under ANSI
+    # mode element_at throws on out-of-range indexes, so a <2-token doc
+    # must never reach an element_at(toks, 2). The size>=2 filter removes
+    # those docs up front; try_element_at keeps the tail struct NULL-safe.
+    d = docs.select(F.col(id_col), toks.alias("_toks")).where(
+        F.size("_toks") >= 2
+    )
+    bi = d.select(
         F.col(id_col),
         F.explode(
-            F.expr(
-                "transform(sequence(0, greatest(size(split(lower(text), '\\\\s+')) - 2, 0)),"
-                " i -> struct(element_at(split(lower(text), '\\\\s+'), i + 1) AS w1,"
-                "             element_at(split(lower(text), '\\\\s+'), i + 2) AS w2))"
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - F.lit(2)),
+                lambda i: F.struct(
+                    F.try_element_at(F.col("_toks"), i + F.lit(1)).alias("w1"),
+                    F.try_element_at(F.col("_toks"), i + F.lit(2)).alias("w2"),
+                ),
             )
         ).alias("b"),
     ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    # a 1-token doc's transform yields one struct with w2 = NULL: drop it
     bi = bi.filter(F.col("w2").isNotNull())
 
     c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))

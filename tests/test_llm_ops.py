@@ -821,3 +821,47 @@ def test_bigram_lm_score_separates_natural_from_shuffled(spark):
     # float tolerance, not bit-for-bit
     assert set(scores) == set(scores13)
     assert all(abs(scores[k] - scores13[k]) < 1e-9 for k in scores)
+
+
+def test_bigram_lm_survives_short_docs(spark):
+    """Real corpora contain empty and one-word documents; under Spark 4
+    ANSI mode a naive element_at(toks, 2) on those THROWS instead of
+    yielding NULL. Short docs must simply emit no row (documented) while
+    the rest of the corpus still scores."""
+    from basic_data_pipeline_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat " * 4),
+            (2, "single"),
+            (3, ""),
+            (4, "two words"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.bigram_lm_scores(docs).collect()}
+    assert set(rows) == {1, 4}, rows
+    assert rows[4]["n_bigrams"] == 1
+
+
+def test_bigram_lm_honors_text_col(spark):
+    """The text_col parameter must reach the bigram extraction: scoring a
+    `body` column must match scoring the same strings named `text`, and a
+    same-named decoy `text` column must be ignored."""
+    from basic_data_pipeline_spark.operators import text as T
+
+    strs = [(1, "the cat sat on the mat " * 4), (2, "click here " * 6)]
+    as_text = spark.createDataFrame(strs, "doc_id long, text string")
+    as_body = spark.createDataFrame(
+        [(i, s, "decoy decoy") for i, s in strs],
+        "doc_id long, body string, text string",
+    )
+    want = {
+        r["doc_id"]: r["lm_score"] for r in T.bigram_lm_scores(as_text).collect()
+    }
+    got = {
+        r["doc_id"]: r["lm_score"]
+        for r in T.bigram_lm_scores(as_body, text_col="body").collect()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want), (got, want)

@@ -127,3 +127,32 @@ def test_corpus_pack_contam_no_single_partition(spark):
     """The packing query's prefix sum must stay distributed end to end."""
     plan = _plan(spark, "corpus_pack_contam")
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_ivfpq_self_search_never_broadcasts_query_side(spark):
+    """In the self-search convention the queries ARE the corpus, so the
+    ADC table (n_vectors x nprobe x m x k_codes rows) is query-
+    proportional and must never be broadcast — at 10^9 vectors that hint
+    is a guaranteed OOM. With auto-broadcast disabled every
+    BroadcastExchange left in the plan comes from an explicit hint:
+    assert the (cell, j, code) ADC join is a shuffle join and no
+    broadcast node carries a cell key (the only sanctioned hints are the
+    codebook / centroid tables, which join on j / crossJoin)."""
+    import re
+
+    from basic_data_pipeline_spark.operators import similarity
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        res = similarity.ivfpq_search(
+            emb, dim=64, k=3, nprobe=2, train_iters=1, shortlist=20
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert re.search(r"SortMergeJoin \[cell#", plan), plan
+    for ln in plan.splitlines():
+        if "BroadcastHashJoin" in ln:
+            assert "cell#" not in ln, ln

@@ -98,6 +98,19 @@ def test_scd2_same_ts_upsert_then_delete_ends_deleted(spark):
     assert not [r for r in rows if r[5]]
 
 
+def test_scd2_same_ts_delete_wins_for_every_upsert_op(spark):
+    """CDC op codes are c/u/r/d: a plain op-asc tie-break would order
+    'u'/'r' AFTER 'd' and re-open a key a simultaneous delete should have
+    closed. The delete must order last regardless of the upsert flavor."""
+    for op in ("c", "u", "r"):
+        ch = spark.createDataFrame(
+            [(7, "zed", "lima", 4, op), (7, None, None, 4, "d")], SCHEMA
+        )
+        rows = _hist_rows(scd2_apply(None, ch, ["id"]))
+        assert rows == [(7, "zed", "lima", 4, 4, False)], (op, rows)
+        assert not [r for r in rows if r[5]], op
+
+
 def test_scd2_untouched_history_unchanged(spark):
     b1 = spark.createDataFrame([(1, "ann", "rome", 1, "c")], SCHEMA)
     b2 = spark.createDataFrame([(9, "new", "baku", 3, "c")], SCHEMA)
