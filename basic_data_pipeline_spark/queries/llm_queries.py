@@ -545,6 +545,7 @@ def sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored)
     WHERE rank <= 3
     """,
+    headline=True,
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 via multi-table random-hyperplane LSH (8 tables
@@ -673,6 +674,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COALESCE(h.contam_hits, 0) > 0 AS INT) AS contaminated
     FROM cum c LEFT JOIN hits h ON h.doc_id = c.doc_id
     """,
+    headline=True,
 )
 def corpus_pack_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing + benchmark decontamination in one
@@ -705,7 +707,62 @@ def corpus_pack_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_topk_ivf", oracle=None)
+# One Lloyd step in DuckDB: per-cell per-dim mean over the previous
+# assignment (matches operators/similarity.py centroids(): SUM(x)/COUNT,
+# list assembled in dimension order), then nearest-centroid re-assignment
+# by the SAME sequential-fold cosine Spark computes (list_inner_product ==
+# F.aggregate's left-to-right fold), ties broken by cell.
+_DUCK_IVF_MEANS = """
+  SELECT cell, list(m ORDER BY pos) AS c FROM (
+    SELECT {cell_expr} AS cell, d - 1 AS pos, SUM(v[d]) / COUNT(*) AS m
+    FROM {src} CROSS JOIN dims GROUP BY {cell_expr}, d)
+  GROUP BY cell
+"""
+
+_DUCK_IVF_ASSIGN = """
+  SELECT vec_id, v, cell{probe_out} FROM (
+    SELECT {src}.vec_id, {src}.v, {cents}.cell,
+           row_number() OVER (
+             PARTITION BY {src}.vec_id
+             ORDER BY list_inner_product(v, c) /
+                      (sqrt(list_inner_product(v, v)) *
+                       sqrt(list_inner_product(c, c))) DESC,
+                      {cents}.cell) AS probe
+    FROM {src} CROSS JOIN {cents})
+  WHERE probe <= {nprobe}
+"""
+
+
+@query(
+    "sim_topk_ivf",
+    oracle=f"""
+    WITH vecs AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (SELECT UNNEST(range(1, 65)) AS d),
+    c0 AS ({_DUCK_IVF_MEANS.format(cell_expr="label", src="vecs")}),
+    a1 AS ({_DUCK_IVF_ASSIGN.format(src="vecs", cents="c0", nprobe=1, probe_out="")}),
+    c1 AS ({_DUCK_IVF_MEANS.format(cell_expr="cell", src="a1")}),
+    a2 AS ({_DUCK_IVF_ASSIGN.format(src="a1", cents="c1", nprobe=1, probe_out="")}),
+    c2 AS ({_DUCK_IVF_MEANS.format(cell_expr="cell", src="a2")}),
+    afinal AS ({_DUCK_IVF_ASSIGN.format(src="vecs", cents="c2", nprobe=2, probe_out=", probe")}),
+    q AS (SELECT cell, vec_id AS query_id, v AS qv,
+                 sqrt(list_inner_product(v, v)) AS qn
+          FROM afinal),
+    cc AS (SELECT cell, vec_id AS neighbor_id, v AS cv,
+                  sqrt(list_inner_product(v, v)) AS cn
+           FROM afinal WHERE probe = 1)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_inner_product(qv, cv) / (qn * cn) DESC,
+                        neighbor_id) AS rank
+      FROM q JOIN cc USING (cell)
+      WHERE query_id <> neighbor_id)
+    WHERE rank <= 3
+    """,
+)
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real IVF search (the brief's named scale path): coarse centroids
     seeded from the label groups then refined with 2 deterministic Lloyd
@@ -714,9 +771,13 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probing their 2 nearest cells (nprobe=2). Unlike sim_topk_methods'
     blocked branch (given labels), the blocking key here is LEARNED —
     measured recall@3 on the fixture: 0.25 (nprobe=1, no training) →
-    0.71 (nprobe=4, 2 iterations). Rows-only: the re-assignment ranking
-    makes a faithful SQL oracle impractical; recall vs brute force and
-    its monotonicity in nprobe/training are asserted in
+    0.71 (nprobe=4, 2 iterations). Oracle-checked since round 6: the
+    training loop is fully deterministic (seeded means, fixed iteration
+    count, cell-id tie-breaks), so DuckDB replays seed-means → two
+    re-assign/update rounds → nprobe fan-out → top-k with the same
+    sequential-fold cosine (list_inner_product == F.aggregate's
+    left-to-right fold) and matches ranks exactly; recall vs brute force
+    and its monotonicity in nprobe/training stay asserted in
     tests/test_llm_ops.py."""
     e = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
