@@ -98,21 +98,82 @@ def cdc_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cdc_delete_apply",
     oracle="""
-    SELECT event_id, user_id, event_type
-    FROM events
-    WHERE user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error')
+    WITH da AS (
+      SELECT event_id, user_id, event_type
+      FROM events
+      WHERE user_id NOT IN (SELECT user_id FROM events
+                            WHERE event_type = 'error')),
+    ch AS (
+      SELECT user_id, event_type, value, event_id AS vts,
+             CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+      FROM events),
+    v AS (
+      SELECT user_id, event_type, value, vts, op,
+             lead(vts) OVER (PARTITION BY user_id ORDER BY vts) AS next_vts
+      FROM ch)
+    SELECT 'delete_apply' AS branch, event_id, user_id, event_type,
+           CAST(NULL AS DOUBLE) AS value, CAST(NULL AS BIGINT) AS valid_from,
+           CAST(NULL AS BIGINT) AS valid_to, CAST(NULL AS INT) AS is_current
+    FROM da
+    UNION ALL
+    SELECT 'scd2', CAST(NULL AS BIGINT), user_id, event_type, value,
+           vts, next_vts, CAST(next_vts IS NULL AS INT)
+    FROM v WHERE op <> 'd'
     """,
 )
 def cdc_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delete-apply as a left anti join on the real key column (the fix
-    for consumer_to_file.py:241's hardcoded `WHERE id=`): tombstone keys =
-    users with an error event. The anti join broadcasts when the tombstone
-    side is small (typical for a CDC batch), else shuffles once."""
+    """Tag-union of the two CDC delete-semantics operators over the same
+    change stream (events keyed by user_id):
+
+    `delete_apply` branch — latest-state deletion as a left anti join on
+    the real key column (the fix for consumer_to_file.py:241's hardcoded
+    `WHERE id=`): tombstone keys = users with an error event. The anti
+    join broadcasts when the tombstone side is small (typical for a CDC
+    batch), else shuffles once.
+
+    `scd2` branch — the HISTORY the same stream produces under SCD Type 2
+    maintenance (operators/scd.py): events become per-key changes
+    versioned by event_id (unique, so the fold is a deterministic total
+    order per key), error events are deletes. Every non-delete change is
+    a history row [valid_from, valid_to) closed by the key's next change;
+    deletes close intervals and emit nothing — the oracle replays the
+    window arithmetic exactly. Incremental == one-shot associativity and
+    the same-ts delete tie-break stay pinned in tests/test_scd.py."""
+    from basic_data_pipeline_spark.operators.scd import scd2_apply
+
     e = _t(spark, sf_dir, "events")
     tombstones = e.filter(F.col("event_type") == "error")
-    return cdc.apply_deletes(e, tombstones, "user_id").select(
-        "event_id", "user_id", "event_type"
+    da = cdc.apply_deletes(e, tombstones, "user_id").select(
+        F.lit("delete_apply").alias("branch"),
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(None).cast("int").alias("is_current"),
     )
+    ch = e.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.col("event_id").alias("vts"),
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+    )
+    hist = scd2_apply(None, ch, ["user_id"], ts_col="vts", op_col="op")
+    scd = hist.select(
+        F.lit("scd2").alias("branch"),
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "event_type",
+        "value",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+    return da.unionByName(scd)
 
 
 @query(
