@@ -60,12 +60,108 @@ def build_probe_dir(spark) -> None:
         )
 
 
+# --- direct operator probes (round-5 surface without a headline query) ---
+# Each is (spark, sf_dir) -> DataFrame like a registry query, built on the
+# probe fixtures so the 16x replication exercises the operator's own
+# shuffle/join geometry, not a merged query's.
+
+
+def _probe_pack_sequences(spark, d):
+    from basic_data_pipeline_spark.operators import packing, text
+
+    docs = load_table(spark, d, "documents")
+    return packing.pack_sequences(docs, "doc_id", text.n_tokens(F.col("text")), 256)
+
+
+def _probe_pack_token_windows(spark, d):
+    from basic_data_pipeline_spark.operators import packing
+
+    docs = load_table(spark, d, "documents")
+    return packing.pack_token_windows(docs, "doc_id", "text", 256)
+
+
+def _probe_contamination_hits(spark, d):
+    from basic_data_pipeline_spark.operators import packing
+
+    docs = load_table(spark, d, "documents")
+    # SHIFT is divisible by 50, so the benchmark fraction survives the
+    # per-copy id shift.
+    return packing.contamination_hits(
+        docs, docs.filter(F.col("doc_id") % 50 == 0), "doc_id", "text", 8
+    )
+
+
+def _probe_ivfpq_search(spark, d):
+    from basic_data_pipeline_spark.operators import similarity
+
+    emb = load_table(spark, d, "embeddings")
+    # Production IVF scales nlist with the corpus (fixed cell occupancy,
+    # here ~50): a fixed cell count would make self-search cost n^2/cells
+    # — super-linear by design, not an implementation property. The coarse
+    # seed is a hash block ∝ n; one Lloyd iteration fits cells to data.
+    n_cells = max(8, emb.count() // 50)
+    blocked = emb.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_cells))
+    )
+    return similarity.ivfpq_search(
+        blocked, dim=64, k=3, train_by="blk", nprobe=2, train_iters=1,
+        shortlist=20,
+    )
+
+
+def _probe_scd2_apply(spark, d):
+    from basic_data_pipeline_spark.operators.scd import scd2_apply
+
+    o = load_table(spark, d, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        (F.col("o_orderkey") % 97).cast("long").alias("ts"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+    )
+    b2 = o.withColumn("ts", F.col("ts") + 100).withColumn(
+        "price", F.col("price") * 1.1
+    )
+    return scd2_apply(scd2_apply(None, o, ["id"]), b2, ["id"])
+
+
+def _probe_cms(spark, d):
+    from basic_data_pipeline_spark.operators import sketches
+
+    ev = load_table(spark, d, "events")
+    half = ev.filter(F.col("user_id") % 2 == 0)
+    other = ev.filter(F.col("user_id") % 2 != 0)
+    return sketches.cms_merge(
+        sketches.cms_build(half, "event_type"),
+        sketches.cms_build(other, "event_type"),
+    )
+
+
+def _probe_bigram_lm(spark, d):
+    from basic_data_pipeline_spark.operators import text
+
+    return text.bigram_lm_scores(load_table(spark, d, "documents"))
+
+
+EXTRA_PROBES = {
+    "op_pack_sequences": _probe_pack_sequences,
+    "op_pack_token_windows": _probe_pack_token_windows,
+    "op_contamination_hits": _probe_contamination_hits,
+    "op_ivfpq_search": _probe_ivfpq_search,
+    "op_scd2_apply": _probe_scd2_apply,
+    "op_cms_build_merge": _probe_cms,
+    "op_bigram_lm_scores": _probe_bigram_lm,
+}
+
+
 def main() -> None:
     spark = get_spark("scale_probe")
     filters = sys.argv[1:]
     qs = {
         n: fn
-        for n, fn in headline_queries().items()
+        for n, fn in {**headline_queries(), **EXTRA_PROBES}.items()
         if not filters or any(f in n for f in filters)
     }
     print(f"building {COPIES}x probe dir at {PROBE_DIR} ...", file=sys.stderr)
