@@ -225,23 +225,52 @@ def test_differential_window_query(seed, duck, spark_views):
 
 
 def _gen_setop_query(seed: int) -> str:
-    """Set operations (§2.6): two branches over the same table with
-    different predicates, combined by UNION [ALL] / INTERSECT / EXCEPT —
-    identical multiset/set semantics in both engines."""
+    """Set operations (§2.6): branches over the same table with different
+    predicates, combined by UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL] —
+    identical multiset/set semantics in both engines. Shapes: plain
+    two-branch, three-branch chains (left-associative in both engines),
+    aggregated branches (set op over GROUP BY outputs), and a set op fed
+    into an outer exact aggregate."""
     rng = random.Random(30_000 + seed)
     table = rng.choice(list(TABLES))
     cols = TABLES[table]
     proj = ", ".join(c for c, _ in rng.sample(cols, min(3, len(cols))))
-    p1 = " AND ".join(_predicate(rng, cols) for _ in range(rng.randint(1, 2)))
-    p2 = " AND ".join(_predicate(rng, cols) for _ in range(rng.randint(1, 2)))
-    op = rng.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+
+    def branch() -> str:
+        p = " AND ".join(
+            _predicate(rng, cols) for _ in range(rng.randint(1, 2))
+        )
+        return f"SELECT {proj} FROM {table} WHERE {p}"
+
+    ops = ["UNION ALL", "UNION", "INTERSECT", "EXCEPT",
+           "INTERSECT ALL", "EXCEPT ALL"]
+    shape = rng.randrange(4)
+    if shape == 0:  # plain two-branch
+        return f"{branch()} {ops[rng.randrange(len(ops))]} {branch()}"
+    if shape == 1:  # three-branch chain, left-associative in both engines
+        o1, o2 = rng.choice(ops), rng.choice(ops)
+        return f"{branch()} {o1} {branch()} {o2} {branch()}"
+    g = rng.choice([c for c, t in cols if t == "str"])
+    i = rng.choice([c for c, t in cols if t == "int"])
+    if shape == 2:  # set op over aggregated branches
+        op = rng.choice(ops)
+        p1 = _predicate(rng, cols)
+        p2 = _predicate(rng, cols)
+        return (
+            f"SELECT {g} AS k, count(*) AS n, min({i}) AS mn"
+            f" FROM {table} WHERE {p1} GROUP BY {g}"
+            f" {op} SELECT {g}, count(*), min({i})"
+            f" FROM {table} WHERE {p2} GROUP BY {g}"
+        )
+    # outer aggregate over a set-op derived table
+    op = rng.choice(ops)
     return (
-        f"SELECT {proj} FROM {table} WHERE {p1}"
-        f" {op} SELECT {proj} FROM {table} WHERE {p2}"
+        f"SELECT count(*) AS n, count(DISTINCT {proj.split(', ')[0]}) AS nd"
+        f" FROM ({branch()} {op} {branch()}) t"
     )
 
 
-@pytest.mark.parametrize("seed", range(20))
+@pytest.mark.parametrize("seed", range(40))
 def test_differential_setop_query(seed, duck, spark_views):
     _assert_differential(_gen_setop_query(seed), duck, spark_views, seed)
 
@@ -255,16 +284,18 @@ SUBQ_LINKS = [
 
 
 def _gen_subquery_query(seed: int) -> str:
-    """Nested subqueries (§2.7): IN / NOT IN / correlated EXISTS / scalar
-    comparisons, plus two-level IN-of-IN. Keys are non-null ints, so
-    NOT IN's three-valued-logic trap can't bite and both engines agree."""
+    """Nested subqueries (§2.7): IN / NOT IN / correlated [NOT] EXISTS /
+    scalar comparisons, two-level IN-of-IN, correlated scalar subqueries
+    in the SELECT list, and HAVING over an uncorrelated scalar. Keys are
+    non-null ints, so NOT IN's three-valued-logic trap can't bite and
+    both engines agree."""
     rng = random.Random(40_000 + seed)
     outer, inner, okey, ikey = rng.choice(SUBQ_LINKS)
     ocols, icols = TABLES[outer], TABLES[inner]
     proj = ", ".join(c for c, _ in rng.sample(ocols, min(3, len(ocols))))
     pred_o = _predicate(rng, ocols)
     pred_i = _predicate(rng, icols)
-    shape = rng.randrange(4)
+    shape = rng.randrange(7)
     if shape == 0:  # [NOT] IN
         neg = rng.choice(["", "NOT "])
         return (
@@ -284,20 +315,44 @@ def _gen_subquery_query(seed: int) -> str:
             f"SELECT {proj} FROM {outer} WHERE {okey} {op}"
             f" (SELECT max({int_i}) FROM {inner} WHERE {pred_i}) AND {pred_o}"
         )
-    # two-level nesting: IN of IN
-    o2, i2, ok2, ik2 = rng.choice(
-        [l for l in SUBQ_LINKS if l[0] == inner] or [(inner, outer, ikey, okey)]
-    )
-    pred_i2 = _predicate(rng, TABLES[i2])
+    if shape == 3:  # two-level nesting: IN of IN
+        o2, i2, ok2, ik2 = rng.choice(
+            [l for l in SUBQ_LINKS if l[0] == inner]
+            or [(inner, outer, ikey, okey)]
+        )
+        pred_i2 = _predicate(rng, TABLES[i2])
+        return (
+            f"SELECT {proj} FROM {outer} WHERE {okey} IN"
+            f" (SELECT {ikey} FROM {inner} WHERE {ok2} IN"
+            f" (SELECT {ik2} FROM {i2} WHERE {pred_i2}) AND {pred_i})"
+            f" AND {pred_o}"
+        )
+    if shape == 4:  # correlated NOT EXISTS (anti-join decorrelation path)
+        return (
+            f"SELECT {proj} FROM {outer} WHERE NOT EXISTS"
+            f" (SELECT 1 FROM {inner} WHERE {ikey} = {okey} AND {pred_i})"
+            f" AND {pred_o}"
+        )
+    if shape == 5:  # correlated scalar subquery in the SELECT list
+        int_i = [c for c, t in icols if t == "int"][0]
+        return (
+            f"SELECT {okey} AS k,"
+            f" (SELECT count(*) FROM {inner}"
+            f"  WHERE {ikey} = {okey} AND {pred_i}) AS sub_n,"
+            f" (SELECT max({int_i}) FROM {inner}"
+            f"  WHERE {ikey} = {okey}) AS sub_mx"
+            f" FROM {outer} WHERE {pred_o}"
+        )
+    # HAVING against an uncorrelated scalar subquery
+    g = rng.choice([c for c, t in ocols if t == "str"])
     return (
-        f"SELECT {proj} FROM {outer} WHERE {okey} IN"
-        f" (SELECT {ikey} FROM {inner} WHERE {ok2} IN"
-        f" (SELECT {ik2} FROM {i2} WHERE {pred_i2}) AND {pred_i})"
-        f" AND {pred_o}"
+        f"SELECT {g} AS k, count(*) AS n FROM {outer} WHERE {pred_o}"
+        f" GROUP BY {g} HAVING count(*) >"
+        f" (SELECT count(*) FROM {inner} WHERE {pred_i}) / 20"
     )
 
 
-@pytest.mark.parametrize("seed", range(20))
+@pytest.mark.parametrize("seed", range(40))
 def test_differential_subquery_query(seed, duck, spark_views):
     _assert_differential(_gen_subquery_query(seed), duck, spark_views, seed)
 
