@@ -277,3 +277,71 @@ def bigram_lm_scores(
             F.avg("lp").alias("lm_score"),
         )
     )
+
+
+# --- within-document repetition profile (Gopher/MassiveText filters) ------
+
+def repetition_profile(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+):
+    """(id, n, total_ngrams, top_ngram_count, dup_ngram_count,
+    top_ngram_frac, dup_ngram_frac): within-document token n-gram
+    repetition — the MassiveText/Gopher family of repetition filters
+    ("fraction of tokens in the most common n-gram", "fraction of n-gram
+    occurrences that are repeats"). Degenerate boilerplate ("click here
+    click here ...") scores near 1.0 on both; natural prose scores low.
+    One row per (document, n); documents with < n tokens have no n-grams
+    and emit no row for that n — left-join at the call site.
+
+    Plan shape, per n: one n-gram explode (linear in tokens), one count
+    aggregation keyed by (doc, gram) with map-side combine, one per-doc
+    aggregation — both shuffles are keyed by the document id, so the
+    operator partitions cleanly at any corpus size; no pair space, no
+    driver-side state. The fractions are single integer divisions
+    (deterministic, oracle-bit-identical — no float accumulation)."""
+    frames = []
+    toks = tokens(F.col(text_col))
+    for n in ns:
+        grams = (
+            docs.select(F.col(id_col), toks.alias("_tk"))
+            .where(F.size("_tk") >= n)
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("_tk") - F.lit(n)),
+                        lambda i: F.array_join(
+                            F.slice(F.col("_tk"), i + F.lit(1), F.lit(n)), " "
+                        ),
+                    )
+                ).alias("g"),
+            )
+        )
+        counted = grams.groupBy(id_col, "g").agg(F.count("*").alias("c"))
+        stats = counted.groupBy(id_col).agg(
+            F.sum("c").alias("total_ngrams"),
+            F.max("c").alias("top_ngram_count"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+            ).alias("dup_ngram_count"),
+        )
+        frames.append(stats.withColumn("n", F.lit(n)))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        id_col,
+        "n",
+        "total_ngrams",
+        "top_ngram_count",
+        "dup_ngram_count",
+        (F.col("top_ngram_count") / F.col("total_ngrams")).alias(
+            "top_ngram_frac"
+        ),
+        (F.col("dup_ngram_count") / F.col("total_ngrams")).alias(
+            "dup_ngram_frac"
+        ),
+    )

@@ -169,26 +169,55 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g'))
                AS cjk,
              length(text) AS n
-      FROM documents)
+      FROM documents),
+    rtoks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+              FROM documents),
+    g2 AS (SELECT doc_id, array_to_string(w[i+1:i+2], ' ') AS g
+           FROM rtoks, UNNEST(range(0, len(w) - 1)) AS t(i)
+           WHERE len(w) >= 2),
+    g3 AS (SELECT doc_id, array_to_string(w[i+1:i+3], ' ') AS g
+           FROM rtoks, UNNEST(range(0, len(w) - 2)) AS t(i)
+           WHERE len(w) >= 3),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+    c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+    s2 AS (SELECT doc_id, sum(c) AS tot, max(c) AS top,
+                  COALESCE(sum(c) FILTER (WHERE c > 1), 0) AS dup
+           FROM c2 GROUP BY doc_id),
+    s3 AS (SELECT doc_id, sum(c) AS tot, max(c) AS top,
+                  COALESCE(sum(c) FILTER (WHERE c > 1), 0) AS dup
+           FROM c3 GROUP BY doc_id)
     SELECT 'lang' AS grp, lang AS k1,
            CASE WHEN cjk * 3 >= n THEN 'zh'
                 WHEN en >= greatest(en, de, es, fr) THEN 'en'
                 WHEN de >= greatest(de, es, fr) THEN 'de'
                 WHEN es >= greatest(es, fr) THEN 'es'
                 ELSE 'fr' END AS k2,
-           count(*) AS n1, CAST(NULL AS BIGINT) AS n2
+           count(*) AS n1, CAST(NULL AS BIGINT) AS n2,
+           CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2
     FROM h GROUP BY 2, 3
     UNION ALL
     SELECT 'tokens', source, CAST(NULL AS VARCHAR),
            CAST(sum(len(regexp_extract_all(text,
              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT),
-           CAST(sum(len({_DUCK_TOKENS})) AS BIGINT)
+           CAST(sum(len({_DUCK_TOKENS})) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM documents GROUP BY 2
+    UNION ALL
+    SELECT 'rep2', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(tot AS BIGINT), CAST(top AS BIGINT),
+           top / tot, dup / tot
+    FROM s2
+    UNION ALL
+    SELECT 'rep3', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(tot AS BIGINT), CAST(top AS BIGINT),
+           top / tot, dup / tot
+    FROM s3
     """,
 )
 def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID + corpus token accounting, tag-unioned
-    (merges r1's text_lang_id / text_token_count — one §2 line).
+    """Heuristic language ID + corpus token accounting + within-document
+    repetition, tag-unioned (merges r1's text_lang_id / text_token_count
+    and round 6's repetition_profile — one §2 line + a Gopher filter).
 
     Lang branch: stopword-profile + CJK-density classifier as a (true
     lang × predicted) confusion matrix — the fixture's text is synthetic
@@ -196,9 +225,14 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed identically, which is what the gate can prove. Tokens
     branch: whitespace tokens + a BPE-ish pre-tokenizer (letter runs /
     digit runs / single symbols) per source — the budget numbers every
-    training-data pipeline reports."""
+    training-data pipeline reports. Repetition branches (rep2/rep3):
+    per-document top-n-gram and duplicate-n-gram fractions
+    (operators/text.py repetition_profile) — the MassiveText repetition
+    filters; the fractions are single integer divisions, so the oracle
+    matches them bit-exactly."""
     d = _docs_spread(spark, sf_dir)
     t = F.col("text")
+    null_d = F.lit(None).cast("double")
     lang = (
         d.select("lang", text.predicted_lang(t).alias("predicted"))
         .groupBy("lang", "predicted")
@@ -209,6 +243,8 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("predicted").alias("k2"),
             F.col("n_docs").alias("n1"),
             F.lit(None).cast("long").alias("n2"),
+            null_d.alias("d1"),
+            null_d.alias("d2"),
         )
     )
     tokens = (
@@ -223,9 +259,20 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("k2"),
             F.col("bpe_ish_tokens").alias("n1"),
             F.col("ws_tokens").alias("n2"),
+            null_d.alias("d1"),
+            null_d.alias("d2"),
         )
     )
-    return lang.unionByName(tokens)
+    rep = text.repetition_profile(d, "doc_id", "text", ns=(2, 3)).select(
+        F.concat(F.lit("rep"), F.col("n").cast("string")).alias("grp"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("total_ngrams").alias("n1"),
+        F.col("top_ngram_count").alias("n2"),
+        F.col("top_ngram_frac").alias("d1"),
+        F.col("dup_ngram_frac").alias("d2"),
+    )
+    return lang.unionByName(tokens).unionByName(rep)
 
 
 # --------------------------------------------------------------------------

@@ -865,3 +865,59 @@ def test_bigram_lm_honors_text_col(spark):
     }
     assert set(got) == set(want)
     assert all(abs(got[k] - want[k]) < 1e-9 for k in want), (got, want)
+
+
+def test_repetition_profile_brute_force_and_edges(spark):
+    """Gopher-style repetition stats must match a per-doc brute force:
+    boilerplate repetition scores ~1.0 dup fraction, all-distinct text
+    scores 0, docs shorter than n emit no row for that n."""
+    import re
+    from collections import Counter
+
+    from basic_data_pipeline_spark.operators import text as T
+
+    rows = [
+        (1, ("click here " * 10).strip()),
+        (2, "a b c d e f g"),
+        (3, "single"),
+        (4, "x y x y zebra x y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["n"]): (
+            r["total_ngrams"],
+            r["top_ngram_count"],
+            r["dup_ngram_count"],
+            r["top_ngram_frac"],
+            r["dup_ngram_frac"],
+        )
+        for r in T.repetition_profile(docs).collect()
+    }
+
+    for doc_id, txt in rows:
+        # re.split mirrors Spark's split(): trailing empties are KEPT
+        toks = re.split(r"\s+", txt.lower())
+        for n in (2, 3):
+            grams = [
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            key = (doc_id, n)
+            if len(toks) < n:
+                assert key not in got, key
+                continue
+            c = Counter(grams)
+            tot, top = len(grams), max(c.values())
+            dup = sum(v for v in c.values() if v > 1)
+            assert got[key] == (tot, top, dup, top / tot, dup / tot), key
+
+    # boilerplate pins: every bigram occurrence is a repeat
+    assert got[(1, 2)][4] == 1.0
+    # all-distinct doc: zero repetition
+    assert got[(2, 2)][1:3] == (1, 0)
+
+    # partition invariance
+    got13 = {
+        (r["doc_id"], r["n"]): (r["total_ngrams"], r["top_ngram_count"])
+        for r in T.repetition_profile(docs.repartition(13)).collect()
+    }
+    assert got13 == {k: v[:2] for k, v in got.items()}
