@@ -5,7 +5,8 @@ Chains the package's operators in the order production corpora use them,
 with per-stage row accounting so a run is auditable:
 
     exact dedup → near dedup (LSH+verify) → quality filter →
-    benchmark decontamination → mixing (temperature or explicit) →
+    repetition filter → benchmark decontamination →
+    mixing (temperature or explicit) → [deterministic shuffle] →
     sequence packing
 
 Every stage is one of the already-tested operators (dedup.py, text.py,
@@ -41,22 +42,32 @@ def prepare_training_corpus(
     text_col: str = "text",
     near_dup_threshold: float = 0.5,
     min_quality: float = 0.5,
+    max_repetition: float | None = None,
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 8,
     mix: dict[str, float] | None = None,
     mix_col: str = "source",
     temperature: float | None = None,
+    shuffle_salt: str | None = None,
     seq_len: int = 2048,
 ) -> CorpusPrepResult:
     """Run the full prep pipeline; see module docstring for the stages.
 
     `mix` (explicit per-source fractions, may upsample) and `temperature`
     ((n_i/N)^(1/T) rebalancing) are mutually exclusive; neither skips
-    mixing entirely. The ledger counts rows AFTER each stage; each stage's
-    result is persisted before its count so the ledger costs one pass per
-    stage instead of re-executing the whole upstream lineage per count
-    (O(stages) not O(stages²)); intermediates are released at return, the
-    final result stays persisted for the caller's first action."""
+    mixing entirely. `max_repetition` (when set) drops documents whose
+    duplicate-bigram fraction exceeds it (repetition_profile — the
+    MassiveText boilerplate filter; docs too short to have bigrams are
+    kept). `shuffle_salt` (when set) packs documents in DETERMINISTIC
+    SHUFFLED order — the pack key becomes md5(salt || id), so the packing
+    order is a reproducible pseudo-random permutation (same salt → same
+    corpus layout on any cluster/partitioning; different salt → a fresh
+    shuffle for another epoch) instead of id order. The ledger counts
+    rows AFTER each stage; each stage's result is persisted before its
+    count so the ledger costs one pass per stage instead of re-executing
+    the whole upstream lineage per count (O(stages) not O(stages²));
+    intermediates are released at return, the final result stays
+    persisted for the caller's first action."""
     if mix is not None and temperature is not None:
         raise ValueError("pass either mix= or temperature=, not both")
     held: list[DataFrame] = []
@@ -85,6 +96,15 @@ def prepare_training_corpus(
     d = stage(d.filter(text.quality_score(F.col(text_col)) >= min_quality))
     ledger["quality"] = d.count()
 
+    # 3b. repetition ceiling (duplicate-bigram fraction — boilerplate)
+    if max_repetition is not None:
+        reps = text.repetition_profile(d, id_col, text_col, ns=(2,))
+        too_repetitive = reps.filter(
+            F.col("dup_ngram_frac") > max_repetition
+        ).select(id_col)
+        d = stage(d.join(too_repetitive, id_col, "left_anti"))
+        ledger["repetition"] = d.count()
+
     # 4. benchmark decontamination (drop docs sharing an n-gram)
     if benchmark is not None:
         hits = packing.contamination_hits(
@@ -108,6 +128,12 @@ def prepare_training_corpus(
         if "replica" in d.columns
         else F.col(id_col).cast("string")
     )
+    if shuffle_salt is not None:
+        # deterministic shuffle: the pack key IS the packing order, so a
+        # salted md5 key packs the corpus in a reproducible pseudo-random
+        # permutation — no extra operator, the prefix sum's range
+        # partitioning distributes the hash order exactly like id order.
+        pack_id = F.md5(F.concat(F.lit(shuffle_salt), F.lit("|"), pack_id))
     d = d.withColumn("_pack_id", pack_id)
     packed = packing.pack_sequences(
         d, "_pack_id", text.n_tokens(F.col(text_col)), seq_len

@@ -72,3 +72,51 @@ def test_prepare_training_corpus_end_to_end(spark, docs):
 def test_prepare_training_corpus_rejects_conflicting_mixing(spark, docs):
     with pytest.raises(ValueError):
         prepare_training_corpus(docs, mix={"web": 1.0}, temperature=2.0)
+
+
+def test_repetition_filter_drops_boilerplate(spark, docs):
+    """A planted high-repetition doc survives the quality floor (decent
+    length/token shape) but must fall to the repetition ceiling; short
+    docs without bigrams are kept."""
+    boiler = spark.createDataFrame(
+        [(999_999, "spam eggs spam eggs " * 40, "en", "web", 800)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    res = prepare_training_corpus(
+        docs.unionByName(boiler),
+        min_quality=0.25,
+        max_repetition=0.9,
+        seq_len=256,
+    )
+    assert "repetition" in res.ledger
+    assert res.ledger["repetition"] < res.ledger["quality"]
+    out_ids = {r["doc_id"] for r in res.docs.select("doc_id").collect()}
+    assert 999_999 not in out_ids
+
+
+def test_deterministic_shuffle_packs_reproducible_permutation(spark, docs):
+    """shuffle_salt packs in salted-hash order: same salt → bit-identical
+    layout across runs/partitionings; layout differs from id order; the
+    window count is conserved (same token stream, different order)."""
+    kw = dict(min_quality=0.0, seq_len=256)
+
+    def layout(d, **extra):
+        res = prepare_training_corpus(d, **kw, **extra)
+        return {
+            r["doc_id"]: (r["seq_bin"], r["bin_pos"])
+            for r in res.docs.select("doc_id", "seq_bin", "bin_pos").collect()
+        }
+
+    a = layout(docs, shuffle_salt="epoch1")
+    b = layout(docs.repartition(13), shuffle_salt="epoch1")
+    assert a == b, "same salt must give the identical layout"
+
+    plain = layout(docs)
+    assert set(a) == set(plain), "shuffle must not change the doc set"
+    assert a != plain, "salted order must differ from id order"
+    assert max(v[0] for v in a.values()) == max(
+        v[0] for v in plain.values()
+    ), "same token stream => same window count"
+
+    c = layout(docs, shuffle_salt="epoch2")
+    assert a != c, "different salt must give a different permutation"
