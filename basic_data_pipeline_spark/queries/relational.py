@@ -469,19 +469,33 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'cross', ra.r_regionkey, rb.r_regionkey
     FROM region ra CROSS JOIN region rb
     WHERE ra.r_regionkey < rb.r_regionkey
+    UNION ALL
+    SELECT 'binned', e.event_id, o.o_orderkey
+    FROM (SELECT event_id, value FROM events WHERE event_id % 5 = 0) e
+    JOIN (SELECT o_orderkey, o_totalprice % 80 AS lo,
+                 o_totalprice % 80 + o_orderkey % 7 AS hi
+          FROM orders WHERE o_orderkey % 100 = 0) o
+      ON e.value BETWEEN o.lo AND o.hi
     ORDER BY kind, a, b
     """,
 )
 def join_range_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range/theta self-join + bounded cross join as one tag-unioned
-    result (merges r1's join_range_theta / join_cross_bounded).
+    """Range/theta self-join + bounded cross join + PURE range join as
+    one tag-unioned result (merges r1's join_range_theta /
+    join_cross_bounded; r6 adds the no-equi-key case).
 
     Theta branch: parts with a same-brand near-priced sibling — blocked on
     p_brand (equi component) so Catalyst plans a hash join with the range
     as a post-filter, NOT a nested-loop cross product; the blocking key is
     what keeps this viable at 100 TB. Cross branch: tiny dimension ×
     itself, upper triangle — the only sanctioned unblocked cross join
-    shape (broadcast-bounded)."""
+    shape (broadcast-bounded). Binned branch: point-in-interval with NO
+    equi component — the shape Spark would plan as a nested-loop — via
+    operators/rangejoin.py binned_range_join (bin replication → equi-join
+    on bin → residual BETWEEN; plan-asserted equi-join in
+    tests/test_rangejoin.py); the oracle states the same join as a bare
+    BETWEEN, which DuckDB's IEJoin handles natively."""
+    from basic_data_pipeline_spark.operators.rangejoin import binned_range_join
     a = _t(spark, sf_dir, "part").alias("a")
     b = _t(spark, sf_dir, "part").alias("b")
     cond = (
@@ -509,7 +523,28 @@ def join_range_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rb.r_regionkey").alias("b"),
         )
     )
-    return theta.unionByName(cross).orderBy("kind", "a", "b")
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select(F.col("event_id").alias("pid"), F.col("value").alias("p"))
+    )
+    iv = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.col("o_orderkey").alias("iid"),
+            (F.col("o_totalprice") % 80).alias("lo"),
+            (F.col("o_totalprice") % 80 + F.col("o_orderkey") % 7).alias("hi"),
+        )
+    )
+    binned = binned_range_join(pts, iv, "p", "lo", "hi", bin_width=8.0).select(
+        F.lit("binned").alias("kind"),
+        F.col("pid").alias("a"),
+        F.col("iid").alias("b"),
+    )
+    return theta.unionByName(cross).unionByName(binned).orderBy(
+        "kind", "a", "b"
+    )
 
 
 @query(
