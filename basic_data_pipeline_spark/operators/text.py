@@ -345,3 +345,47 @@ def repetition_profile(
             "dup_ngram_frac"
         ),
     )
+
+
+# --- TF-IDF salient terms (corpus-relative keyword extraction) ------------
+
+def tfidf_top_terms(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+):
+    """(id, term, tf, df, tfidf, rank): each document's top-``k`` terms by
+    TF-IDF with the smoothed idf = ln((N+1)/(df+1)) + 1 (sklearn's
+    formulation — never zero, defined for unseen terms). The corpus-
+    relative salience signal: terms that are frequent IN the document but
+    rare ACROSS the corpus; the building block for keyword extraction,
+    topical clustering, and mixture diagnostics.
+
+    Plan shape, all linear: one token explode → (doc, term) counts (tf,
+    map-side combine) → document frequency from the same frame (term-
+    keyed count) → one term-keyed join → per-doc top-k window. N (corpus
+    size) is the single driver-side scalar, same bounded-action pattern
+    as bigram_lm_scores' vocabulary size. Ties break by term for
+    determinism."""
+    from pyspark.sql.window import Window as W
+
+    n_docs = docs.count()
+    tf = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )

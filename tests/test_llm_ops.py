@@ -921,3 +921,50 @@ def test_repetition_profile_brute_force_and_edges(spark):
         for r in T.repetition_profile(docs.repartition(13)).collect()
     }
     assert got13 == {k: v[:2] for k, v in got.items()}
+
+
+def test_tfidf_top_terms_brute_force(spark):
+    """TF-IDF ranks must match a per-doc brute force with the smoothed
+    idf, ties broken by term; rank bounded by k; partition-invariant."""
+    import math
+    import re
+    from collections import Counter
+
+    from basic_data_pipeline_spark.operators import text as T
+
+    rows = [
+        (1, "apple banana apple cherry apple"),
+        (2, "banana banana cherry date"),
+        (3, "cherry date elder fig fig"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"], r["tfidf"])
+        for r in T.tfidf_top_terms(docs, k=2).collect()
+    }
+
+    n = len(rows)
+    df = Counter()
+    tfs = {}
+    for doc_id, txt in rows:
+        c = Counter(re.split(r"\s+", txt.lower()))
+        tfs[doc_id] = c
+        for t in c:
+            df[t] += 1
+    for doc_id, c in tfs.items():
+        scored = sorted(
+            (
+                (-tf * (math.log((n + 1) / (df[t] + 1)) + 1), t, tf)
+                for t, tf in c.items()
+            )
+        )
+        for rank, (neg, t, tf) in enumerate(scored[:2], start=1):
+            term, gtf, gdf, gscore = got[(doc_id, rank)]
+            assert (term, gtf, gdf) == (t, tf, df[t]), (doc_id, rank)
+            assert abs(gscore - (-neg)) < 1e-12
+
+    got13 = {
+        (r["doc_id"], r["rank"]): r["term"]
+        for r in T.tfidf_top_terms(docs.repartition(13), k=2).collect()
+    }
+    assert got13 == {key: v[0] for key, v in got.items()}

@@ -145,6 +145,36 @@ def _probe_bigram_lm(spark, d):
     return text.bigram_lm_scores(load_table(spark, d, "documents"))
 
 
+def _probe_binned_range_join(spark, d):
+    from basic_data_pipeline_spark.operators.rangejoin import binned_range_join
+
+    # value/price are CONTENT columns (not key-shifted), so the 16x copies
+    # cross-match: the match count grows ~256x, the adversarial hot-bin
+    # case we want. The %25/%500 filters (SHIFT-divisible) bound the
+    # output so the probe measures join throughput, not sink volume.
+    pts = (
+        load_table(spark, d, "events")
+        .filter(F.col("event_id") % 25 == 0)
+        .select(F.col("event_id").alias("pid"), F.col("value").alias("p"))
+    )
+    iv = (
+        load_table(spark, d, "orders")
+        .filter(F.col("o_orderkey") % 500 == 0)
+        .select(
+            F.col("o_orderkey").alias("iid"),
+            (F.col("o_totalprice") % 80).alias("lo"),
+            (F.col("o_totalprice") % 80 + F.col("o_orderkey") % 7).alias("hi"),
+        )
+    )
+    return binned_range_join(pts, iv, "p", "lo", "hi", bin_width=8.0)
+
+
+def _probe_repetition_profile(spark, d):
+    from basic_data_pipeline_spark.operators import text
+
+    return text.repetition_profile(load_table(spark, d, "documents"))
+
+
 EXTRA_PROBES = {
     "op_pack_sequences": _probe_pack_sequences,
     "op_pack_token_windows": _probe_pack_token_windows,
@@ -153,6 +183,8 @@ EXTRA_PROBES = {
     "op_scd2_apply": _probe_scd2_apply,
     "op_cms_build_merge": _probe_cms,
     "op_bigram_lm_scores": _probe_bigram_lm,
+    "op_binned_range_join": _probe_binned_range_join,
+    "op_repetition_profile": _probe_repetition_profile,
 }
 
 
