@@ -165,6 +165,71 @@ def pack_token_windows(
     )
 
 
+def assign_contiguous_ids(
+    docs: DataFrame,
+    id_col: str,
+    parts: int | None = None,
+) -> DataFrame:
+    """(id, row_idx): dense contiguous 0-based row indexes in ``id_col``
+    order — the distributed replacement for zipWithIndex/monotonically_
+    increasing_id when training shards need stable, gap-free numbering.
+    Exactly the prefix-sum machinery of ``pack_sequences`` with a token
+    count of 1: cum_before of a constant-1 column IS the row index. Same
+    scale properties: range partition, local scans, driver prefix over
+    #partitions totals, no single-partition sort."""
+    cum = _cum_before(docs, id_col, F.lit(1), parts)
+    return cum.select(F.col(id_col), F.col("cum_before").alias("row_idx"))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """(id, chunk_id, chunk_text, n_chunk_tokens): split each document
+    into ``chunk_tokens``-token chunks with ``overlap`` tokens repeated
+    between consecutive chunks — the RAG/embedding-prep step (bounded
+    chunks for an encoder; overlap preserves cross-boundary context).
+    Chunk starts step by ``chunk_tokens - overlap``; the final chunk may
+    be shorter; every token of the document appears in at least one
+    chunk. Deterministic: chunk_id is the 0-based chunk ordinal.
+
+    Pure per-document array work inside one projection + explode — no
+    shuffle at all, embarrassingly parallel at any corpus size (the
+    output is ~(1 + overlap/chunk) × input tokens)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n = F.size("_tk")
+    # chunk starts: 0, step, 2*step, ... while start < n (at least one)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(step)), F.lit(1)
+    ).cast("int")
+    return (
+        docs.select(F.col(id_col), toks.alias("_tk"))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda c: F.slice(
+                        F.col("_tk"), c * step + 1, F.lit(chunk_tokens)
+                    ),
+                )
+            ).alias("chunk_id", "_chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_id",
+            F.array_join("_chunk", " ").alias("chunk_text"),
+            F.size("_chunk").alias("n_chunk_tokens"),
+        )
+    )
+
+
 def contamination_hits(
     docs: DataFrame,
     bench: DataFrame,

@@ -968,3 +968,64 @@ def test_tfidf_top_terms_brute_force(spark):
         for r in T.tfidf_top_terms(docs.repartition(13), k=2).collect()
     }
     assert got13 == {key: v[0] for key, v in got.items()}
+
+
+def test_chunk_documents_brute_force_and_coverage(spark):
+    """Chunking must match the serial definition (starts step by
+    chunk-overlap, last chunk may be short, >=1 chunk always), and the
+    chunks must reconstruct the exact token stream."""
+    import re
+
+    from basic_data_pipeline_spark.operators import packing
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),
+        (2, " ".join(f"u{i}" for i in range(4))),
+        (3, "lone"),
+        (4, " ".join(f"v{i}" for i in range(7))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for chunk, overlap in ((4, 0), (4, 2), (5, 1), (16, 3)):
+        step = chunk - overlap
+        got = {}
+        out = packing.chunk_documents(docs, "doc_id", "text", chunk, overlap)
+        for r in out.collect():
+            got.setdefault(r["doc_id"], {})[r["chunk_id"]] = (
+                r["chunk_text"],
+                r["n_chunk_tokens"],
+            )
+        for doc_id, txt in rows:
+            toks = re.split(r"\s+", txt.lower())
+            n = len(toks)
+            import math
+
+            n_chunks = max(1, math.ceil((n - overlap) / step))
+            want = {
+                c: (
+                    " ".join(toks[c * step : c * step + chunk]),
+                    len(toks[c * step : c * step + chunk]),
+                )
+                for c in range(n_chunks)
+            }
+            assert got[doc_id] == want, (doc_id, chunk, overlap)
+            # reconstruction: chunk 0 + the non-overlap tail of each next
+            rec = list(toks[:chunk])
+            for c in range(1, n_chunks):
+                rec.extend(want[c][0].split(" ")[overlap:])
+            assert rec == toks, (doc_id, chunk, overlap)
+    with pytest.raises(ValueError):
+        packing.chunk_documents(docs, "doc_id", "text", 4, 4)
+
+
+def test_assign_contiguous_ids_dense_and_ordered(spark):
+    from basic_data_pipeline_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i * 7 % 101, f"d{i}") for i in range(101)], "doc_id long, text string"
+    ).repartition(13)
+    got = {
+        r["doc_id"]: r["row_idx"]
+        for r in packing.assign_contiguous_ids(docs, "doc_id").collect()
+    }
+    ids = sorted(got)
+    assert [got[i] for i in ids] == list(range(101)), "dense 0-based in id order"
