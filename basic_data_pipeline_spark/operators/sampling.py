@@ -141,3 +141,67 @@ def hash_split(
         out[name] = df.filter((b >= F.lit(lo * n)) & (b < F.lit(hi * n)))
         lo = hi
     return out
+
+
+def negative_samples(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 5,
+    salt: str = "negatives",
+    parts: int | None = None,
+) -> DataFrame:
+    """(id, neg_id, j): exactly min(k, N-1) deterministic pseudo-random
+    negatives per document — the contrastive-training sampler (negative
+    pairs for embedding/reranker training) WITHOUT a cross join and
+    WITHOUT RNG state.
+
+    Construction: documents get dense row indexes (assign_contiguous_ids
+    — the distributed prefix sum), then ``k`` distinct STRIDES are drawn
+    from md5(salt, counter) mod (N-1) + 1 on the driver (a bounded loop
+    over k+collisions ints); document at index r is paired with the
+    documents at (r + stride_j) mod N. Every document gets exactly the
+    same number of negatives (a k-regular pairing, so no doc is over- or
+    under-sampled), no self-pairs (strides are nonzero mod N), and the
+    whole sample is a pure function of (salt, corpus) — rerun, retry, or
+    repartition and the pairs are identical; change the salt for a fresh
+    epoch of negatives.
+
+    Plan: one prefix sum + a k-way literal explode + ONE equi-join on
+    the partner index. Linear in N·k at any corpus size."""
+    import hashlib
+
+    from basic_data_pipeline_spark.operators.packing import (
+        assign_contiguous_ids,
+    )
+
+    ids = assign_contiguous_ids(docs.select(id_col), id_col, parts).persist()
+    n = ids.count()
+    if n < 2:
+        ids.unpersist()
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} string, neg_id string, j int"
+        )
+    k_eff = min(k, n - 1)
+    strides: list[int] = []
+    i = 0
+    while len(strides) < k_eff:
+        h = int.from_bytes(
+            hashlib.md5(f"{salt}:{i}".encode()).digest()[:8], "big"
+        )
+        s = h % (n - 1) + 1
+        if s not in strides:
+            strides.append(s)
+        i += 1
+
+    pairs = ids.select(
+        F.col(id_col),
+        F.col("row_idx"),
+        F.posexplode(F.array(*[F.lit(s) for s in strides])).alias(
+            "j", "_stride"
+        ),
+    ).withColumn("_partner", (F.col("row_idx") + F.col("_stride")) % n)
+    partner = ids.select(
+        F.col(id_col).alias("neg_id"), F.col("row_idx").alias("_partner")
+    )
+    out = pairs.join(partner, "_partner").select(id_col, "neg_id", "j")
+    return out

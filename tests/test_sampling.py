@@ -144,3 +144,52 @@ def test_temperature_mix_flattens_toward_uniform(spark):
 
     with _pytest.raises(ValueError):
         temperature_mix(docs, "source", 0.0)
+
+
+def test_negative_samples_k_regular_no_self_deterministic(spark):
+    from basic_data_pipeline_spark.operators.sampling import negative_samples
+
+    docs = spark.createDataFrame(
+        [(i * 13 % 97, f"d{i}") for i in range(97)], "doc_id long, text string"
+    )
+    out = negative_samples(docs, "doc_id", k=4, salt="e1").collect()
+    by_doc = {}
+    for r in out:
+        assert r["doc_id"] != r["neg_id"], "self-pair"
+        by_doc.setdefault(r["doc_id"], set()).add(r["neg_id"])
+    assert len(by_doc) == 97
+    assert all(len(v) == 4 for v in by_doc.values()), "k-regular"
+    # each doc also APPEARS as a negative exactly k times (regularity)
+    as_neg = {}
+    for r in out:
+        as_neg[r["neg_id"]] = as_neg.get(r["neg_id"], 0) + 1
+    assert set(as_neg.values()) == {4}
+
+    # deterministic across partitioning; different salt reshuffles
+    again = {
+        (r["doc_id"], r["neg_id"], r["j"])
+        for r in negative_samples(
+            docs.repartition(7), "doc_id", k=4, salt="e1"
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["neg_id"], r["j"]) for r in out}
+    other = {
+        (r["doc_id"], r["neg_id"], r["j"])
+        for r in negative_samples(docs, "doc_id", k=4, salt="e2").collect()
+    }
+    assert other != again
+
+
+def test_negative_samples_tiny_corpus_caps(spark):
+    from basic_data_pipeline_spark.operators.sampling import negative_samples
+
+    three = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    out = negative_samples(three, "doc_id", k=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["neg_id"])
+    assert all(len(v) == 2 for v in by_doc.values()), "capped at N-1"
+    one = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert negative_samples(one, "doc_id", k=3).count() == 0
