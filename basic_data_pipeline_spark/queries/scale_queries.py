@@ -23,22 +23,100 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @query(
     "rollup_hourly_to_daily",
     oracle="""
-    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS date, event_type,
-           count(*) AS n,
-           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
-    FROM events GROUP BY 1, 2
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type, value
+               FROM events),
+    lagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM e),
+    flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev IS NULL OR us - prev > 14400000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM lagged),
+    sess AS (
+      SELECT user_id, us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged),
+    stats AS (
+      SELECT user_id, session_seq, count(*) AS n,
+             (max(us) - min(us)) / 1000000.0 AS dur
+      FROM sess GROUP BY 1, 2),
+    f1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+    f2 AS (SELECT e.user_id, min(epoch_us(ts)) AS t FROM e
+           JOIN f1 ON e.user_id = f1.user_id
+           WHERE event_type = 'click' AND epoch_us(ts) >= f1.t GROUP BY 1),
+    f3 AS (SELECT e.user_id, min(epoch_us(ts)) AS t FROM e
+           JOIN f2 ON e.user_id = f2.user_id
+           WHERE event_type = 'purchase' AND epoch_us(ts) >= f2.t
+           GROUP BY 1)
+    SELECT 'daily' AS branch, CAST(CAST(ts AS DATE) AS VARCHAR) AS k1,
+           event_type AS k2, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+    FROM e GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sess', CAST(user_id AS VARCHAR), CAST(session_seq AS VARCHAR),
+           n, CAST(dur AS DOUBLE)
+    FROM stats
+    UNION ALL
+    SELECT 'funnel', '1', 'view', (SELECT count(*) FROM f1), NULL
+    UNION ALL
+    SELECT 'funnel', '2', 'click', (SELECT count(*) FROM f2), NULL
+    UNION ALL
+    SELECT 'funnel', '3', 'purchase', (SELECT count(*) FROM f3), NULL
     """,
 )
 def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-level additive rollup: raw events → hour×type partials →
-    day×type. The oracle aggregates the RAW facts directly, proving the
+    """Event-stream analytics tag-union, three branches over the same
+    facts (merged r6 so sessionization/funnels are driver-checked without
+    a new registry slot):
+
+    `daily` — two-level additive rollup: raw events → hour×type partials
+    → day×type. The oracle aggregates the RAW facts directly, proving the
     hierarchical path is lossless (the additivity invariant continuous
     aggregates depend on). At 100 TB the hourly level is materialized
     once (operators/rollup.py `materialize_rollup`) and every coarser
-    query reads it instead of the facts."""
-    return rollup.reaggregate_daily(
-        rollup.hourly_rollup(_t(spark, sf_dir, "events"))
+    query reads it instead of the facts.
+
+    `sess` — gap-based sessionization (operators/sessions.py, 4 h gap)
+    + per-session stats; the batch analogue of the streaming session
+    windows, one user-hash shuffle, integer-micros gap arithmetic so the
+    oracle replays the identical boundaries.
+
+    `funnel` — strict-order view→click→purchase user funnel: first
+    qualifying step-i event at-or-after the first qualifying step-(i-1)
+    event; counts are non-increasing by construction."""
+    from basic_data_pipeline_spark.operators import sessions
+
+    e = _t(spark, sf_dir, "events")
+    daily = rollup.reaggregate_daily(rollup.hourly_rollup(e)).select(
+        F.lit("daily").alias("branch"),
+        F.col("date").cast("string").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n").alias("n"),
+        F.col("value_sum").alias("v"),
     )
+    sess = sessions.session_stats(
+        sessions.sessionize(e, gap_seconds=14400.0), value_col=None
+    ).select(
+        F.lit("sess").alias("branch"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("session_seq").cast("string").alias("k2"),
+        F.col("n_events").alias("n"),
+        F.col("duration_s").cast("double").alias("v"),
+    )
+    fun = sessions.funnel_counts(e, ["view", "click", "purchase"]).select(
+        F.lit("funnel").alias("branch"),
+        F.col("step_no").cast("string").alias("k1"),
+        F.col("step").alias("k2"),
+        F.col("users_reached").alias("n"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return daily.unionByName(sess).unionByName(fun)
 
 
 @query(
