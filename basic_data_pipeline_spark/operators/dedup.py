@@ -577,3 +577,161 @@ def near_dedup_corpus(
         dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
         return docs.join(dropped, id_col, "left_anti")
     raise ValueError(f"unknown survivor_policy {survivor_policy!r}")
+
+
+# ---------------------------------------------------------------------------
+# Line-level (sub-document) dedup — C4/RefinedWeb-style boilerplate removal
+# ---------------------------------------------------------------------------
+#
+# Document-level dedup (above) cannot touch the dominant duplication mode of
+# web corpora: the SAME navigation/footer/cookie line pasted into millions of
+# otherwise-distinct pages. The line-granular operators below segment each
+# document, dedup at line granularity across the whole corpus, and reassemble
+# the surviving text:
+#
+# - ``drop_common``: remove EVERY occurrence of a line appearing in more than
+#   `max_doc_freq` distinct documents (boilerplate removal — the line is
+#   noise wherever it appears);
+# - ``keep_first``: keep only the globally first occurrence (lexicographic
+#   (doc_id, line_no)) of each duplicated line (span dedup — the content is
+#   kept once, repeats are cut).
+#
+# Scale design: the corpus-wide line statistics shuffle on a 128-bit line
+# hash (never the raw text twice); the stats side is one narrow row per
+# DISTINCT line, so the join back is hash-partition-friendly and AQE can
+# broadcast it when the distinct-line count is small. Reassembly is one
+# groupBy per document with sort_array over (line_no, line) structs — group
+# size is bounded by lines-per-document, not corpus size.
+
+
+def segment_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_regex: str = r"\n",
+) -> DataFrame:
+    """(id, line_no, line): split each document on ``sep_regex``. Zero
+    shuffle — one projection + posexplode."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_regex)).alias(
+            "line_no", "line"
+        ),
+    )
+
+
+def segment_word_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_line: int = 8,
+) -> DataFrame:
+    """(id, line_no, line): segment into fixed ``words_per_line``-word
+    groups (lowercased) — the segmenter for corpora without newline
+    structure (and the deterministic unit tests/oracles use). The final
+    segment may be shorter. Zero shuffle."""
+    if words_per_line < 1:
+        raise ValueError("words_per_line must be >= 1")
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_seg = F.ceil(F.size("_tk") / F.lit(words_per_line)).cast("int")
+    return (
+        docs.select(F.col(id_col), toks.alias("_tk"))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n_seg, F.lit(1)) - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.slice(
+                            F.col("_tk"),
+                            i * words_per_line + 1,
+                            F.lit(words_per_line),
+                        ),
+                    ),
+                )
+            ).alias("line_no", "line"),
+        )
+    )
+
+
+def dedup_lines(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    mode: str = "drop_common",
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """Corpus-wide line dedup over a segmented (id, line_no, line) frame;
+    returns the KEPT rows with the same columns.
+
+    ``drop_common``: drop all occurrences of lines in > ``max_doc_freq``
+    distinct docs. ``keep_first``: keep one occurrence per distinct line —
+    the lexicographically first (doc_id, line_no) — dropping repeats both
+    across and within documents. Both shuffle on md5(line), and the
+    per-distinct-line stats frame is the small join side."""
+    if mode not in ("drop_common", "keep_first"):
+        raise ValueError(f"unknown mode {mode!r}")
+    lh = lines.withColumn("_lh", F.md5(F.col("line")))
+    stats = lh.groupBy("_lh").agg(
+        F.countDistinct(id_col).alias("_doc_freq"),
+        F.min(F.struct(F.col(id_col), F.col("line_no"))).alias("_first"),
+    )
+    j = lh.join(stats, "_lh")
+    if mode == "drop_common":
+        kept = j.filter(F.col("_doc_freq") <= F.lit(max_doc_freq))
+    else:
+        kept = j.filter(
+            F.struct(F.col(id_col), F.col("line_no")) == F.col("_first")
+        )
+    return kept.select(id_col, "line_no", "line")
+
+
+def reassemble_lines(
+    kept: DataFrame,
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rebuild (id, text, n_lines) from kept lines, preserving original
+    line order. Documents whose every line was dropped do not appear."""
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("line_no"), F.col("line")))
+            ).alias("_ls"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                sep, F.transform(F.col("_ls"), lambda s: s["line"])
+            ).alias(text_col),
+            "n_lines",
+        )
+    )
+
+
+def line_dedup_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep_regex: str = r"\n",
+    sep: str = "\n",
+    mode: str = "drop_common",
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """One-call line-granular corpus rewrite: segment → corpus-wide line
+    dedup → reassemble. Returns (id, text, n_lines) for documents with at
+    least one surviving line."""
+    return reassemble_lines(
+        dedup_lines(
+            segment_lines(docs, id_col, text_col, sep_regex),
+            id_col,
+            mode,
+            max_doc_freq,
+        ),
+        id_col,
+        sep,
+        text_col,
+    )

@@ -290,19 +290,52 @@ _DUCK_SHINGLES = """
 @query(
     "dedup_exact_fp",
     oracle=f"""
+    WITH ltoks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+                   FROM documents),
+    lsegs AS (SELECT doc_id, i AS line_no,
+                     array_to_string(w[i*8+1 : i*8+8], ' ') AS line
+              FROM ltoks, UNNEST(range(0, CAST(greatest(ceil(len(w)/8.0), 1)
+                                          AS BIGINT))) AS t(i)),
+    ldf AS (SELECT line, count(DISTINCT doc_id) AS dfreq
+            FROM lsegs GROUP BY 1),
+    lfirst AS (SELECT line, min(doc_id) AS fd FROM lsegs GROUP BY 1),
+    lfirst2 AS (SELECT l.line, l.fd, min(s.line_no) AS fl
+                FROM lfirst l
+                JOIN lsegs s ON s.line = l.line AND s.doc_id = l.fd
+                GROUP BY 1, 2)
     SELECT 'raw' AS kind, min(doc_id) AS doc_id, count(*) AS group_size
     FROM documents GROUP BY text
     UNION ALL
     SELECT 'fingerprint', min(doc_id), count(*)
     FROM documents GROUP BY {_DUCK_FP}
+    UNION ALL
+    SELECT 'line_common', s.doc_id, count(*)
+    FROM lsegs s JOIN ldf USING (line)
+    WHERE ldf.dfreq <= 2 GROUP BY 2
+    UNION ALL
+    SELECT 'line_first', s.doc_id, count(*)
+    FROM lsegs s JOIN lfirst2 f
+      ON s.line = f.line AND s.doc_id = f.fd AND s.line_no = f.fl
+    GROUP BY 2
     """,
 )
 def dedup_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup under BOTH keys, tag-unioned (merges r1's dedup_exact /
-    dedup_fingerprint — one §2 line): raw-text hash-groupBy (minimum
-    doc_id survives; at corpus scale the key is a 128-bit content hash so
-    the shuffle carries no text) and the canonical fingerprint, which
-    catches formatting-only duplicates the raw key misses."""
+    """Exact dedup at BOTH granularities, tag-unioned (merges r1's
+    dedup_exact / dedup_fingerprint and r6's line-level dedup — one
+    registry slot):
+
+    `raw` / `fingerprint` — document-level hash-groupBy (minimum doc_id
+    survives; at corpus scale the key is a 128-bit content hash so the
+    shuffle carries no text); the canonical fingerprint catches
+    formatting-only duplicates the raw key misses.
+
+    `line_common` / `line_first` — sub-document dedup
+    (operators/dedup.py line-granular family): the corpus is segmented
+    into 8-word lines, then per-doc SURVIVING-line counts under the two
+    rules — drop lines in >2 distinct docs (C4/RefinedWeb boilerplate
+    removal), and keep only the globally first occurrence of each line
+    (span dedup). The oracle replays segmentation, doc-frequency, and
+    first-occurrence arithmetic exactly."""
     d = _t(spark, sf_dir, "documents")
     raw = dedup.exact_dedup_survivors(d, "doc_id", F.col("text")).select(
         F.lit("raw").alias("kind"), "doc_id", "group_size"
@@ -310,7 +343,20 @@ def dedup_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = dedup.exact_dedup_survivors(
         d, "doc_id", text.fingerprint(F.col("text"))
     ).select(F.lit("fingerprint").alias("kind"), "doc_id", "group_size")
-    return raw.unionByName(fp)
+    segs = tracked_persist(dedup.segment_word_lines(d, "doc_id", "text", 8))
+    common = (
+        dedup.dedup_lines(segs, "doc_id", "drop_common", 2)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("group_size"))
+        .select(F.lit("line_common").alias("kind"), "doc_id", "group_size")
+    )
+    first = (
+        dedup.dedup_lines(segs, "doc_id", "keep_first")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("group_size"))
+        .select(F.lit("line_first").alias("kind"), "doc_id", "group_size")
+    )
+    return raw.unionByName(fp).unionByName(common).unionByName(first)
 
 
 @query(
