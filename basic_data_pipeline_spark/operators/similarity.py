@@ -140,24 +140,48 @@ def _hyperplane(plane: int, dim: int) -> list[float]:
 
 
 def lsh_bucket(
-    emb: Column, dim: int, n_planes: int = 8, table: int = 0
+    emb: Column,
+    dim: int,
+    n_planes: int = 8,
+    table: int = 0,
+    emb_is_double: bool = False,
 ) -> Column:
     """Sign-bit bucket string ('10110010') of the embedding against
     n_planes fixed ±1 hyperplanes (a distinct plane family per hash
     table). Pure expression — the hyperplanes are compile-time literal
-    arrays, the dots are codegen'd folds."""
+    arrays, the dots are codegen'd folds. Pass ``emb_is_double=True``
+    when the caller already cast to array<double> — each transform-cast
+    is a per-element loop, so skipping it saves n_planes loops per
+    call."""
+    v = emb if emb_is_double else as_double_array(emb)
     bits = []
     for p in range(n_planes):
-        plane = F.array([F.lit(v) for v in _hyperplane(table * 1000 + p, dim)])
-        bits.append(F.when(dot(as_double_array(emb), plane) >= 0, "1").otherwise("0"))
+        plane = F.array([F.lit(x) for x in _hyperplane(table * 1000 + p, dim)])
+        bits.append(F.when(dot(v, plane) >= 0, "1").otherwise("0"))
     return F.concat(*bits)
+
+
+def auto_n_planes(n_vectors: int, target_bucket: int = 94, floor: int = 4) -> int:
+    """Bucket-resolution rule for hyperplane LSH: enough planes that the
+    AVERAGE bucket holds ~``target_bucket`` vectors, never fewer than
+    ``floor``. Integer arithmetic (bit_length, no float log) so the same
+    n always yields the same resolution on every engine/platform.
+
+    Why this must scale with n: at FIXED resolution the per-bucket
+    occupancy grows ∝ n, and the candidate pair space Σ|b|² grows ∝ n² —
+    the classic silent quadratic. Holding occupancy constant keeps the
+    pair space ∝ n (each extra plane halves buckets' occupancy), which is
+    what makes multi-table LSH linear-ish at 100 TB. Recall per table
+    drops as planes grow; n_tables is the recall knob (cost ∝ tables,
+    recall ≈ 1-(1-r₁)^L)."""
+    return max(floor, (n_vectors // target_bucket).bit_length())
 
 
 def ann_topk_lsh(
     vectors: DataFrame,
     dim: int,
     k: int,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     n_tables: int = 8,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cos): approximate top-k via
@@ -170,17 +194,31 @@ def ann_topk_lsh(
     explode (×n_tables) → self-equi-join on (table, bucket) → distinct
     pair set → join vectors back → fold cosine → windowed top-k. The
     pair space is Σ_buckets |b|², never n²; tables add linearly, not
-    quadratically. Recall floor asserted in tests/test_llm_ops.py."""
+    quadratically. Recall floor asserted in tests/test_llm_ops.py.
+
+    ``n_planes=None`` → `auto_n_planes`: resolution grows with the
+    corpus so bucket occupancy (hence the pair space per vector) stays
+    constant as n grows — the count is one cheap extra job."""
+    if n_planes is None:
+        n_planes = auto_n_planes(vectors.count())
     # persisted: both self-join sides read it, and the n_tables×n_planes
-    # hyperplane folds are the expensive part of bucketing
+    # hyperplane folds are the expensive part of bucketing. The array
+    # cast happens ONCE per row (aliased column) instead of once per
+    # plane fold — n_tables×n_planes casts saved per vector.
     buckets = (
         spread(vectors, "vec_id")
+        .select(
+            F.col("vec_id"),
+            as_double_array(F.col("embedding")).alias("_v"),
+        )
         .select(
             F.col("vec_id"),
             F.posexplode(
                 F.array(
                     *[
-                        lsh_bucket(F.col("embedding"), dim, n_planes, t)
+                        lsh_bucket(
+                            F.col("_v"), dim, n_planes, t, emb_is_double=True
+                        )
                         for t in range(n_tables)
                     ]
                 )
@@ -935,3 +973,54 @@ def ivfpq_index_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster, then near-dedup within clusters
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_cells: int | None = None,
+    train_iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup (Abbas et al. 2023, public literature): k-means-cluster
+    the embedding space, then treat within-cluster pairs with cosine ≥
+    ``threshold`` as semantic duplicates and keep the lowest vec_id of
+    each. Returns (survivors, dup_pairs) — survivors has the input
+    schema; dup_pairs is (id_a, id_b, cos) with id_a < id_b.
+
+    Semantic dedup removes REPHRASINGS — near-identical meaning with
+    different surface text — that MinHash/SimHash (lexical overlap)
+    cannot see. The clustering bounds the pair space: quadratic only in
+    cell occupancy (~`target` vectors/cell, held constant by the cell
+    rule below), linear in corpus size overall — the same argument as
+    the banded LSH dedup, with the coarse quantizer as the blocker.
+
+    Deterministic end to end: hash-seeded initial cells (xxhash64 of
+    vec_id), Lloyd refinement with cell-id tie-breaks, no RNG — retries
+    and repartitioning cannot change which documents survive.
+
+    Scale: centroid training shuffles only (cell, dim) partial sums;
+    assignment broadcasts centroids (n_cells × dim doubles); the
+    within-cell pair join is the only data-sized shuffle. At 10⁹ vectors
+    with target occupancy 50 the pair space is ~50× corpus size, not
+    corpus²."""
+    if n_cells is None:
+        # ~50 vectors per cell, min 2 cells: pair space ∝ 50 × n
+        n_cells = max(2, vectors.count() // 50)
+    seeded = vectors.withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_cells))
+    )
+    cents = centroids(seeded.withColumnRenamed("_blk", "blk"), "blk", dim)
+    cents = kmeans_refine(vectors, cents, dim, train_iters)
+    assigned = ivf_assign(vectors, cents, dim, nprobe=1).select(
+        F.col("cell").alias("_sem_cell"), "vec_id", "embedding"
+    )
+    pairs = cosine_pairs(assigned, "_sem_cell", threshold)
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    survivors = vectors.join(dropped, "vec_id", "left_anti")
+    return survivors, pairs

@@ -649,9 +649,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME sequential left-to-right fold (Spark `aggregate`, DuckDB
     `list_inner_product`), making buckets, candidate sets, cosines and
     ranks bit-identical. Recall ≈ 0.74 vs the brute-force baseline,
-    asserted in tests/test_llm_ops.py."""
+    asserted in tests/test_llm_ops.py.
+
+    Resolution is AUTO (similarity.auto_n_planes): bucket occupancy is
+    held constant as the corpus grows, so the candidate pair space stays
+    linear in n instead of quadratic. At the oracle sf (500 vectors) the
+    rule resolves to exactly the 4 planes the SQL replays; at bench sf
+    and beyond it rises with log₂(n)."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.ann_topk_lsh(e, dim=64, k=3, n_planes=4, n_tables=8)
+    return similarity.ann_topk_lsh(e, dim=64, k=3, n_planes=None, n_tables=8)
 
 
 # --------------------------------------------------------------------------

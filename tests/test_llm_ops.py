@@ -1029,3 +1029,78 @@ def test_assign_contiguous_ids_dense_and_ordered(spark):
     }
     ids = sorted(got)
     assert [got[i] for i in ids] == list(range(101)), "dense 0-based in id order"
+
+
+def test_auto_n_planes_rule():
+    """The LSH resolution rule: exactly 4 at the oracle sf (500 vectors —
+    pinning the value the sim_ann_lsh DuckDB SQL hardcodes), monotone
+    non-decreasing in n, and ~constant bucket occupancy (planes grow by 1
+    per doubling)."""
+    assert similarity.auto_n_planes(500) == 4
+    assert similarity.auto_n_planes(150) == 4
+    assert similarity.auto_n_planes(2000) == 5
+    assert similarity.auto_n_planes(2_000_000) == 15
+    vals = [similarity.auto_n_planes(n) for n in range(1, 100_000, 997)]
+    assert vals == sorted(vals)
+    assert similarity.auto_n_planes(10_000) + 1 == similarity.auto_n_planes(
+        20_000
+    )
+
+
+def _semdedup_fixture(spark):
+    """30 base vectors on distinct directions + 10 planted rephrasings
+    (tiny deterministic perturbations of bases 0-9 → cosine ≈ 1)."""
+    import math
+
+    rows = []
+    for i in range(30):
+        v = [math.sin(0.1 * i * (d + 1)) + (1.5 if d == i % 64 else 0.0)
+             for d in range(64)]
+        rows.append((i, [float(x) for x in v]))
+    for j in range(10):
+        base = dict(rows)[j]
+        rows.append((100 + j, [x * 1.0001 + 1e-5 for x in base]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_semantic_dedup_drops_planted_rephrasings(spark):
+    v = _semdedup_fixture(spark)
+    survivors, pairs = similarity.semantic_dedup(
+        v, dim=64, threshold=0.999, n_cells=5, train_iters=2
+    )
+    surv = {r["vec_id"] for r in survivors.collect()}
+    p = [(r["id_a"], r["id_b"], r["cos"]) for r in pairs.collect()]
+    # every planted copy pairs with its base (if clustered together) or at
+    # minimum: no pair below threshold, lowest id always survives
+    for a, b, c in p:
+        assert c >= 0.999 and a < b
+        assert a in surv or any(x[1] == a for x in p)
+    # bases 0..29 all survive (they are never the higher id of a ≈1 pair)
+    assert set(range(30)) <= surv
+    # at least most planted copies land in their base's cell and get dropped
+    dropped = {100 + j for j in range(10)} - surv
+    assert len(dropped) >= 7, f"only dropped {dropped}"
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    v = _semdedup_fixture(spark)
+    s1, _ = similarity.semantic_dedup(
+        v.repartition(1), dim=64, threshold=0.999, n_cells=5
+    )
+    s2, _ = similarity.semantic_dedup(
+        v.repartition(11, "vec_id"), dim=64, threshold=0.999, n_cells=5
+    )
+    assert {r["vec_id"] for r in s1.collect()} == {
+        r["vec_id"] for r in s2.collect()
+    }
+
+
+def test_semantic_dedup_high_threshold_keeps_everything(spark):
+    v = _semdedup_fixture(spark).filter(F.col("vec_id") < 30)
+    survivors, pairs = similarity.semantic_dedup(
+        v, dim=64, threshold=0.9999999, n_cells=4
+    )
+    assert pairs.count() == 0
+    assert survivors.count() == 30
