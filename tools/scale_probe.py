@@ -175,7 +175,66 @@ def _probe_repetition_profile(spark, d):
     return text.repetition_profile(load_table(spark, d, "documents"))
 
 
+def _probe_chunk_documents(spark, d):
+    from basic_data_pipeline_spark.operators import packing
+
+    return packing.chunk_documents(
+        load_table(spark, d, "documents"), "doc_id", "text", 32, 8
+    )
+
+
+def _probe_tfidf_top_terms(spark, d):
+    from basic_data_pipeline_spark.operators import text
+
+    return text.tfidf_top_terms(load_table(spark, d, "documents"), k=5)
+
+
+def _probe_negative_samples(spark, d):
+    from basic_data_pipeline_spark.operators import sampling
+
+    return sampling.negative_samples(
+        load_table(spark, d, "documents"), "doc_id", k=4, salt="probe"
+    )
+
+
+def _probe_sessionize_stats(spark, d):
+    from basic_data_pipeline_spark.operators import sessions
+
+    return sessions.session_stats(
+        sessions.sessionize(load_table(spark, d, "events"), gap_seconds=14400.0)
+    )
+
+
+def _probe_line_dedup(spark, d):
+    from basic_data_pipeline_spark.operators import dedup
+
+    # content columns are NOT perturbed by the copier, so every line's
+    # doc-frequency is 16× hot — the adversarial case for the stats join
+    segs = dedup.segment_word_lines(
+        load_table(spark, d, "documents"), "doc_id", "text", 8
+    )
+    return dedup.reassemble_lines(
+        dedup.dedup_lines(segs, "doc_id", "drop_common", 2), "doc_id", " "
+    )
+
+
+def _probe_ann_lsh_auto(spark, d):
+    from basic_data_pipeline_spark.operators import similarity
+
+    # auto resolution: the pair space should stay ~linear in n because
+    # planes grow with log2(n) (fixed-resolution LSH would be ~256×)
+    return similarity.ann_topk_lsh(
+        load_table(spark, d, "embeddings"), dim=64, k=3, n_planes=None
+    )
+
+
 EXTRA_PROBES = {
+    "op_chunk_documents": _probe_chunk_documents,
+    "op_tfidf_top_terms": _probe_tfidf_top_terms,
+    "op_negative_samples": _probe_negative_samples,
+    "op_sessionize_stats": _probe_sessionize_stats,
+    "op_line_dedup": _probe_line_dedup,
+    "op_ann_lsh_auto": _probe_ann_lsh_auto,
     "op_pack_sequences": _probe_pack_sequences,
     "op_pack_token_windows": _probe_pack_token_windows,
     "op_contamination_hits": _probe_contamination_hits,
