@@ -34,54 +34,14 @@ by key and rewrite only touched partitions, as documented in scd.py.
 
 from __future__ import annotations
 
-import glob
-import json
-import os
-import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from basic_data_pipeline_spark.operators.scd import scd2_apply
+from basic_data_pipeline_spark.streaming import swapstore
 
 _META = "_scd2_meta.json"
-
-
-def _meta_path(history_path: str) -> str:
-    return os.path.join(history_path, _META)
-
-
-def _tmp_path(history_path: str) -> str:
-    return f"{history_path}.tmp-swap"
-
-
-def _read_watermark(history_path: str, tag: str) -> int:
-    try:
-        with open(_meta_path(history_path)) as f:
-            return json.load(f).get(tag, -1)
-    except FileNotFoundError:
-        return -1
-
-
-def _has_data(history_path: str) -> bool:
-    return bool(
-        glob.glob(os.path.join(history_path, "**", "*.parquet"), recursive=True)
-    )
-
-
-def _recover(history_path: str) -> None:
-    """Finish or roll back an interrupted swap (see module docstring)."""
-    tmp = _tmp_path(history_path)
-    if not os.path.exists(tmp):
-        return
-    if os.path.exists(history_path):
-        # incomplete write next to a live history: old state is
-        # authoritative, the epoch will replay against it
-        shutil.rmtree(tmp)
-    else:
-        # crashed between rmtree and rename: the temp dir is the complete
-        # new history (meta was written before the swap began)
-        os.rename(tmp, history_path)
 
 
 def make_scd2_batch_fn(
@@ -96,43 +56,26 @@ def make_scd2_batch_fn(
     atomic history swap."""
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
-        _recover(history_path)
-        if epoch_id <= _read_watermark(history_path, tag):
+        swapstore.recover(history_path)
+        if epoch_id <= swapstore.read_watermark(history_path, tag, _META):
             return  # full replay of completed work — drop it
 
         spark = batch_df.sparkSession
         hist = (
             spark.read.parquet(history_path)
-            if _has_data(history_path)
+            if swapstore.has_data(history_path)
             else None
         )
         if batch_df.isEmpty():
             # advance only the watermark; replacing identical data would
-            # pay a full rewrite for nothing. The meta replace is atomic.
-            meta = {}
-            try:
-                with open(_meta_path(history_path)) as f:
-                    meta = json.load(f)
-            except FileNotFoundError:
-                pass
-            meta[tag] = epoch_id
-            os.makedirs(history_path, exist_ok=True)
-            tmp = _meta_path(history_path) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(meta, f)
-            os.replace(tmp, _meta_path(history_path))
+            # pay a full rewrite for nothing
+            swapstore.advance_watermark(history_path, epoch_id, tag, _META)
             return
 
         new_hist = scd2_apply(
             hist, batch_df, key_cols, ts_col, op_col, skip_unchanged
         )
-        tmp = _tmp_path(history_path)
-        new_hist.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, _META), "w") as f:
-            json.dump({tag: epoch_id}, f)
-        if os.path.exists(history_path):
-            shutil.rmtree(history_path)
-        os.rename(tmp, history_path)
+        swapstore.swap_in(new_hist, history_path, epoch_id, tag, _META)
 
     return fn
 

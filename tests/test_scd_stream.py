@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from basic_data_pipeline_spark.operators.scd import scd2_apply
-from basic_data_pipeline_spark.streaming import scd_stream
+from basic_data_pipeline_spark.streaming import scd_stream, swapstore
 
 SCHEMA = "id long, name string, city string, ts long, op string"
 
@@ -72,7 +72,7 @@ def test_replay_is_noop_and_watermark_advances(spark, tmp_path):
     assert _rows(spark.read.parquet(hist)) == before
     # an empty batch advances only the watermark
     fn(spark.createDataFrame([], SCHEMA), 7)
-    assert scd_stream._read_watermark(hist, "stream") == 7
+    assert swapstore.read_watermark(hist, "stream", scd_stream._META) == 7
     assert _rows(spark.read.parquet(hist)) == before
 
 
@@ -82,7 +82,7 @@ def test_interrupted_swap_recovery(spark, tmp_path):
     fn = scd_stream.run_scd2_batches(spark, [b1], hist, ["id"])
 
     # crash BETWEEN rmtree and rename: move the live dir to the temp name
-    tmp = scd_stream._tmp_path(hist)
+    tmp = swapstore.tmp_path(hist)
     os.rename(hist, tmp)
     fn(b2, 1)  # _recover must complete the swap, then apply epoch 1
     two = _rows(spark.read.parquet(hist))
