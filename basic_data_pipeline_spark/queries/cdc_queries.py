@@ -216,21 +216,55 @@ def cdc_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cdc_schema_drift_union",
     oracle="""
-    SELECT c_custkey AS id, c_name AS name, c_mktsegment AS position,
-           c_acctbal AS salary, CAST(NULL AS VARCHAR) AS role
+    WITH snap_old AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_custkey % 7 <> 0),
+    snap_new AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 5 <> 0),
+    d AS (
+      SELECT coalesce(o.c_custkey, n.c_custkey) AS id,
+             CASE WHEN o.c_custkey IS NULL THEN 'added'
+                  WHEN n.c_custkey IS NULL THEN 'removed'
+                  WHEN NOT (o.c_name IS NOT DISTINCT FROM n.c_name
+                            AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal)
+                    THEN 'changed'
+             END AS op
+      FROM snap_old o FULL JOIN snap_new n ON o.c_custkey = n.c_custkey)
+    SELECT 'evolve' AS kind, c_custkey AS id, c_name AS name,
+           c_mktsegment AS position, c_acctbal AS salary,
+           CAST(NULL AS VARCHAR) AS role
     FROM customer WHERE c_custkey % 2 = 0
     UNION ALL
-    SELECT c_custkey, c_name, CAST(NULL AS VARCHAR),
+    SELECT 'evolve', c_custkey, c_name, CAST(NULL AS VARCHAR),
            CAST(NULL AS DOUBLE), c_mktsegment
     FROM customer WHERE c_custkey % 2 = 1
+    UNION ALL
+    SELECT 'diff', id, op, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR)
+    FROM d WHERE op IS NOT NULL
     """,
 )
 def cdc_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-drift union: pre-drift rows (position/salary) and drifted
-    rows (role — the setup.sh:59-66 variant) merge via
+    """Schema evolution + snapshot diff, tag-unioned (one
+    schema/versioning registry slot, two branches):
+
+    `evolve` — schema-drift union: pre-drift rows (position/salary) and
+    drifted rows (role — the setup.sh:59-66 variant) merge via
     unionByName(allowMissingColumns=True) — the relational form of
     DESCRIBE-diff + ALTER ADD COLUMN (consumer_to_file.py:155-168).
-    Missing cells surface as nulls; no table rewrite at any scale."""
+    Missing cells surface as nulls; no table rewrite at any scale.
+
+    `diff` — operators/quality.py table_diff: row-level added/removed/
+    changed between two synthetic customer snapshots (drop every 7th key,
+    drop every 5th, bump every 11th balance) via one full outer join on
+    the key and a null-safe narrow row hash; the oracle re-derives the
+    same verdicts with direct IS NOT DISTINCT FROM comparisons, proving
+    the hash-compare path loses nothing."""
+    from basic_data_pipeline_spark.operators import quality as Q
+
     c = _t(spark, sf_dir, "customer")
     pre = c.filter(F.col("c_custkey") % 2 == 0).select(
         F.col("c_custkey").alias("id"),
@@ -243,28 +277,119 @@ def cdc_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("name"),
         F.col("c_mktsegment").alias("role"),
     )
-    return cdc.evolve_union(pre, drifted)
+    evolve = cdc.evolve_union(pre, drifted).select(
+        F.lit("evolve").alias("kind"), "id", "name", "position", "salary",
+        "role",
+    )
+
+    narrow = c.select("c_custkey", "c_name", "c_acctbal")
+    snap_old = narrow.filter(F.col("c_custkey") % 7 != 0)
+    snap_new = narrow.filter(F.col("c_custkey") % 5 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 11 == 0, F.col("c_acctbal") + 100
+        ).otherwise(F.col("c_acctbal")),
+    )
+    diff = Q.table_diff(snap_old, snap_new, ["c_custkey"]).select(
+        F.lit("diff").alias("kind"),
+        F.col("c_custkey").alias("id"),
+        F.col("op").alias("name"),
+        F.lit(None).cast("string").alias("position"),
+        F.lit(None).cast("double").alias("salary"),
+        F.lit(None).cast("string").alias("role"),
+    )
+    return evolve.unionByName(diff)
+
+
+_PROFILE_COLS = ("doc_id", "lang", "source", "n_chars")
+
+_DUCK_PROFILE = "\nUNION ALL\n".join(
+    f"""
+    SELECT 'profile', 'documents', '{c}', 'n_rows',
+           CAST(count(*) AS VARCHAR), CAST(NULL AS VARCHAR) FROM documents
+    UNION ALL
+    SELECT 'profile', 'documents', '{c}', 'n_null',
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS VARCHAR),
+           NULL FROM documents
+    UNION ALL
+    SELECT 'profile', 'documents', '{c}', 'n_distinct',
+           CAST(count(DISTINCT {c}) AS VARCHAR), NULL FROM documents
+    UNION ALL
+    SELECT 'profile', 'documents', '{c}', 'min',
+           CAST(min({c}) AS VARCHAR), NULL FROM documents
+    UNION ALL
+    SELECT 'profile', 'documents', '{c}', 'max',
+           CAST(max({c}) AS VARCHAR), NULL FROM documents
+    """
+    for c in _PROFILE_COLS
+)
+
+# (name, duckdb aggregate for n_pass, duckdb "passed" template over {p}/{n})
+_DUCK_CHECKS = (
+    ("not_null_text", "count(text)", "{p} = {n}"),
+    ("pk_unique", "count(DISTINCT doc_id)", "{p} = {n}"),
+    ("chars_range", "sum(CASE WHEN n_chars BETWEEN 1 AND 1000000"
+     " THEN 1 ELSE 0 END)", "{p} = {n}"),
+    ("lang_known", "sum(CASE WHEN lang IN ('de','en','es','fr','zh')"
+     " THEN 1 ELSE 0 END)", "{p} = {n}"),
+    ("lang_xx", "sum(CASE WHEN lang = 'xx' THEN 1 ELSE 0 END)", "{p} = {n}"),
+    ("half_long", "sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)",
+     "{p} >= 0.5 * {n}"),
+)
+
+_DUCK_CHECK_SQL = "\nUNION ALL\n".join(
+    f"""
+    SELECT 'check', 'documents', '{name}', 'n_pass',
+           CAST(({agg}) AS VARCHAR), CAST(NULL AS VARCHAR) FROM documents
+    UNION ALL
+    SELECT 'check', 'documents', '{name}', 'passed',
+           CAST(({verdict.format(p=f'({agg})', n='count(*)')})
+                AS VARCHAR), NULL
+    FROM documents
+    """
+    for name, agg, verdict in _DUCK_CHECKS
+)
 
 
 @query(
     "cdc_validate_dlq",
-    oracle="""
-    SELECT 'documents' AS "table",
+    oracle=f"""
+    SELECT 'dlq' AS kind,
+           'documents' AS "table",
            'n_chars'   AS "column",
+           'cast_error' AS metric,
            'poison'    AS "value",
-           'cast_error' AS error,
-           '{"doc_id":"' || CAST(doc_id AS VARCHAR) || '","n_chars":"poison"}'
+           '{{"doc_id":"' || CAST(doc_id AS VARCHAR) || '","n_chars":"poison"}}'
              AS payload
     FROM documents WHERE doc_id % 50 = 0
+    UNION ALL
+    {_DUCK_PROFILE}
+    UNION ALL
+    {_DUCK_CHECK_SQL}
     """,
 )
 def cdc_validate_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized validation → structured DLQ: every 50th document gets a
-    poisoned numeric field; validate_and_cast pinpoints the failing column
-    with one coalesce over per-column try_cast probes instead of the
-    reference's N re-insert HTTP probes per bad row
+    """Row validation + table-level data quality, tag-unioned (merges the
+    r1 DLQ row with round 6's Deequ-style quality surface — one
+    validation-themed registry slot, three branches):
+
+    `dlq` — vectorized validation → structured DLQ: every 50th document
+    gets a poisoned numeric field; validate_and_cast pinpoints the
+    failing column with one coalesce over per-column try_cast probes
+    instead of the reference's N re-insert HTTP probes per bad row
     (consumer_to_file.py:226-235, including its :229 NameError bug).
-    Returns the quarantine side with full diagnostics."""
+
+    `profile` — operators/quality.py profile_columns: per-column
+    n_rows/n_null/n_distinct/min/max computed in ONE aggregation pass
+    (exact distinct here, oracle-sized data; HLL at scale).
+
+    `check` — operators/quality.py check_constraints: six declarative
+    expectations (not-null, primary-key uniqueness, range, accepted
+    values — one deliberately failing — and a fractional-threshold
+    condition), all folded into one aggregation; n_pass and the verdict
+    are re-derived independently by the oracle."""
+    from basic_data_pipeline_spark.operators import quality as Q
+
     d = _t(spark, sf_dir, "documents")
     records = d.select(
         F.lit("documents").alias("table"),
@@ -276,7 +401,61 @@ def cdc_validate_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "doc_id long, n_chars long"
     from pyspark.sql.types import StructType
 
-    _, dlq = cdc.validate_and_cast(
-        records, StructType.fromDDL(schema)
+    _, dlq = cdc.validate_and_cast(records, StructType.fromDDL(schema))
+    dlq_rows = dlq.select(
+        F.lit("dlq").alias("kind"),
+        F.col("table"),
+        F.col("column"),
+        F.col("error").alias("metric"),
+        F.col("value"),
+        F.col("payload"),
     )
-    return dlq
+
+    prof = Q.profile_columns(d, list(_PROFILE_COLS), exact_distinct=True)
+    prof_rows = prof.select(
+        F.expr(
+            "stack(5, 'n_rows', CAST(n_rows AS STRING),"
+            " 'n_null', CAST(n_null AS STRING),"
+            " 'n_distinct', CAST(n_distinct AS STRING),"
+            " 'min', min_value, 'max', max_value) AS (metric, value)"
+        ),
+        F.col("column"),
+    ).select(
+        F.lit("profile").alias("kind"),
+        F.lit("documents").alias("table"),
+        F.col("column"),
+        F.col("metric"),
+        F.col("value"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+
+    checks = Q.check_constraints(
+        d,
+        [
+            Q.not_null("not_null_text", "text"),
+            Q.unique("pk_unique", "doc_id"),
+            Q.in_range("chars_range", "n_chars", 1, 1_000_000),
+            Q.accepted_values(
+                "lang_known", "lang", ["de", "en", "es", "fr", "zh"]
+            ),
+            Q.accepted_values("lang_xx", "lang", ["xx"]),
+            Q.condition(
+                "half_long", F.col("n_chars") >= 200, min_fraction=0.5
+            ),
+        ],
+    )
+    check_rows = checks.select(
+        F.expr(
+            "stack(2, 'n_pass', CAST(n_pass AS STRING),"
+            " 'passed', CAST(passed AS STRING)) AS (metric, value)"
+        ),
+        F.col("check"),
+    ).select(
+        F.lit("check").alias("kind"),
+        F.lit("documents").alias("table"),
+        F.col("check").alias("column"),
+        F.col("metric"),
+        F.col("value"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+    return dlq_rows.unionByName(prof_rows).unionByName(check_rows)

@@ -23,6 +23,7 @@ from basic_data_pipeline_spark.operators import (
     dedup,
     multimodal,
     packing,
+    quality,
     similarity,
     text,
 )
@@ -185,7 +186,19 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM c2 GROUP BY doc_id),
     s3 AS (SELECT doc_id, sum(c) AS tot, max(c) AS top,
                   COALESCE(sum(c) FILTER (WHERE c > 1), 0) AS dup
-           FROM c3 GROUP BY doc_id)
+           FROM c3 GROUP BY doc_id),
+    psrc AS (SELECT CAST(least(greatest(
+                      floor((CAST(n_chars AS DOUBLE) - 0.0) / 50.0),
+                      0), 11) AS BIGINT) AS bin,
+                    doc_id % 2 = 0 AS is_a
+             FROM documents WHERE n_chars IS NOT NULL),
+    pc AS (SELECT bin,
+                  CAST(count(*) FILTER (WHERE is_a) AS DOUBLE) AS ca,
+                  CAST(count(*) FILTER (WHERE NOT is_a) AS DOUBLE) AS cb
+           FROM psrc GROUP BY bin),
+    pt AS (SELECT CAST(sum(ca) AS DOUBLE) AS ta,
+                  CAST(sum(cb) AS DOUBLE) AS tb FROM pc),
+    pf AS (SELECT bin, ca / ta AS fa, cb / tb AS fb FROM pc, pt)
     SELECT 'lang' AS grp, lang AS k1,
            CASE WHEN cjk * 3 >= n THEN 'zh'
                 WHEN en >= greatest(en, de, es, fr) THEN 'en'
@@ -212,6 +225,13 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(tot AS BIGINT), CAST(top AS BIGINT),
            top / tot, dup / tot
     FROM s3
+    UNION ALL
+    SELECT 'psi', CAST(bin AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           round(fa, 6),
+           round((greatest(fb, 1e-6) - greatest(fa, 1e-6))
+                 * ln(greatest(fb, 1e-6) / greatest(fa, 1e-6)), 6)
+    FROM pf
     """,
 )
 def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,7 +292,25 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top_ngram_frac").alias("d1"),
         F.col("dup_ngram_frac").alias("d2"),
     )
-    return lang.unionByName(tokens).unionByName(rep)
+    # psi branch (r6, operators/quality.py): n_chars drift between the
+    # even- and odd-id halves of the corpus — the snapshot-vs-snapshot
+    # distribution monitor; the oracle re-derives bucket fractions and
+    # PSI terms from scratch (rounded at 6 places to absorb ln() ULP
+    # differences, the scalar_math_json convention).
+    psi = quality.psi_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "n_chars", 0.0, 600.0, bins=12,
+    ).select(
+        F.lit("psi").alias("grp"),
+        F.col("bin").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.lit(None).cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.round("frac_a", 6).alias("d1"),
+        F.round("psi_term", 6).alias("d2"),
+    )
+    return lang.unionByName(tokens).unionByName(rep).unionByName(psi)
 
 
 # --------------------------------------------------------------------------
