@@ -9,6 +9,7 @@ engine supports, each with its placement rule:
 | applyInPandas (grouped map)   | per-group reshaping needing pandas      |
 | mapInPandas                   | per-batch decode (operators/multimodal) |
 | applyInPandasWithState        | custom streaming state (streaming/)     |
+| Python UDTF (lateral)         | one row → variable rows with row logic  |
 | row-at-a-time udf             | LAST resort: per-value Python-type logic|
 
 The reference is one big row-at-a-time scalar UDF pipeline
@@ -97,6 +98,44 @@ def zscore_by_group(
         )
 
     return df.groupBy(group_col).applyInPandas(standardize, out_schema)
+
+
+# -- Python UDTF: one row in, variable rows out (Spark 4) ------------------
+
+@F.udtf(returnType="sent_id int, sentence string, n_words int")
+class SentencesUDTF:
+    """Table-valued Python function (the §2.10 UDTF slot): split a
+    document into sentences on ./!/? boundaries, one output row per
+    sentence with its ordinal and word count. UDTFs are the
+    row-to-variable-rows escape hatch when the expansion logic needs
+    Python; THIS one decomposes into split+posexplode JVM expressions,
+    and the tests pin the two against each other — same contract as
+    every other variant in this module. Used via lateralJoin/LATERAL,
+    so the expansion streams without materializing per-doc arrays."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        import re
+
+        for i, s in enumerate(
+            p.strip() for p in re.split(r"[.!?]+", text) if p.strip()
+        ):
+            yield i, s, len(s.split())
+
+
+def sentences_jvm(df: DataFrame, text_col: str) -> DataFrame:
+    """The codegen formulation SentencesUDTF must match: regex split +
+    filter + posexplode (always preferred on hot paths)."""
+    parts = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    return df.select(
+        *df.columns, F.posexplode(parts).alias("sent_id", "sentence")
+    ).withColumn("n_words", F.size(F.split(F.col("sentence"), r"\s+")))
 
 
 # -- row-at-a-time udf: the documented last resort -------------------------

@@ -541,6 +541,37 @@ def cluster_survivors(
     return docs.join(dropped, id_col, "left_anti")
 
 
+def quality_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """One surviving doc per duplicate cluster — the HIGHEST-``quality_col``
+    member (ties → minimum id) — plus every unpaired doc.
+
+    Min-id survivor selection (cluster_survivors) is arbitrary: when a
+    boilerplate-laden scrape and a clean article are near-duplicates, a
+    corpus pipeline wants to KEEP THE BETTER ONE. Same component machinery
+    (duplicate_clusters), then one row_number window per cluster keyed by
+    (quality desc, id asc) — one extra shuffle on the cluster label,
+    cluster-count-sized, never corpus-quadratic."""
+    clusters = duplicate_clusters(pairs)
+    scored = clusters.join(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(quality_col).alias("_q")
+        ),
+        "doc_id",
+    )
+    w = W.partitionBy("cluster").orderBy(F.desc("_q"), F.asc("doc_id"))
+    dropped = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(dropped, id_col, "left_anti")
+
+
 def near_dedup_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -549,6 +580,7 @@ def near_dedup_corpus(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     family: str = "md5",
     survivor_policy: str = "cluster",
+    quality_col: str | None = None,
 ) -> DataFrame:
     """The one-call production near-dedup pipeline: shingle → MinHash →
     LSH candidates (hot-bucket-capped by default — see DEFAULT_MAX_BUCKET;
@@ -557,8 +589,10 @@ def near_dedup_corpus(
     docs with all their columns.
 
     survivor_policy: ``cluster`` (default) keeps one doc per connected
-    duplicate component (correct on transitive chains); ``greedy`` keeps
-    lowest-id per pair (single pass, no iteration — what the
+    duplicate component (correct on transitive chains); ``quality``
+    keeps the highest-``quality_col`` member per component (what corpus
+    pipelines actually want when a quality score exists); ``greedy``
+    keeps lowest-id per pair (single pass, no iteration — what the
     oracle-checked queries pin). family/max_bucket as documented on
     minhash_signatures / lsh_candidate_pairs. After the first action on
     the result, `last_cap_stats()` reports how much the hot-bucket cap
@@ -573,6 +607,10 @@ def near_dedup_corpus(
     pairs = jaccard_verify(sh, cand, id_col, threshold)
     if survivor_policy == "cluster":
         return cluster_survivors(docs, pairs, id_col)
+    if survivor_policy == "quality":
+        if quality_col is None:
+            raise ValueError("survivor_policy='quality' needs quality_col")
+        return quality_survivors(docs, pairs, id_col, quality_col)
     if survivor_policy == "greedy":
         dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
         return docs.join(dropped, id_col, "left_anti")

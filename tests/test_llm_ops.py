@@ -517,6 +517,78 @@ def test_cluster_survivors_matches_greedy_on_disjoint_pairs(docs):
     assert surv == all_ids - greedy_dropped
 
 
+def test_quality_survivors_keeps_best_per_cluster(spark):
+    """quality policy keeps the highest-quality member of each component
+    (NOT min id), ties fall back to min id, unpaired docs survive."""
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (10, 11, 0.95)],
+        "id_a long, id_b long, jaccard double",
+    )
+    docs = spark.createDataFrame(
+        [  # cluster {1,2,3}: best is 3; cluster {10,11}: tie -> 10
+            (1, 0.2), (2, 0.5), (3, 0.9), (10, 0.7), (11, 0.7), (99, 0.1),
+        ],
+        "doc_id long, quality double",
+    )
+    surv = {
+        r["doc_id"]
+        for r in dedup.quality_survivors(docs, pairs).collect()
+    }
+    assert surv == {3, 10, 99}
+
+
+def test_near_dedup_quality_policy_on_fixture(docs):
+    """survivor_policy='quality' with n_chars as the score: every planted
+    dup pair keeps its LONGER member; survivor count matches the other
+    policies (fixture dups are disjoint pairs)."""
+    import pytest
+
+    # reproduce the pipeline's own pair set (LSH path, not exact jaccard:
+    # MinHash banding may legitimately miss borderline pairs)
+    sh = dedup.word_shingles(docs, "doc_id", "text")
+    cand = dedup.lsh_candidate_pairs(
+        dedup.lsh_bands(dedup.minhash_signatures(sh, "doc_id"), "doc_id"),
+        "doc_id",
+        max_bucket=dedup.DEFAULT_MAX_BUCKET,
+    )
+    pairs = dedup.jaccard_verify(sh, cand, "doc_id", 0.5).collect()
+    q = {
+        r["doc_id"]: r["n_chars"]
+        for r in docs.select("doc_id", "n_chars").collect()
+    }
+    surv = {
+        r["doc_id"]
+        for r in dedup.near_dedup_corpus(
+            docs, survivor_policy="quality", quality_col="n_chars"
+        ).collect()
+    }
+    # serial union-find over the same pair graph → expected survivors =
+    # per-component argmax quality (ties min id) + all unpaired docs
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p["id_a"]), find(p["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, set] = {}
+    for x in list(parent):
+        comps.setdefault(find(x), set()).add(x)
+    in_comp = set().union(*comps.values()) if comps else set()
+    want = set(q) - in_comp
+    for members in comps.values():
+        want.add(max(members, key=lambda i: (q[i], -i)))
+    assert surv == want and len(comps) >= 10
+    with pytest.raises(ValueError):
+        dedup.near_dedup_corpus(docs, survivor_policy="quality")
+
+
 def test_near_dedup_corpus_end_to_end(docs):
     """The one-call pipeline equals the composed stages, for both
     survivor policies (fixture dups are disjoint pairs → policies agree),

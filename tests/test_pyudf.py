@@ -6,8 +6,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from basic_data_pipeline_spark.functions.pyudf import (
+    SentencesUDTF,
     cosine_pudf,
     python_type_of_json,
+    sentences_jvm,
     weighted_mean_pudf,
     zscore_by_group,
 )
@@ -83,6 +85,45 @@ def test_grouped_map_applyinpandas_matches_window_zscore(spark):
     assert set(got) == set(exp)
     for k in exp:
         assert abs(got[k] - exp[k]) < 1e-9
+
+
+def test_udtf_lateral_matches_jvm_explode(spark):
+    """Python UDTF (LATERAL) == the split+posexplode codegen form, on
+    real fixture documents — same rows, ordinals, and word counts."""
+    spark.udtf.register("sentences", SentencesUDTF)
+    d = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    d.createOrReplaceTempView("_udtf_docs")
+    got = {
+        (r["doc_id"], r["sent_id"]): (r["sentence"], r["n_words"])
+        for r in spark.sql(
+            "SELECT doc_id, s.sent_id, s.sentence, s.n_words "
+            "FROM _udtf_docs, LATERAL sentences(text) AS s"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["sent_id"]): (r["sentence"], r["n_words"])
+        for r in sentences_jvm(d, "text").collect()
+    }
+    assert got == want and len(got) >= 50
+
+
+def test_udtf_handles_null_and_empty(spark):
+    spark.udtf.register("sentences", SentencesUDTF)
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "...!?"), (4, "One. Two two.")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("_udtf_edge")
+    rows = spark.sql(
+        "SELECT doc_id, s.* FROM _udtf_edge, LATERAL sentences(text) AS s"
+    ).collect()
+    assert {(r["doc_id"], r["sent_id"], r["n_words"]) for r in rows} == {
+        (4, 0, 1), (4, 1, 2)
+    }
 
 
 def test_row_udf_type_inference(spark):
