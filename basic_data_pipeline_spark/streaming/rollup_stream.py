@@ -22,20 +22,34 @@ At 100 TB the rollup itself can grow wide (many keys × hours); the
 rewrite-whole-rollup swap then gives way to partitioning the rollup by
 date and rewriting only the dates the batch touched — late data is the
 only reason an old date is touched at all, so with a bounded lateness
-horizon the rewrite set is bounded too.
+horizon the rewrite set is bounded too. That scale path is
+``make_partitioned_rollup_batch_fn``: the store is ``date=YYYY-MM-DD``
+partition directories, each micro-batch merges ONLY its touched dates
+(rewrite cost ∝ touched-dates' rollup rows, never the whole history),
+and exactly-once holds per PARTITION — every date directory carries its
+own epoch watermark inside the swapped data, so a crash between two
+date swaps replays only the dates that didn't complete. Swap temp dirs
+are underscore-prefixed (``_swap-date=...``) so Spark's partition
+discovery can never misparse an in-flight swap as data.
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from basic_data_pipeline_spark.operators.rollup import hourly_rollup
 from basic_data_pipeline_spark.streaming import swapstore
 
 _META = "_rollup_meta.json"
+_PART_META = "_rollup_part_meta.json"
 
 
 def merge_rollups(old: DataFrame | None, partial: DataFrame) -> DataFrame:
@@ -76,6 +90,104 @@ def make_rollup_batch_fn(
         swapstore.swap_in(merged, rollup_path, epoch_id, tag, _META)
 
     return fn
+
+
+# --- date-partitioned store: rewrite only touched dates -------------------
+
+def _date_dir(root: str, d: str) -> str:
+    return os.path.join(root, f"date={d}")
+
+
+def _swap_dir(root: str, d: str) -> str:
+    return os.path.join(root, f"_swap-date={d}")
+
+
+def recover_partitions(root: str) -> None:
+    """Finish or roll back interrupted per-date swaps: a completed
+    ``_swap-date=D`` temp dir replaces a MISSING live dir (crash in the
+    rmtree→rename window) and is discarded when the live dir exists
+    (incomplete write — the replay re-merges from the live state)."""
+    for tmp in glob.glob(os.path.join(root, "_swap-date=*")):
+        live = _date_dir(root, os.path.basename(tmp)[len("_swap-date="):])
+        if os.path.exists(live):
+            shutil.rmtree(tmp)
+        else:
+            os.rename(tmp, live)
+
+
+def make_partitioned_rollup_batch_fn(
+    rollup_root: str,
+    tag: str = "stream",
+    lateness_days: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body for the DATE-PARTITIONED rollup store (the 100 TB
+    shape — see module docstring). Per batch: hourly partials once
+    (localCheckpoint'd — computed one time however many dates they span),
+    touched-date list (one bounded collect, ≤ batch-span + lateness
+    dates), then per date: merge that date's stored rollup with that
+    date's partials and swap the PARTITION. Each date dir carries the
+    epoch that produced it, so a replay after a mid-batch crash skips the
+    dates that completed and re-merges only the rest — per-partition
+    exactly-once on top of foreachBatch's at-least-once.
+
+    ``lateness_days`` bounds the rewrite set: partial rows dated more
+    than this many days before the batch's newest date are DROPPED (the
+    watermark contract — late beyond the horizon is discarded data, and
+    the per-batch rewrite cost stays O(horizon) regardless of how
+    disordered the stream is)."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        os.makedirs(rollup_root, exist_ok=True)
+        recover_partitions(rollup_root)
+        if epoch_id <= swapstore.read_watermark(rollup_root, tag, _META):
+            return  # replay of fully completed work
+        if batch_df.isEmpty():
+            swapstore.advance_watermark(rollup_root, epoch_id, tag, _META)
+            return
+        spark = batch_df.sparkSession
+        partial = hourly_rollup(batch_df).withColumn("_d", F.to_date("hour"))
+        if lateness_days is not None:
+            # global window over the PARTIALS frame only (rollup-sized,
+            # not facts): the single-partition exchange moves at most
+            # batch-span × keys rollup rows.
+            horizon = F.date_sub(
+                F.max("_d").over(Window.partitionBy()), lateness_days
+            )
+            partial = (
+                partial.withColumn("_floor", horizon)
+                .filter(F.col("_d") >= F.col("_floor"))
+                .drop("_floor")
+            )
+        partial = partial.localCheckpoint(eager=True)
+        dates = sorted(
+            str(r["_d"]) for r in partial.select("_d").distinct().collect()
+        )
+        for d in dates:
+            dd = _date_dir(rollup_root, d)
+            if epoch_id <= swapstore.read_watermark(dd, tag, _PART_META):
+                continue  # this date completed before a mid-batch crash
+            old = spark.read.parquet(dd) if swapstore.has_data(dd) else None
+            merged = merge_rollups(
+                old, partial.filter(F.col("_d") == F.lit(d)).drop("_d")
+            )
+            tmp = _swap_dir(rollup_root, d)
+            merged.write.mode("overwrite").parquet(tmp)
+            with open(os.path.join(tmp, _PART_META), "w") as f:
+                json.dump({tag: epoch_id}, f)
+            if os.path.exists(dd):
+                shutil.rmtree(dd)
+            os.rename(tmp, dd)
+        swapstore.advance_watermark(rollup_root, epoch_id, tag, _META)
+
+    return fn
+
+
+def read_partitioned_rollup(spark: SparkSession, rollup_root: str) -> DataFrame:
+    """The partitioned store as one DataFrame (partition column ``date``
+    included). Recovers interrupted swaps first so discovery never sees a
+    temp dir."""
+    recover_partitions(rollup_root)
+    return spark.read.parquet(rollup_root)
 
 
 def rollup_files(

@@ -84,6 +84,110 @@ def test_interrupted_swap_recovery(spark, tmp_path):
     assert not os.path.exists(swapstore.tmp_path(loc))
 
 
+# --- date-partitioned store (the 100 TB rewrite-only-touched-dates path) --
+
+def _prows(spark, root):
+    return _rows(
+        rollup_stream.read_partitioned_rollup(spark, root).drop("date")
+    )
+
+
+def test_partitioned_stream_equals_oneshot(spark, tmp_path):
+    root = str(tmp_path / "proll")
+    fn = rollup_stream.make_partitioned_rollup_batch_fn(root)
+    for epoch, b in enumerate(_batches(spark)):
+        fn(b, epoch)
+    got = _prows(spark, root)
+    want = _rows(hourly_rollup(_df(spark, EVENTS)))
+    assert got == want
+    # the EVENTS span 3 calendar days -> 3 partition dirs
+    dates = {r["date"] for r in
+             rollup_stream.read_partitioned_rollup(spark, root)
+             .select("date").distinct().collect()}
+    assert len(dates) == 3
+
+
+def test_partitioned_rewrites_only_touched_dates(spark, tmp_path):
+    """A batch containing only day-3 events must not rewrite day-1's
+    partition files."""
+    root = str(tmp_path / "proll")
+    fn = rollup_stream.make_partitioned_rollup_batch_fn(root)
+    day3 = [e for e in EVENTS if e[1].date() == dt.date(2024, 3, 3)]
+    rest = [e for e in EVENTS if e[1].date() != dt.date(2024, 3, 3)]
+    fn(_df(spark, rest), 0)
+    d1 = os.path.join(root, "date=2024-03-01")
+    before = {
+        f: os.path.getmtime(os.path.join(d1, f)) for f in os.listdir(d1)
+    }
+    fn(_df(spark, day3), 1)
+    after = {
+        f: os.path.getmtime(os.path.join(d1, f)) for f in os.listdir(d1)
+    }
+    assert after == before  # untouched partition: same files, same mtimes
+    assert _prows(spark, root) == _rows(hourly_rollup(_df(spark, EVENTS)))
+
+
+def test_partitioned_replay_and_midbatch_crash(spark, tmp_path):
+    """Full replays no-op; a crash AFTER some date swaps but BEFORE the
+    global watermark advance re-applies only the unfinished dates — no
+    double counting (per-partition epoch watermarks)."""
+    root = str(tmp_path / "proll")
+    fn = rollup_stream.make_partitioned_rollup_batch_fn(root)
+    batches = _batches(spark)
+    fn(batches[0], 0)
+    before = _prows(spark, root)
+    fn(batches[0], 0)  # replay of a completed epoch
+    assert _prows(spark, root) == before
+
+    # simulate the mid-batch crash: apply epoch 1 fully, then roll the
+    # GLOBAL watermark back (the per-date metas still say epoch 1) and
+    # replay — every date must skip, result unchanged
+    fn(batches[1], 1)
+    after1 = _prows(spark, root)
+    swapstore.advance_watermark(root, 0, "stream", rollup_stream._META)
+    fn(batches[1], 1)
+    assert _prows(spark, root) == after1
+    want = _rows(hourly_rollup(_df(spark, EVENTS[:100])))
+    assert after1 == want
+
+
+def test_partitioned_interrupted_swap_recovery(spark, tmp_path):
+    root = str(tmp_path / "proll")
+    fn = rollup_stream.make_partitioned_rollup_batch_fn(root)
+    fn(_batches(spark)[0], 0)
+    d = "2024-03-01"
+    live = os.path.join(root, f"date={d}")
+    tmp = os.path.join(root, f"_swap-date={d}")
+    # crash between rmtree and rename: live dir moved to temp name
+    os.rename(live, tmp)
+    assert rollup_stream.read_partitioned_rollup(spark, root).count() > 0
+    assert os.path.exists(live) and not os.path.exists(tmp)
+    # incomplete write NEXT TO live: discarded
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "junk"), "w") as f:
+        f.write("x")
+    rollup_stream.recover_partitions(root)
+    assert os.path.exists(live) and not os.path.exists(tmp)
+
+
+def test_partitioned_lateness_horizon_drops_old(spark, tmp_path):
+    """With lateness_days=1, partials dated > 1 day before the batch's
+    newest date are dropped instead of rewriting ancient partitions."""
+    root = str(tmp_path / "proll")
+    fn = rollup_stream.make_partitioned_rollup_batch_fn(root, lateness_days=1)
+    fn(_df(spark, EVENTS), 0)  # days 1..3 in one batch; day 1 is too late
+    dates = {
+        str(r["date"])
+        for r in rollup_stream.read_partitioned_rollup(spark, root)
+        .select("date").distinct().collect()
+    }
+    assert dates == {"2024-03-02", "2024-03-03"}
+    want = _rows(hourly_rollup(_df(
+        spark, [e for e in EVENTS if e[1].date() >= dt.date(2024, 3, 2)]
+    )))
+    assert _prows(spark, root) == want
+
+
 def test_streaming_engine_end_to_end(spark, tmp_path):
     src = str(tmp_path / "src")
     os.makedirs(src)

@@ -228,7 +228,112 @@ def _probe_ann_lsh_auto(spark, d):
     )
 
 
+def _probe_quality_profile(spark, d):
+    from basic_data_pipeline_spark.operators import quality
+
+    # approx distinct (the at-scale default); lineitem = the widest/biggest
+    # fixture, every column profiled in ONE aggregation
+    return quality.profile_columns(load_table(spark, d, "lineitem"))
+
+
+def _probe_quality_checks(spark, d):
+    from basic_data_pipeline_spark.operators import quality as Q
+
+    li = load_table(spark, d, "lineitem")
+    return Q.check_constraints(
+        li,
+        [
+            Q.not_null("ok_orderkey", "l_orderkey"),
+            Q.unique("pk", "l_orderkey", "l_linenumber"),
+            Q.in_range("qty", "l_quantity", 0, 100),
+            Q.condition("disc", F.col("l_discount") <= 0.1, 0.9),
+        ],
+    )
+
+
+def _probe_table_diff(spark, d):
+    from basic_data_pipeline_spark.operators import quality
+
+    o = load_table(spark, d, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % 7 != 0)
+    new = o.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return quality.table_diff(old, new, ["o_orderkey"])
+
+
+def _probe_psi_drift(spark, d):
+    from basic_data_pipeline_spark.operators import quality
+
+    docs = load_table(spark, d, "documents")
+    return quality.psi_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "n_chars", 0.0, 600.0, bins=12,
+    )
+
+
+def _probe_bpe_train(spark, d):
+    from basic_data_pipeline_spark.operators import bpe
+
+    # 5 merge rounds: round cost is VOCAB-sized after the one corpus-sized
+    # word count — content is not perturbed by the copier, so the 16x run
+    # has the same vocabulary with 16x the weight: ratio isolates the
+    # corpus-sized stage.
+    docs = load_table(spark, d, "documents")
+    return bpe.merges_df(spark, bpe.train_bpe(docs, "text", 5))
+
+
+def _probe_bpe_encode(spark, d):
+    from basic_data_pipeline_spark.operators import bpe
+
+    docs = load_table(spark, d, "documents")
+    merges = bpe.train_bpe(docs.limit(200), "text", 3)
+    return bpe.encode_bpe(docs, merges, "doc_id", "text")
+
+
+def _probe_random_projection(spark, d):
+    from basic_data_pipeline_spark.operators import embeddings
+
+    return embeddings.random_projection(
+        load_table(spark, d, "embeddings"), "vec_id", "embedding", 64, 16
+    )
+
+
+def _probe_pca_fit_project(spark, d):
+    from basic_data_pipeline_spark.operators import embeddings
+
+    e = load_table(spark, d, "embeddings")
+    model = embeddings.pca_fit(e, "embedding", 64, 16)
+    return embeddings.pca_project(e, "vec_id", "embedding", model)
+
+
+def _probe_near_dedup_quality(spark, d):
+    from basic_data_pipeline_spark.operators import dedup
+
+    # full pipeline incl. connected components + per-cluster argmax —
+    # content unperturbed: every duplicate cluster is 16x hot
+    docs = load_table(spark, d, "documents")
+    return dedup.near_dedup_corpus(
+        docs, survivor_policy="quality", quality_col="n_chars"
+    )
+
+
 EXTRA_PROBES = {
+    "op_quality_profile": _probe_quality_profile,
+    "op_quality_checks": _probe_quality_checks,
+    "op_table_diff": _probe_table_diff,
+    "op_psi_drift": _probe_psi_drift,
+    "op_bpe_train": _probe_bpe_train,
+    "op_bpe_encode": _probe_bpe_encode,
+    "op_random_projection": _probe_random_projection,
+    "op_pca_fit_project": _probe_pca_fit_project,
+    "op_near_dedup_quality": _probe_near_dedup_quality,
     "op_chunk_documents": _probe_chunk_documents,
     "op_tfidf_top_terms": _probe_tfidf_top_terms,
     "op_negative_samples": _probe_negative_samples,
