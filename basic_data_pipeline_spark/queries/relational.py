@@ -476,6 +476,12 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                  o_totalprice % 80 + o_orderkey % 7 AS hi
           FROM orders WHERE o_orderkey % 100 = 0) o
       ON e.value BETWEEN o.lo AND o.hi
+    UNION ALL
+    SELECT 'fuzzy', ca.c_custkey, cb.c_custkey
+    FROM customer ca JOIN customer cb
+      ON ca.c_custkey < cb.c_custkey
+    WHERE ca.c_custkey < 150 AND cb.c_custkey < 150
+      AND levenshtein(lower(trim(ca.c_name)), lower(trim(cb.c_name))) <= 1
     ORDER BY kind, a, b
     """,
 )
@@ -494,7 +500,12 @@ def join_range_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/rangejoin.py binned_range_join (bin replication → equi-join
     on bin → residual BETWEEN; plan-asserted equi-join in
     tests/test_rangejoin.py); the oracle states the same join as a bare
-    BETWEEN, which DuckDB's IEJoin handles natively."""
+    BETWEEN, which DuckDB's IEJoin handles natively. Fuzzy branch (r6):
+    edit-distance-1 self-join on customer names via operators/entity.py
+    prefix-filtered q-gram blocking (no cartesian, plan-asserted in
+    test_entity.py) — the oracle states the naive quadratic predicate
+    (levenshtein ≤ 1 over the cross product), so a hash match proves the
+    blocking loses NOTHING."""
     from basic_data_pipeline_spark.operators.rangejoin import binned_range_join
     a = _t(spark, sf_dir, "part").alias("a")
     b = _t(spark, sf_dir, "part").alias("b")
@@ -542,8 +553,25 @@ def join_range_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pid").alias("a"),
         F.col("iid").alias("b"),
     )
-    return theta.unionByName(cross).unionByName(binned).orderBy(
-        "kind", "a", "b"
+    from basic_data_pipeline_spark.operators.entity import fuzzy_pairs
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 150)
+        .select(
+            F.col("c_custkey").alias("cid"), F.col("c_name").alias("cname")
+        )
+    )
+    fuzzy = fuzzy_pairs(cust, "cid", "cname", max_edit=1).select(
+        F.lit("fuzzy").alias("kind"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+    )
+    return (
+        theta.unionByName(cross)
+        .unionByName(binned)
+        .unionByName(fuzzy)
+        .orderBy("kind", "a", "b")
     )
 
 
