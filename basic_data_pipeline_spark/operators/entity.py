@@ -140,6 +140,35 @@ def fuzzy_pairs(
     )
 
 
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_edit: int = 1,
+    q: int = 3,
+) -> DataFrame:
+    """(id, entity_id): canonical entity assignment — connected
+    components over the fuzzy-pair graph (typo chains a~b~c collapse to
+    one entity even when a and c differ by 2k), unpaired records keep
+    their own id. Composition of ``fuzzy_pairs`` with the dedup
+    component machinery (operators/dedup.py duplicate_clusters —
+    pointer-jumped min-label propagation, O(log diameter) rounds)."""
+    from basic_data_pipeline_spark.operators.dedup import duplicate_clusters
+
+    pairs = fuzzy_pairs(df, id_col, text_col, max_edit, q).select(
+        F.col("id_a"), F.col("id_b")
+    )
+    clusters = duplicate_clusters(
+        pairs.withColumn("jaccard", F.lit(1.0))
+    ).select(
+        F.col("doc_id").alias(id_col), F.col("cluster").alias("entity_id")
+    )
+    return df.select(id_col).join(clusters, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("entity_id"), F.col(id_col)).alias("entity_id"),
+    )
+
+
 def fuzzy_join(
     a: DataFrame,
     b: DataFrame,

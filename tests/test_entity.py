@@ -116,6 +116,25 @@ def test_partition_invariance(spark, names):
     assert a == b
 
 
+def test_resolve_entities_typo_chains(spark):
+    """a~b~c typo chains collapse to one entity_id (the component min),
+    singletons keep their own id."""
+    df = spark.createDataFrame(
+        [
+            (1, "acme corp"),
+            (2, "acme corpx"),   # 1 edit from 1
+            (3, "acme corpxy"),  # 1 edit from 2, 2 edits from 1
+            (9, "globex"),
+        ],
+        "id long, name string",
+    )
+    got = {
+        r["id"]: r["entity_id"]
+        for r in entity.resolve_entities(df, "id", "name", max_edit=1).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
 def test_no_cartesian_in_plan(names):
     """The blocked pipeline must plan equi-joins — no CartesianProduct /
     BroadcastNestedLoop anywhere (the whole point vs the naive form)."""

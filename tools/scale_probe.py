@@ -313,6 +313,21 @@ def _probe_pca_fit_project(spark, d):
     return embeddings.pca_project(e, "vec_id", "embedding", model)
 
 
+def _probe_fuzzy_pairs(spark, d):
+    from basic_data_pipeline_spark.operators import entity
+
+    # ADVERSARIAL: the copier shifts keys but NOT name content, so every
+    # name repeats 16x — dist-0 pairs grow ~C(16,2)x and near pairs
+    # ~256x. A 2000-name slice (per copy) keeps the blow-up measurable
+    # without drowning the probe in the quadratic-by-construction output.
+    c = (
+        load_table(spark, d, "customer")
+        .filter(F.pmod(F.col("c_custkey"), F.lit(SHIFT)) < 2000)
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+    )
+    return entity.fuzzy_pairs(c, "id", "name", max_edit=1)
+
+
 def _probe_near_dedup_quality(spark, d):
     from basic_data_pipeline_spark.operators import dedup
 
@@ -334,6 +349,7 @@ EXTRA_PROBES = {
     "op_random_projection": _probe_random_projection,
     "op_pca_fit_project": _probe_pca_fit_project,
     "op_near_dedup_quality": _probe_near_dedup_quality,
+    "op_fuzzy_pairs": _probe_fuzzy_pairs,
     "op_chunk_documents": _probe_chunk_documents,
     "op_tfidf_top_terms": _probe_tfidf_top_terms,
     "op_negative_samples": _probe_negative_samples,
