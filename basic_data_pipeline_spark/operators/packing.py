@@ -230,6 +230,59 @@ def chunk_documents(
     )
 
 
+def write_shards(
+    docs: DataFrame,
+    id_col: str,
+    path: str,
+    docs_per_shard: int,
+    parts: int | None = None,
+) -> DataFrame:
+    """Write the corpus as EXACT-size training shards
+    (``shard=K/part-*.parquet``, each with precisely ``docs_per_shard``
+    documents in ``id_col`` order except a short final shard) and return
+    the manifest (shard, n_docs, min_id, max_id).
+
+    Training loaders want deterministic, equal-size shards —
+    ``df.write.parquet`` alone gives whatever file sizes the partitioning
+    produced. Built on the distributed prefix sum
+    (``assign_contiguous_ids``): shard = row_idx // docs_per_shard,
+    ``shard_pos`` preserves the within-shard order. The repartition on
+    the shard key puts each shard wholly in one task, so every shard
+    directory holds exactly one file; the shuffle is one pass over
+    (id, shard) pairs — the document payload joins back by id and moves
+    once."""
+    if docs_per_shard < 1:
+        raise ValueError("need docs_per_shard >= 1")
+    ids = assign_contiguous_ids(docs, id_col, parts)
+    assigned = docs.join(
+        ids.select(
+            F.col(id_col),
+            (F.col("row_idx") / docs_per_shard).cast("long").alias("shard"),
+            (F.col("row_idx") % docs_per_shard).alias("shard_pos"),
+        ),
+        id_col,
+    )
+    n_shards = assigned.agg(F.max("shard")).first()[0] + 1
+    (
+        assigned.repartition(int(n_shards), F.col("shard"))
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = docs.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .orderBy("shard")
+    )
+
+
 def contamination_hits(
     docs: DataFrame,
     bench: DataFrame,

@@ -11,7 +11,7 @@ for the full-table queries costs multiples of the engine time and measures
 the Python driver, not the engine.
 
 Noise control: the whole suite runs $SPARK_GRAFT_BENCH_RUNS times
-(default 2) and each query reports its BEST time across runs — one slow
+(default 3) and each query reports its BEST time across runs — one slow
 run from GC, page-cache misses, or driver-side scheduling noise cannot
 masquerade as a code regression (the r2→r3 q3/q5 drift investigation).
 `value` is the sum of the per-query bests; `runs` records the repeat
@@ -30,7 +30,7 @@ from basic_data_pipeline_spark import get_spark
 from basic_data_pipeline_spark.registry import headline_queries
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
 def main() -> None:

@@ -486,6 +486,70 @@ def test_differential_temporal_query(seed, duck, spark_views):
     _assert_differential(_gen_temporal_query(seed), duck, spark_views, seed)
 
 
+def _gen_pivot_query(seed: int) -> str:
+    """Conditional-aggregation pivot (the engine-portable pivot form):
+    one column per bucket of a deterministic int partitioning, exact
+    decimal sums — §2 pivot semantics without engine-specific PIVOT
+    syntax drift."""
+    rng = random.Random(90_000 + seed)
+    table = rng.choice(list(TABLES))
+    cols = TABLES[table]
+    g = rng.choice([c for c, t in cols if t == "str"])
+    i = rng.choice([c for c, t in cols if t == "int"])
+    m = rng.choice([c for c, t in cols if t == "money"])
+    k = rng.randint(2, 4)
+    preds = _predicate(rng, cols)
+    buckets = ",\n  ".join(
+        f"CAST(sum(CASE WHEN {i} % {k} = {b} THEN"
+        f" CAST({m} AS DECIMAL(38,6)) END) AS DOUBLE) AS p{b},"
+        f" count(CASE WHEN {i} % {k} = {b} THEN 1 END) AS n{b}"
+        for b in range(k)
+    )
+    return (
+        f"SELECT {g} AS grp,\n  {buckets}\n"
+        f"FROM {table} WHERE {preds} GROUP BY {g}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_differential_pivot_query(seed, duck, spark_views):
+    _assert_differential(_gen_pivot_query(seed), duck, spark_views, seed)
+
+
+def _gen_lateral_query(seed: int) -> str:
+    """LATERAL subqueries in FROM — both the computed-projection form and
+    the correlated-aggregate form, identical syntax in Spark (3.2+) and
+    DuckDB."""
+    rng = random.Random(95_000 + seed)
+    if rng.random() < 0.5:
+        k = rng.randint(2, 9)
+        j = rng.randint(1, k)
+        mod = rng.randint(3, 11)
+        return (
+            "SELECT o.o_orderkey, l.d, l.r\n"
+            "FROM orders o, LATERAL (SELECT"
+            f" CAST(CAST(o.o_totalprice AS DECIMAL(38,6)) - {k} AS DOUBLE)"
+            f" AS d, o.o_orderkey % {mod} AS r) l\n"
+            f"WHERE o.o_custkey % {k} = 0 AND l.r < {j}"
+        )
+    mod = rng.randint(5, 17)
+    agg = rng.choice(
+        ["max(o_totalprice)", "min(o_totalprice)", "count(*)"]
+    )
+    return (
+        "SELECT c.c_custkey, x.v\n"
+        f"FROM customer c, LATERAL (SELECT {agg} AS v FROM orders"
+        " WHERE o_custkey = c.c_custkey"
+        f" AND o_orderkey % {mod % 3 + 1} = 0) x\n"
+        f"WHERE c.c_custkey % {mod} = 0"
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_differential_lateral_query(seed, duck, spark_views):
+    _assert_differential(_gen_lateral_query(seed), duck, spark_views, seed)
+
+
 def _gen_orderlimit_query(seed: int) -> str:
     """Sort/limit shape (§2.6): top-k under a TOTAL order (money tiebroken
     by a unique-ish int key) so the limited set is engine-independent."""

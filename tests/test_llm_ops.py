@@ -1103,6 +1103,40 @@ def test_assign_contiguous_ids_dense_and_ordered(spark):
     assert [got[i] for i in ids] == list(range(101)), "dense 0-based in id order"
 
 
+def test_write_shards_exact_sizes_and_order(spark, tmp_path):
+    from basic_data_pipeline_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(i * 7 % 101, f"d{i * 7 % 101}") for i in range(101)],
+        "doc_id long, text string",
+    ).repartition(13)
+    path = str(tmp_path / "shards")
+    manifest = packing.write_shards(docs, "doc_id", path, 25).collect()
+    # 101 docs / 25 per shard -> 4 full + 1 single-doc final shard
+    assert [(r["shard"], r["n_docs"]) for r in manifest] == [
+        (0, 25), (1, 25), (2, 25), (3, 25), (4, 1),
+    ]
+    # shard K holds exactly the K-th contiguous id-ordered slice
+    for r in manifest:
+        lo, hi = r["shard"] * 25, min(r["shard"] * 25 + 24, 100)
+        assert (r["min_id"], r["max_id"]) == (lo, hi)
+    # one data file per shard directory, rows in shard_pos order
+    import glob as g
+
+    for k in range(5):
+        files = g.glob(f"{path}/shard={k}/part-*.parquet")
+        assert len(files) == 1, files
+    back = spark.read.parquet(path)
+    assert back.count() == 101
+    rows = back.filter(F.col("shard") == 1).orderBy("shard_pos").collect()
+    assert [r["doc_id"] for r in rows] == list(range(25, 50))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        packing.write_shards(docs, "doc_id", path, 0)
+
+
 def test_auto_n_planes_rule():
     """The LSH resolution rule: exactly 4 at the oracle sf (500 vectors —
     pinning the value the sim_ann_lsh DuckDB SQL hardcodes), monotone

@@ -72,3 +72,114 @@ def test_cms_deterministic_under_repartitioning(spark):
         (r["h"], r["bucket"], r["cnt"]) for r in df.collect()
     }
     assert as_set(a) == as_set(b)
+
+
+# --- Misra-Gries heavy hitters --------------------------------------------
+
+def test_mg_guarantees_on_skewed_data(spark):
+    """Every item with true freq > n/(k+1) present; estimates one-sided
+    (est <= true) with underestimate <= n/(k+1) — under TWO different
+    partitionings (estimates may differ, the bounds may not)."""
+    import collections
+
+    from basic_data_pipeline_spark.operators import sketches
+
+    rows = (
+        [("hot",)] * 400 + [("warm",)] * 150 + [("mild",)] * 60
+        + [(f"cold{i}",) for i in range(390)]
+    )
+    truth = collections.Counter(r[0] for r in rows)
+    n, k = len(rows), 8
+    base = spark.createDataFrame(rows, "w string")
+    for parts in (1, 7):
+        got = {
+            r["item"]: r["est"]
+            for r in sketches.heavy_hitters(
+                base.repartition(parts), "w", k
+            ).collect()
+        }
+        for item, c in truth.items():
+            if c > n / (k + 1):
+                assert item in got, (parts, item)
+        for item, est in got.items():
+            assert 0 < est <= truth[item]
+            assert truth[item] - est <= n / (k + 1)
+
+
+def test_mg_merge_equals_whole_within_bounds(spark):
+    """Shard summaries merged == the n/(k+1) bound over the COMBINED
+    stream (the mergeable-summaries theorem, exercised across shards)."""
+    import collections
+
+    from basic_data_pipeline_spark.operators import sketches
+
+    a_rows = [("x",)] * 300 + [(f"a{i}",) for i in range(100)]
+    b_rows = [("x",)] * 50 + [("y",)] * 200 + [(f"b{i}",) for i in range(50)]
+    truth = collections.Counter(r[0] for r in a_rows + b_rows)
+    n, k = len(a_rows) + len(b_rows), 4
+    sa = sketches.mg_partition_summaries(
+        spark.createDataFrame(a_rows, "w string").coalesce(1), "w", k
+    )
+    sb = sketches.mg_partition_summaries(
+        spark.createDataFrame(b_rows, "w string").coalesce(1), "w", k
+    )
+    got = {
+        r["item"]: r["est"]
+        for r in sketches.mg_merge(sa.unionByName(sb), k).collect()
+    }
+    for item, c in truth.items():
+        if c > n / (k + 1):
+            assert item in got
+    for item, est in got.items():
+        assert 0 < est <= truth[item] and truth[item] - est <= n / (k + 1)
+
+
+def test_mg_small_input_exact(spark):
+    """Fewer distinct items than k: MG is exact (no decrements ever)."""
+    from basic_data_pipeline_spark.operators import sketches
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    got = {
+        r["item"]: r["est"]
+        for r in sketches.heavy_hitters(
+            spark.createDataFrame(rows, "w string").coalesce(1), "w", 10
+        ).collect()
+    }
+    assert got == {"a": 5, "b": 3, "c": 2}
+
+
+def test_mg_validates(spark):
+    import pytest
+
+    from basic_data_pipeline_spark.operators import sketches
+
+    df = spark.createDataFrame([("a",)], "w string")
+    with pytest.raises(ValueError):
+        sketches.mg_partition_summaries(df, "w", 0)
+
+
+def test_mg_on_fixture_tokens(spark, sf_dir):
+    """Real corpus tokens: the k heaviest whitespace tokens by true count
+    all appear in a k-counter summary when they clear the bound."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from basic_data_pipeline_spark.operators import sketches
+
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    truth = collections.Counter(r["w"] for r in toks.collect())
+    n, k = sum(truth.values()), 30
+    got = {
+        r["item"]: r["est"]
+        for r in sketches.heavy_hitters(toks, "w", k).collect()
+    }
+    for item, c in truth.items():
+        if c > n / (k + 1):
+            assert item in got
+    for item, est in got.items():
+        assert est <= truth[item] and truth[item] - est <= n / (k + 1)
