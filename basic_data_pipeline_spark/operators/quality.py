@@ -62,40 +62,52 @@ def profile_columns(
     """
     cols = cols or df.columns
     dtypes = dict(df.dtypes)
+    # Index-based internal aliases + pure Column API throughout — no SQL
+    # strings embed user-supplied names, so any column name (spaces,
+    # quotes, backticks) profiles cleanly.
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        q = f"`{c}`"
+    for i, c in enumerate(cols):
+        col = df[c]
         nd = (
-            F.countDistinct(F.col(q))
+            F.countDistinct(col)
             if exact_distinct
-            else F.approx_count_distinct(q)
+            else F.approx_count_distinct(col)
         )
         aggs += [
-            F.sum(F.col(q).isNull().cast("long")).alias(f"__null_{c}"),
-            nd.alias(f"__nd_{c}"),
-            F.min(q).cast("string").alias(f"__min_{c}"),
-            F.max(q).cast("string").alias(f"__max_{c}"),
+            F.sum(col.isNull().cast("long")).alias(f"__null_{i}"),
+            nd.alias(f"__nd_{i}"),
+            F.min(col).cast("string").alias(f"__min_{i}"),
+            F.max(col).cast("string").alias(f"__max_{i}"),
             (
-                F.avg(F.col(q).cast("double"))
+                F.avg(col.cast("double"))
                 if _is_numeric(dtypes.get(c, ""))
                 else F.lit(None).cast("double")
-            ).alias(f"__avg_{c}"),
+            ).alias(f"__avg_{i}"),
         ]
     wide = df.agg(*aggs)
-    # Unpivot the 1-row wide frame into one row per column, JVM-side.
-    stacked = ", ".join(
-        f"'{c}', `__null_{c}`, `__nd_{c}`, `__min_{c}`, `__max_{c}`, `__avg_{c}`"
-        for c in cols
-    )
-    return wide.select(
-        F.expr(
-            f"stack({len(cols)}, {stacked}) AS "
-            "(column, n_null, n_distinct, min_value, max_value, avg_value)"
-        ),
+    # Unpivot the 1-row wide frame into one row per column, JVM-side
+    # (explode of a struct array — the Column-API form of stack()).
+    tall = wide.select(
         F.col("__n").alias("n_rows"),
-    ).select(
-        "column", "n_rows", "n_null", "n_distinct",
-        "min_value", "max_value", "avg_value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"__null_{i}").alias("n_null"),
+                        F.col(f"__nd_{i}").alias("n_distinct"),
+                        F.col(f"__min_{i}").alias("min_value"),
+                        F.col(f"__max_{i}").alias("max_value"),
+                        F.col(f"__avg_{i}").alias("avg_value"),
+                    )
+                    for i, c in enumerate(cols)
+                ]
+            )
+        ).alias("_m"),
+    )
+    return tall.select(
+        "_m.column", "n_rows", "_m.n_null", "_m.n_distinct",
+        "_m.min_value", "_m.max_value", "_m.avg_value",
     )
 
 
@@ -161,13 +173,13 @@ def check_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate check names in {names}")
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
-    for ck in checks:
+    for i, ck in enumerate(checks):
         if ck.kind == "unique":
             if not ck.unique_cols:
                 raise ValueError(f"{ck.name}: unique check needs columns")
             aggs.append(
                 F.countDistinct(*[F.col(c) for c in ck.unique_cols]).alias(
-                    f"__p_{ck.name}"
+                    f"__p_{i}"
                 )
             )
         elif ck.kind == "condition":
@@ -176,21 +188,28 @@ def check_constraints(df: DataFrame, checks: list[Check]) -> DataFrame:
             aggs.append(
                 F.sum(
                     F.coalesce(ck.cond.cast("long"), F.lit(0))
-                ).alias(f"__p_{ck.name}")
+                ).alias(f"__p_{i}")
             )
         else:
             raise ValueError(f"{ck.name}: unknown check kind {ck.kind!r}")
     wide = df.agg(*aggs)
-    stacked = ", ".join(
-        f"'{ck.name}', `__p_{ck.name}`, CAST({ck.min_fraction} AS DOUBLE)"
-        for ck in checks
-    )
     tall = wide.select(
-        F.expr(
-            f"stack({len(checks)}, {stacked}) AS (check, n_pass, min_fraction)"
-        ),
         F.col("__n").alias("n_rows"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ck.name).alias("check"),
+                        F.col(f"__p_{i}").alias("n_pass"),
+                        F.lit(float(ck.min_fraction))
+                        .cast("double")
+                        .alias("min_fraction"),
+                    )
+                    for i, ck in enumerate(checks)
+                ]
+            )
+        ).alias("_m"),
+    ).select("n_rows", "_m.check", "_m.n_pass", "_m.min_fraction")
     frac = F.when(F.col("n_rows") == 0, F.lit(1.0)).otherwise(
         F.col("n_pass") / F.col("n_rows")
     )

@@ -43,6 +43,7 @@ def prepare_training_corpus(
     near_dup_threshold: float = 0.5,
     min_quality: float = 0.5,
     max_repetition: float | None = None,
+    min_lm_score: float | None = None,
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 8,
     mix: dict[str, float] | None = None,
@@ -58,7 +59,10 @@ def prepare_training_corpus(
     mixing entirely. `max_repetition` (when set) drops documents whose
     duplicate-bigram fraction exceeds it (repetition_profile — the
     MassiveText boilerplate filter; docs too short to have bigrams are
-    kept). `shuffle_salt` (when set) packs documents in DETERMINISTIC
+    kept). `min_lm_score` (when set) additionally drops documents whose
+    corpus-self-trained bigram LM score (mean log2 P(w_i|w_{i-1}),
+    text.bigram_lm_scores) falls below the floor — docs with no bigrams
+    are kept, mirroring `max_repetition`. `shuffle_salt` (when set) packs documents in DETERMINISTIC
     SHUFFLED order — the pack key becomes md5(salt || id), so the packing
     order is a reproducible pseudo-random permutation (same salt → same
     corpus layout on any cluster/partitioning; different salt → a fresh
@@ -95,6 +99,18 @@ def prepare_training_corpus(
     # 3. quality floor (C4-style flags → mean score in [0, 1])
     d = stage(d.filter(text.quality_score(F.col(text_col)) >= min_quality))
     ledger["quality"] = d.count()
+
+    # 3a. LM-score floor: corpus-self-trained bigram perplexity signal —
+    # drops word-salad/outlier docs the flag-based score can't see. The
+    # LM trains on the CURRENT survivors (post-dedup), so duplicated
+    # boilerplate can no longer inflate its own probability.
+    if min_lm_score is not None:
+        lm = text.bigram_lm_scores(d, id_col, text_col)
+        too_surprising = lm.filter(
+            F.col("lm_score") < min_lm_score
+        ).select(id_col)
+        d = stage(d.join(too_surprising, id_col, "left_anti"))
+        ledger["lm_floor"] = d.count()
 
     # 3b. repetition ceiling (duplicate-bigram fraction — boilerplate)
     if max_repetition is not None:

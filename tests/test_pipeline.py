@@ -94,6 +94,52 @@ def test_repetition_filter_drops_boilerplate(spark, docs):
     assert 999_999 not in out_ids
 
 
+def test_lm_floor_drops_word_salad(spark, docs):
+    """min_lm_score: a planted shuffled-vocabulary doc (improbable bigrams
+    under the corpus LM) drops; natural docs survive; ledger records the
+    stage between quality and packing."""
+    from basic_data_pipeline_spark.operators import text as T
+
+    # the planted doc alternates the corpus's MOST FREQUENT token with
+    # distinct novel tokens: every (frequent -> novel) bigram has c12=1
+    # against a huge c1, i.e. probability ~1/c1 — reliably far below
+    # natural pairs. (Pure OOV gibberish is NOT reliably low here: the
+    # fixture vocabulary is tiny, so the smoothing denominator barely
+    # penalizes singleton-vs-singleton bigrams; and a mere permutation
+    # isn't low either — the synthetic text has weak adjacency signal.)
+    top_word = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").count().orderBy(F.desc("count"), "w")
+        .first()["w"]
+    )
+    salad = " ".join(f"{top_word} zzqx{i}" for i in range(15))
+    planted = docs.unionByName(
+        spark.createDataFrame(
+            [(990001, salad, "xx", "srcx", len(salad))], docs.schema
+        )
+    )
+    # pick the floor from the observed scores: strictly between the
+    # salad's score and the corpus median, so the assertion is stable
+    scores = {
+        r["doc_id"]: r["lm_score"]
+        for r in T.bigram_lm_scores(planted, "doc_id", "text").collect()
+    }
+    corpus_scores = sorted(
+        v for k, v in scores.items() if k != 990001
+    )
+    median = corpus_scores[len(corpus_scores) // 2]
+    assert scores[990001] < median, "salad must score below the median"
+    floor = (scores[990001] + median) / 2
+    res = prepare_training_corpus(
+        planted, min_quality=0.0, min_lm_score=floor, seq_len=256
+    )
+    out_ids = {r["doc_id"] for r in res.docs.select("doc_id").collect()}
+    assert 990001 not in out_ids
+    assert res.ledger["lm_floor"] < res.ledger["quality"]
+    assert len(out_ids) > 0
+
+
 def test_deterministic_shuffle_packs_reproducible_permutation(spark, docs):
     """shuffle_salt packs in salted-hash order: same salt → bit-identical
     layout across runs/partitionings; layout differs from id order; the

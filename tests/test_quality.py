@@ -48,6 +48,21 @@ def test_profile_nulls_counted(spark):
     assert r["id"]["n_null"] == 0 and r["id"]["n_distinct"] == 3
 
 
+def test_profile_exotic_column_names(spark):
+    """Column names with spaces/quotes profile cleanly — no SQL-string
+    embedding of user identifiers (pure Column API)."""
+    df = spark.createDataFrame([(1, "x"), (2, None)], ["a b", "it's"])
+    r = {
+        x["column"]: x
+        for x in Q.profile_columns(df, exact_distinct=True).collect()
+    }
+    assert r["a b"]["n_distinct"] == 2 and r["it's"]["n_null"] == 1
+    checks = Q.check_constraints(
+        df, [Q.Check("odd 'name'", cond=df["a b"] > 0)]
+    ).collect()
+    assert checks[0]["check"] == "odd 'name'" and checks[0]["passed"]
+
+
 def test_profile_single_job_plan(docs):
     """The whole profile is ONE aggregation — exactly one Aggregate chain,
     no join/union of per-column subplans."""
