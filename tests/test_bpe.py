@@ -139,6 +139,33 @@ def test_roundtrip_reconstructs_text(tiny):
         assert enc[i] == t.lower().replace(" ", "")
 
 
+def test_bpe_token_aware_packing(spark, tiny):
+    """Composition: pack_sequences over the TOKENIZER's counts instead of
+    whitespace counts — window arithmetic must agree with a serial scan
+    of the encoded corpus (the real training-data layout contract)."""
+    from pyspark.sql import functions as F
+
+    from basic_data_pipeline_spark.operators import packing
+
+    merges = bpe.train_bpe(tiny, "text", 8)
+    enc = bpe.encode_bpe(tiny, merges, "doc_id", "text")
+    seq_len = 16
+    got = {
+        r["doc_id"]: (r["n_tok"], r["seq_bin"], r["bin_pos"])
+        for r in packing.pack_sequences(
+            enc, "doc_id", F.col("n_tokens"), seq_len
+        ).collect()
+    }
+    counts = {
+        r["doc_id"]: r["n_tokens"]
+        for r in enc.select("doc_id", "n_tokens").collect()
+    }
+    cum = 0
+    for did in sorted(counts):
+        assert got[did] == (counts[did], cum // seq_len, cum % seq_len)
+        cum += counts[did]
+
+
 def test_fixture_corpus_trains(spark, sf_dir):
     """End-to-end on the real documents fixture: merges exist, encode
     runs, and the merge table persists via merges_df."""

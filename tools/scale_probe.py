@@ -328,6 +328,17 @@ def _probe_fuzzy_pairs(spark, d):
     return entity.fuzzy_pairs(c, "id", "name", max_edit=1)
 
 
+def _probe_heavy_hitters(spark, d):
+    from basic_data_pipeline_spark.operators import sketches
+
+    toks = (
+        load_table(spark, d, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    return sketches.heavy_hitters(toks, "w", 50)
+
+
 def _probe_near_dedup_quality(spark, d):
     from basic_data_pipeline_spark.operators import dedup
 
@@ -350,6 +361,7 @@ EXTRA_PROBES = {
     "op_pca_fit_project": _probe_pca_fit_project,
     "op_near_dedup_quality": _probe_near_dedup_quality,
     "op_fuzzy_pairs": _probe_fuzzy_pairs,
+    "op_heavy_hitters": _probe_heavy_hitters,
     "op_chunk_documents": _probe_chunk_documents,
     "op_tfidf_top_terms": _probe_tfidf_top_terms,
     "op_negative_samples": _probe_negative_samples,
