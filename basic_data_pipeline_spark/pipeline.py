@@ -19,12 +19,18 @@ reproducible.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from basic_data_pipeline_spark.operators import dedup, packing, sampling, text
+from basic_data_pipeline_spark.operators.maintenance import atomic_overwrite
+
+_PARAMS_FILE = "_prep_params.json"
 
 
 @dataclass
@@ -51,6 +57,7 @@ def prepare_training_corpus(
     temperature: float | None = None,
     shuffle_salt: str | None = None,
     seq_len: int = 2048,
+    workdir: str | None = None,
 ) -> CorpusPrepResult:
     """Run the full prep pipeline; see module docstring for the stages.
 
@@ -62,7 +69,13 @@ def prepare_training_corpus(
     kept). `min_lm_score` (when set) additionally drops documents whose
     corpus-self-trained bigram LM score (mean log2 P(w_i|w_{i-1}),
     text.bigram_lm_scores) falls below the floor — docs with no bigrams
-    are kept, mirroring `max_repetition`. `shuffle_salt` (when set) packs documents in DETERMINISTIC
+    are kept, mirroring `max_repetition`. `workdir` (when set) makes the
+    run DURABLE: each stage's survivors are written atomically to
+    workdir/<stage> and a restarted run resumes from the last completed
+    stage (the `_SUCCESS` marker is the completion signal; eager stage
+    construction is skipped entirely on resume). A parameter-fingerprint
+    file guards the workdir — resuming under different parameters raises
+    instead of silently mixing configurations. `shuffle_salt` (when set) packs documents in DETERMINISTIC
     SHUFFLED order — the pack key becomes md5(salt || id), so the packing
     order is a reproducible pseudo-random permutation (same salt → same
     corpus layout on any cluster/partitioning; different salt → a fresh
@@ -75,11 +88,70 @@ def prepare_training_corpus(
     if mix is not None and temperature is not None:
         raise ValueError("pass either mix= or temperature=, not both")
     held: list[DataFrame] = []
+    spark = docs.sparkSession
 
-    def stage(df: DataFrame) -> DataFrame:
-        df = df.persist()
-        held.append(df)
-        return df
+    # Durable staged execution: with `workdir`, every stage's survivors
+    # are written atomically (temp+rename) to workdir/<stage> and a
+    # crashed/restarted run RESUMES from the last completed stage instead
+    # of recomputing a 100 TB prefix. Stages are deterministic, so the
+    # resumed run is bit-identical to an uninterrupted one — but only
+    # under the SAME parameters, which a fingerprint file enforces: a
+    # parameter change against a half-populated workdir raises instead
+    # of silently mixing two configurations.
+    if workdir is not None:
+        fp = hashlib.sha256(
+            json.dumps(
+                {
+                    "id_col": id_col, "text_col": text_col,
+                    "near_dup_threshold": near_dup_threshold,
+                    "min_quality": min_quality,
+                    "max_repetition": max_repetition,
+                    "min_lm_score": min_lm_score,
+                    "has_benchmark": benchmark is not None,
+                    "contamination_ngram": contamination_ngram,
+                    "mix": mix, "mix_col": mix_col,
+                    "temperature": temperature,
+                    "shuffle_salt": shuffle_salt, "seq_len": seq_len,
+                },
+                sort_keys=True,
+            ).encode()
+        ).hexdigest()
+        os.makedirs(workdir, exist_ok=True)
+        fp_path = os.path.join(workdir, _PARAMS_FILE)
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                if json.load(f)["fingerprint"] != fp:
+                    raise ValueError(
+                        "workdir was populated under DIFFERENT parameters —"
+                        " point at a fresh workdir or delete it"
+                    )
+        else:
+            with open(fp_path, "w") as f:
+                json.dump({"fingerprint": fp}, f)
+
+    def _stage_path(name: str) -> str:
+        return os.path.join(workdir, name)  # type: ignore[arg-type]
+
+    def _complete(name: str) -> bool:
+        return workdir is not None and os.path.exists(
+            os.path.join(_stage_path(name), "_SUCCESS")
+        )
+
+    def stage(thunk, name: str) -> DataFrame:
+        # thunk, not DataFrame: some stage constructors run eager jobs
+        # while BUILDING their plan (connected components iterates), so a
+        # resumed stage must skip construction entirely, not just
+        # execution.
+        if workdir is None:
+            df = thunk().persist()
+            held.append(df)
+            return df
+        path = _stage_path(name)
+        if not _complete(name):
+            # atomic: a crash mid-write leaves no _SUCCESS at the final
+            # path, so the stage reruns cleanly on resume
+            atomic_overwrite(thunk(), path)
+        return spark.read.parquet(path)
 
     ledger = {"input": docs.count()}
 
@@ -87,17 +159,26 @@ def prepare_training_corpus(
     survivors = dedup.exact_dedup_survivors(
         docs, id_col, text.fingerprint(F.col(text_col))
     ).select(id_col)
-    d = stage(docs.join(survivors, id_col, "left_semi"))
+    d = stage(lambda: docs.join(survivors, id_col, "left_semi"),
+              "exact_dedup")
     ledger["exact_dedup"] = d.count()
 
     # 2. near dedup: LSH candidates → exact verify → cluster survivors
+    prev = d
     d = stage(
-        dedup.near_dedup_corpus(d, id_col, text_col, threshold=near_dup_threshold)
+        lambda: dedup.near_dedup_corpus(
+            prev, id_col, text_col, threshold=near_dup_threshold
+        ),
+        "near_dedup",
     )
     ledger["near_dedup"] = d.count()
 
     # 3. quality floor (C4-style flags → mean score in [0, 1])
-    d = stage(d.filter(text.quality_score(F.col(text_col)) >= min_quality))
+    prev = d
+    d = stage(
+        lambda: prev.filter(text.quality_score(F.col(text_col)) >= min_quality),
+        "quality",
+    )
     ledger["quality"] = d.count()
 
     # 3a. LM-score floor: corpus-self-trained bigram perplexity signal —
@@ -105,36 +186,61 @@ def prepare_training_corpus(
     # LM trains on the CURRENT survivors (post-dedup), so duplicated
     # boilerplate can no longer inflate its own probability.
     if min_lm_score is not None:
-        lm = text.bigram_lm_scores(d, id_col, text_col)
-        too_surprising = lm.filter(
-            F.col("lm_score") < min_lm_score
-        ).select(id_col)
-        d = stage(d.join(too_surprising, id_col, "left_anti"))
+        prev = d
+
+        def _lm_stage(prev=prev):
+            lm = text.bigram_lm_scores(prev, id_col, text_col)
+            too_surprising = lm.filter(
+                F.col("lm_score") < min_lm_score
+            ).select(id_col)
+            return prev.join(too_surprising, id_col, "left_anti")
+
+        d = stage(_lm_stage, "lm_floor")
         ledger["lm_floor"] = d.count()
 
     # 3b. repetition ceiling (duplicate-bigram fraction — boilerplate)
     if max_repetition is not None:
-        reps = text.repetition_profile(d, id_col, text_col, ns=(2,))
-        too_repetitive = reps.filter(
-            F.col("dup_ngram_frac") > max_repetition
-        ).select(id_col)
-        d = stage(d.join(too_repetitive, id_col, "left_anti"))
+        prev = d
+
+        def _rep_stage(prev=prev):
+            reps = text.repetition_profile(prev, id_col, text_col, ns=(2,))
+            too_repetitive = reps.filter(
+                F.col("dup_ngram_frac") > max_repetition
+            ).select(id_col)
+            return prev.join(too_repetitive, id_col, "left_anti")
+
+        d = stage(_rep_stage, "repetition")
         ledger["repetition"] = d.count()
 
     # 4. benchmark decontamination (drop docs sharing an n-gram)
     if benchmark is not None:
-        hits = packing.contamination_hits(
-            d, benchmark, id_col, text_col, contamination_ngram
-        )
-        d = stage(d.join(hits.select(id_col), id_col, "left_anti"))
+        prev = d
+
+        def _decon_stage(prev=prev):
+            hits = packing.contamination_hits(
+                prev, benchmark, id_col, text_col, contamination_ngram
+            )
+            return prev.join(hits.select(id_col), id_col, "left_anti")
+
+        d = stage(_decon_stage, "decontaminated")
         ledger["decontaminated"] = d.count()
 
     # 5. mixing
     if temperature is not None:
-        d = stage(sampling.temperature_mix(d, mix_col, temperature, id_col=id_col))
+        prev = d
+        d = stage(
+            lambda: sampling.temperature_mix(
+                prev, mix_col, temperature, id_col=id_col
+            ),
+            "mixed",
+        )
         ledger["mixed"] = d.count()
     elif mix is not None:
-        d = stage(sampling.weighted_mix(d, mix_col, mix, id_col=id_col))
+        prev = d
+        d = stage(
+            lambda: sampling.weighted_mix(prev, mix_col, mix, id_col=id_col),
+            "mixed",
+        )
         ledger["mixed"] = d.count()
 
     # 6. sequence packing assignments (replicas get distinct pack ids so
@@ -150,13 +256,23 @@ def prepare_training_corpus(
         # permutation — no extra operator, the prefix sum's range
         # partitioning distributes the hash order exactly like id order.
         pack_id = F.md5(F.concat(F.lit(shuffle_salt), F.lit("|"), pack_id))
-    d = d.withColumn("_pack_id", pack_id)
-    packed = packing.pack_sequences(
-        d, "_pack_id", text.n_tokens(F.col(text_col)), seq_len
-    )
-    out = d.join(packed.select("_pack_id", "seq_bin", "bin_pos"), "_pack_id").drop(
-        "_pack_id"
-    ).persist()
+    if workdir is not None and _complete("packed"):
+        # fully-resumed run: skip even the prefix-sum construction (it
+        # runs eager jobs)
+        out = spark.read.parquet(_stage_path("packed"))
+    else:
+        d = d.withColumn("_pack_id", pack_id)
+        packed = packing.pack_sequences(
+            d, "_pack_id", text.n_tokens(F.col(text_col)), seq_len
+        )
+        joined = d.join(
+            packed.select("_pack_id", "seq_bin", "bin_pos"), "_pack_id"
+        ).drop("_pack_id")
+        if workdir is not None:
+            atomic_overwrite(joined, _stage_path("packed"))
+            out = spark.read.parquet(_stage_path("packed"))
+        else:
+            out = joined.persist()
     ledger["packed"] = out.count()
     for h in held:
         h.unpersist()

@@ -94,6 +94,59 @@ def test_repetition_filter_drops_boilerplate(spark, docs):
     assert 999_999 not in out_ids
 
 
+def test_workdir_durable_run_matches_inmemory(spark, docs, tmp_path):
+    """workdir= produces the identical ledger and survivors as the
+    in-memory run (stages are deterministic, storage is a pass-through)."""
+    mem = prepare_training_corpus(docs, min_quality=0.4, seq_len=256)
+    dur = prepare_training_corpus(
+        docs, min_quality=0.4, seq_len=256, workdir=str(tmp_path / "wd")
+    )
+    assert dur.ledger == mem.ledger
+    key = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["seq_bin"], r["bin_pos"])
+        for r in df.select("doc_id", "seq_bin", "bin_pos").collect()
+    )
+    assert key(dur.docs) == key(mem.docs)
+
+
+def test_workdir_resume_skips_completed_stages(spark, docs, tmp_path):
+    """Crash-restart: with early stage outputs present, a rerun must NOT
+    recompute them (files byte-stable by mtime) and must rebuild only
+    what's missing — final result identical."""
+    import os
+    import shutil
+
+    wd = str(tmp_path / "wd")
+    first = prepare_training_corpus(
+        docs, min_quality=0.4, seq_len=256, workdir=wd
+    )
+    nd = os.path.join(wd, "near_dedup")
+    before = {f: os.path.getmtime(os.path.join(nd, f)) for f in os.listdir(nd)}
+    # simulate a crash after near_dedup: later stages lost
+    shutil.rmtree(os.path.join(wd, "quality"))
+    shutil.rmtree(os.path.join(wd, "packed"))
+    second = prepare_training_corpus(
+        docs, min_quality=0.4, seq_len=256, workdir=wd
+    )
+    after = {f: os.path.getmtime(os.path.join(nd, f)) for f in os.listdir(nd)}
+    assert after == before, "completed stage must not be recomputed"
+    assert second.ledger == first.ledger
+    # full resume (nothing missing) also returns the same result
+    third = prepare_training_corpus(
+        docs, min_quality=0.4, seq_len=256, workdir=wd
+    )
+    assert third.ledger == first.ledger
+
+
+def test_workdir_param_change_raises(spark, docs, tmp_path):
+    wd = str(tmp_path / "wd")
+    prepare_training_corpus(docs, min_quality=0.4, seq_len=256, workdir=wd)
+    with pytest.raises(ValueError, match="DIFFERENT parameters"):
+        prepare_training_corpus(
+            docs, min_quality=0.6, seq_len=256, workdir=wd
+        )
+
+
 def test_lm_floor_drops_word_salad(spark, docs):
     """min_lm_score: a planted shuffled-vocabulary doc (improbable bigrams
     under the corpus LM) drops; natural docs survive; ledger records the
