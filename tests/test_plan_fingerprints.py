@@ -1,0 +1,73 @@
+"""Plan-shape regression guard for every headline query.
+
+Pins (shuffle exchanges, broadcast exchanges, Python evals, nested-loop
+joins) per headline plan. Perf regressions usually arrive as an extra
+Exchange (a lost co-partitioning), a broadcast silently becoming a
+shuffle, Python sneaking onto a hot path, or a join degenerating to a
+nested loop — all visible in the plan BEFORE any timing moves. A
+legitimate plan change (new branch in a merged query, optimizer upgrade)
+updates the table consciously in review, which is the point.
+
+Counts taken at sf0.001 with 8 shuffle partitions (conftest session
+settings); AQE leaves the initial plan's exchange structure intact at
+this stage, so the counts are stable run to run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from basic_data_pipeline_spark.registry import headline_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# (shuffle exchanges, broadcast exchanges, python evals, nested-loop joins)
+EXPECTED = {
+    "window_analytics": (1, 0, 0, 0),
+    "agg_salted_skew": (3, 1, 0, 0),
+    "join_asof_union_window": (2, 0, 0, 0),
+    "stream_fixed_windows": (2, 0, 0, 0),
+    # the nested-loop here is the 1-row late-cutoff scalar broadcast
+    # (ts >= cutoff) — a bounded build side by construction
+    "stream_session_late": (3, 1, 0, 1),
+    "q1_pricing_summary": (3, 0, 0, 0),
+    "q3_shipping_priority": (1, 2, 0, 0),
+    "q5_local_supplier_volume": (2, 5, 0, 0),
+    "cdc_compact_latest": (1, 0, 0, 0),
+    "text_doc_profile": (2, 0, 0, 0),
+    "dedup_minhash_lsh": (3, 1, 0, 0),
+    "dedup_lsh_verified": (9, 5, 0, 0),
+    # the nested-loop is the sanctioned brute-force baseline branch
+    # (5 query vectors crossed against the corpus)
+    "sim_topk_methods": (4, 2, 0, 1),
+    "sim_ann_lsh": (4, 3, 0, 0),
+    "corpus_pack_contam": (4, 3, 0, 0),
+}
+
+
+def _fingerprint(plan: str) -> tuple[int, int, int, int]:
+    return (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition"),
+        plan.count("BroadcastExchange"),
+        plan.count("EvalPython") + plan.count("MapInPandas"),
+        plan.count("CartesianProduct") + plan.count("BroadcastNestedLoopJoin"),
+    )
+
+
+def test_every_headline_query_is_pinned():
+    assert set(EXPECTED) == set(headline_queries())
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED))
+def test_headline_plan_fingerprint(name, spark):
+    fn = headline_queries()[name]
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    got = _fingerprint(plan)
+    assert got == EXPECTED[name], (
+        f"{name}: plan shape drifted {EXPECTED[name]} -> {got}. If the"
+        " change is intentional (new branch, optimizer upgrade), update"
+        " EXPECTED after reviewing the new plan; if not, a shuffle/"
+        "broadcast/python/nested-loop regression just tried to land."
+    )
