@@ -452,16 +452,29 @@ def ivf_index_add(vectors: DataFrame, index_path: str, dim: int) -> None:
 
 
 def ivf_index_search(
-    queries: DataFrame, index_path: str, dim: int, k: int, nprobe: int = 2
+    queries: DataFrame,
+    index_path: str,
+    dim: int,
+    k: int,
+    nprobe: int = 2,
+    assigned: DataFrame | None = None,
+    dedup_candidates: bool = False,
 ) -> DataFrame:
     """Top-k against the persisted index: queries fan out to their nprobe
     nearest stored centroids; the candidate join hits only those cells'
-    partitions (partition pruning on the `cell` directory key)."""
+    partitions (partition pruning on the `cell` directory key).
+    ``assigned`` overrides the inverted-list source (the streaming
+    maintainer passes base ∪ epoch deltas — streaming/ann_stream.py);
+    ``dedup_candidates`` collapses duplicate (query, neighbor) candidates
+    before ranking — needed only when the source can transiently hold a
+    vector twice (the crashed-compaction window in ann_stream), and
+    applied on the PROBED candidate set, never the whole index."""
     import os
 
     spark = queries.sparkSession
     cents = spark.read.parquet(os.path.join(index_path, "centroids"))
-    assigned = spark.read.parquet(os.path.join(index_path, "assigned"))
+    if assigned is None:
+        assigned = spark.read.parquet(os.path.join(index_path, "assigned"))
     q = ivf_assign(queries, cents, dim, nprobe=nprobe).select(
         F.col("cell"),
         F.col("vec_id").alias("query_id"),
@@ -473,13 +486,17 @@ def ivf_index_search(
         as_double_array(F.col("embedding")).alias("cv"),
     ).withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
+    scored = (
         q.join(c, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
         )
-        .withColumn("rank", F.row_number().over(w))
+    )
+    if dedup_candidates:
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
