@@ -159,3 +159,51 @@ def salted_sum(
             F.sum("_s").cast("double").alias("value_sum"),
         )
     )
+
+
+def auto_salted_sum(
+    df: DataFrame,
+    key: str,
+    value: str,
+    n_salts: int = 32,
+    top_k: int = 64,
+) -> DataFrame:
+    """Skew-ADAPTIVE groupBy(key).agg(count, sum): detect the heavy keys
+    with a Misra-Gries sketch (one partition-parallel scan, #partitions×k
+    counter rows — operators/sketches.py), then salt ONLY those keys.
+
+    Blanket salting (salted_sum) taxes every key with a second
+    aggregation level; AQE's skew handling only splits JOIN partitions.
+    This composition gets both properties: cold keys aggregate in one
+    hop exactly as a plain groupBy, the ≤ top_k detected heavy keys
+    spread over n_salts reducers, and the result is bit-equal to the
+    unsalted sum however the heavy set was detected (salting any subset
+    is correctness-neutral — the MG sketch's partition-dependence can
+    change WHICH keys get salted, never the sums). The heavy-key set is
+    control-plane data (≤ top_k rows) and broadcasts as a literal."""
+    from basic_data_pipeline_spark.operators.sketches import heavy_hitters
+
+    hot = [
+        r["item"]
+        for r in heavy_hitters(df.select(F.col(key)), key, top_k).collect()
+    ]
+    salt = (
+        F.when(
+            F.col(key).isin(hot),
+            (F.rand(seed=42) * n_salts).cast("int"),
+        ).otherwise(F.lit(0))
+        if hot
+        else F.lit(0)
+    )
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col(value).cast("decimal(38,6)")).alias("_s"),
+        )
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_n").alias("n"),
+        F.sum("_s").cast("double").alias("value_sum"),
+    )

@@ -113,3 +113,36 @@ def test_sketch_rollup_reaggregates_distinct_and_quantiles(spark):
     }
     for k, v in direct.items():
         assert got[k]["distinct_users_est"] == v, (k, got[k]["distinct_users_est"], v)
+
+
+def test_auto_salted_sum_exact_and_selective(spark):
+    """auto_salted_sum == plain groupBy sums exactly (decimal path),
+    under multiple partitionings; only detected-heavy keys get salted
+    (cold keys aggregate in one hop — observable as a single partial row
+    per cold key)."""
+    from pyspark.sql import functions as F
+
+    from basic_data_pipeline_spark.operators.rollup import auto_salted_sum
+
+    rows = (
+        [("hot", float(i % 7)) for i in range(4000)]
+        + [(f"cold{i % 50}", float(i)) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "k string, v double")
+    want = {
+        (r["k"]): (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    for parts in (1, 13):
+        got = {
+            r["k"]: (r["n"], r["value_sum"])
+            for r in auto_salted_sum(
+                df.repartition(parts), "k", "v", n_salts=8, top_k=4
+            ).collect()
+        }
+        assert got == want
