@@ -28,7 +28,7 @@ reducers, each Spark-first at a different point of the design space:
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from basic_data_pipeline_spark.operators.similarity import (
