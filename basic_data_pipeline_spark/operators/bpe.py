@@ -98,6 +98,7 @@ def train_bpe(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
+    prev_ckpt: DataFrame = vocab
     for rank in range(n_merges):
         pairs = (
             vocab.filter(F.size("syms") >= 2)
@@ -128,6 +129,11 @@ def train_bpe(
         vocab = vocab.select(
             "freq", apply_merge_jvm(F.col("syms"), a, b).alias("syms")
         ).localCheckpoint(eager=True)
+        # the new round's checkpoint is materialized; release the
+        # previous round's blocks so storage stays one-vocab-sized for
+        # the whole training instead of growing n_merges × vocab
+        prev_ckpt.unpersist()
+        prev_ckpt = vocab
     return merges
 
 

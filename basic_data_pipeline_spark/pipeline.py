@@ -73,9 +73,11 @@ def prepare_training_corpus(
     run DURABLE: each stage's survivors are written atomically to
     workdir/<stage> and a restarted run resumes from the last completed
     stage (the `_SUCCESS` marker is the completion signal; eager stage
-    construction is skipped entirely on resume). A parameter-fingerprint
-    file guards the workdir — resuming under different parameters raises
-    instead of silently mixing configurations. `shuffle_salt` (when set) packs documents in DETERMINISTIC
+    construction is skipped entirely on resume). A fingerprint file
+    guards the workdir over BOTH the parameters and the input identity
+    (scanned file set, or row count for in-memory frames) — resuming
+    under different parameters, a different corpus, or a different
+    benchmark raises instead of silently mixing configurations. `shuffle_salt` (when set) packs documents in DETERMINISTIC
     SHUFFLED order — the pack key becomes md5(salt || id), so the packing
     order is a reproducible pseudo-random permutation (same salt → same
     corpus layout on any cluster/partitioning; different salt → a fresh
@@ -98,7 +100,21 @@ def prepare_training_corpus(
     # under the SAME parameters, which a fingerprint file enforces: a
     # parameter change against a half-populated workdir raises instead
     # of silently mixing two configurations.
+    n_input = docs.count()  # ledger head; reused in the input fingerprint
     if workdir is not None:
+        # Input identity rides in the fingerprint alongside the
+        # parameters: resuming a workdir against a DIFFERENT corpus (or a
+        # different benchmark) must raise, not silently serve the old
+        # corpus's stage outputs as if recomputed. Identity = the scanned
+        # file set plus the row count (the docs count is the ledger head,
+        # so no extra pass on the big side; the count also distinguishes
+        # two filters of the same files).
+        def _input_identity(df: DataFrame | None):
+            if df is None:
+                return None
+            n = n_input if df is docs else df.count()
+            return {"files": sorted(df.inputFiles()), "rows": n}
+
         fp = hashlib.sha256(
             json.dumps(
                 {
@@ -107,7 +123,8 @@ def prepare_training_corpus(
                     "min_quality": min_quality,
                     "max_repetition": max_repetition,
                     "min_lm_score": min_lm_score,
-                    "has_benchmark": benchmark is not None,
+                    "docs_input": _input_identity(docs),
+                    "benchmark_input": _input_identity(benchmark),
                     "contamination_ngram": contamination_ngram,
                     "mix": mix, "mix_col": mix_col,
                     "temperature": temperature,
@@ -122,8 +139,9 @@ def prepare_training_corpus(
             with open(fp_path) as f:
                 if json.load(f)["fingerprint"] != fp:
                     raise ValueError(
-                        "workdir was populated under DIFFERENT parameters —"
-                        " point at a fresh workdir or delete it"
+                        "workdir was populated under DIFFERENT parameters"
+                        " or input data — point at a fresh workdir or"
+                        " delete it"
                     )
         else:
             with open(fp_path, "w") as f:
@@ -153,7 +171,7 @@ def prepare_training_corpus(
             atomic_overwrite(thunk(), path)
         return spark.read.parquet(path)
 
-    ledger = {"input": docs.count()}
+    ledger = {"input": n_input}
 
     # 1. exact dedup under the canonical fingerprint (formatting-proof)
     survivors = dedup.exact_dedup_survivors(

@@ -11,7 +11,7 @@ Delivery semantics WITHOUT a dirty-index failure mode: a plain
 double-append its vectors), so the streaming maintainer writes each
 micro-batch's assignments to its OWN epoch partition —
 
-    assigned_epochs/epoch=N/cell=K/part-*.parquet
+    assigned_epochs/run=R/epoch=N/cell=K/part-*.parquet
 
 — with overwrite. A replayed epoch rewrites an identical partition
 instead of appending duplicates (the epoch-subdir idempotence pattern of
@@ -25,6 +25,8 @@ crash-idempotent) so the file count stays bounded.
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import json
 import os
 import shutil
@@ -39,30 +41,91 @@ _EPOCHS = "assigned_epochs"
 _COMPACT_LEDGER = "_compacted.json"
 
 
+class EpochReusedError(RuntimeError):
+    """A batch arrived with an epoch_id that was ALREADY folded and is
+    below the run's newest folded epoch — the signature of a checkpoint
+    reset (Structured Streaming restarts epoch numbering at 0). Silently
+    skipping would drop the new data as if it were a replay; the caller
+    must point the restarted query at a fresh ``run_id`` (or a fresh
+    checkpoint AND run_id) so its epochs land in their own namespace."""
+
+
 def _epochs_root(index_path: str) -> str:
     return os.path.join(index_path, _EPOCHS)
 
 
-def _folded_epochs(index_path: str) -> set[int]:
+def _epoch_dir(index_path: str, run_id: str, epoch: int) -> str:
+    return os.path.join(_epochs_root(index_path), f"run={run_id}", f"epoch={epoch}")
+
+
+def _folded_epochs(index_path: str) -> dict[str, set[int]]:
+    """Per-run folded-epoch sets. Legacy ledgers (a bare list from before
+    run namespacing) read as run 'default'."""
     try:
         with open(os.path.join(index_path, _COMPACT_LEDGER)) as f:
-            return set(json.load(f)["folded"])
+            folded = json.load(f)["folded"]
     except FileNotFoundError:
-        return set()
+        return {}
+    if isinstance(folded, list):
+        return {"default": set(folded)}
+    return {run: set(v) for run, v in folded.items()}
+
+
+def run_id_for_checkpoint(checkpoint: str) -> str:
+    """Stable, filesystem-safe namespace for a checkpoint location — a
+    NEW checkpoint directory (new query, or a reset) gets a new run_id
+    only if its path differs; a same-path reset is caught at batch time
+    by EpochReusedError instead."""
+    return hashlib.sha256(os.path.abspath(checkpoint).encode()).hexdigest()[:16]
+
+
+def _recover_base_swap(index_path: str) -> None:
+    """Finish or discard an interrupted base swap: a crash in
+    compact_epochs' rmtree(base)→rename window leaves NO ``assigned/``
+    and a COMPLETE ``assigned.tmp-swap`` (the temp is fully written —
+    carries _SUCCESS — before the base is ever removed). Promote that
+    temp; any other leftover temp is a partial write superseded by the
+    still-present base, so delete it."""
+    base = os.path.join(index_path, "assigned")
+    tmp = base + ".tmp-swap"
+    if not os.path.exists(tmp):
+        return
+    if not os.path.exists(base) and os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, base)
+    else:
+        shutil.rmtree(tmp)
 
 
 def make_ann_batch_fn(
     index_path: str,
     dim: int,
+    run_id: str = "default",
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: assign the batch to the stored centroids (one
-    broadcast pass, no training) and overwrite its epoch partition."""
+    broadcast pass, no training) and overwrite its epoch partition.
+
+    ``run_id`` namespaces this query's epochs in the delta store and the
+    compaction ledger, so pointing a second query (or a reset checkpoint
+    under a new run_id) at the same index can never collide with a prior
+    run's epoch numbering. Within one run, an epoch that is already
+    folded is skipped only when it is the run's NEWEST folded epoch (the
+    only genuinely replayable one under foreachBatch's at-least-once);
+    an older folded id means the checkpoint was reset and epoch numbers
+    are being reused for new data — that raises EpochReusedError rather
+    than silently dropping the batch."""
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if epoch_id in _folded_epochs(index_path):
-            return  # replay of an epoch already folded into the base
+        folded = _folded_epochs(index_path).get(run_id, set())
+        if epoch_id in folded:
+            if epoch_id == max(folded):
+                return  # replay of the epoch already folded into the base
+            raise EpochReusedError(
+                f"epoch {epoch_id} (run {run_id!r}) is below the newest "
+                f"folded epoch {max(folded)} — checkpoint was reset; use a "
+                "fresh run_id for the restarted query"
+            )
         spark = batch_df.sparkSession
         cents = spark.read.parquet(os.path.join(index_path, "centroids"))
         (
@@ -70,7 +133,7 @@ def make_ann_batch_fn(
             .select("vec_id", "embedding", "cell")
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(os.path.join(_epochs_root(index_path), f"epoch={epoch_id}"))
+            .parquet(_epoch_dir(index_path, run_id, epoch_id))
         )
 
     return fn
@@ -78,15 +141,18 @@ def make_ann_batch_fn(
 
 def live_assigned(spark: SparkSession, index_path: str) -> DataFrame:
     """base inverted lists ∪ un-compacted epoch deltas, one frame."""
+    _recover_base_swap(index_path)
     base = spark.read.parquet(os.path.join(index_path, "assigned")).select(
         "vec_id", "embedding", "cell"
     )
     root = _epochs_root(index_path)
-    if not os.path.isdir(root) or not os.listdir(root):
+    if not os.path.isdir(root) or not glob.glob(
+        os.path.join(root, "run=*", "epoch=*")
+    ):
         return base
     deltas = (
         spark.read.option("basePath", root)
-        .parquet(os.path.join(root, "epoch=*"))
+        .parquet(os.path.join(root, "run=*", "epoch=*"))
         .select("vec_id", "embedding", "cell")
     )
     return base.unionByName(deltas)
@@ -124,20 +190,32 @@ def compact_epochs(spark: SparkSession, index_path: str) -> int:
     an already-swapped base simply re-deduplicates, and the ledger +
     delta-dir cleanup happen strictly after the swap. The rebuild costs
     one pass over the index — that is what compaction IS; the streaming
-    hot path never pays it (appends stay per-epoch overwrites)."""
+    hot path never pays it (appends stay per-epoch overwrites).
+
+    The one window the swap itself leaves — a crash AFTER
+    rmtree(assigned) but BEFORE the rename — is closed by
+    ``_recover_base_swap`` (run here and on every read): the complete
+    temp is promoted into place, so the rerun converges from there."""
+    _recover_base_swap(index_path)
     root = _epochs_root(index_path)
     if not os.path.isdir(root):
         return 0
     folded = _folded_epochs(index_path)
-    on_disk = {
-        int(d.split("=", 1)[1])
-        for d in os.listdir(root)
-        if d.startswith("epoch=")
-    }
+    on_disk: dict[str, set[int]] = {}
+    for d in glob.glob(os.path.join(root, "run=*", "epoch=*")):
+        run = os.path.basename(os.path.dirname(d)).split("=", 1)[1]
+        on_disk.setdefault(run, set()).add(
+            int(os.path.basename(d).split("=", 1)[1])
+        )
     # clean up dirs from a crash after ledger write
-    for e in on_disk & folded:
-        shutil.rmtree(os.path.join(root, f"epoch={e}"))
-    todo = sorted(on_disk - folded)
+    for run, epochs in on_disk.items():
+        for e in epochs & folded.get(run, set()):
+            shutil.rmtree(_epoch_dir(index_path, run, e))
+    todo = {
+        run: sorted(epochs - folded.get(run, set()))
+        for run, epochs in on_disk.items()
+        if epochs - folded.get(run, set())
+    }
     if not todo:
         return 0
     base_path = os.path.join(index_path, "assigned")
@@ -147,14 +225,21 @@ def compact_epochs(spark: SparkSession, index_path: str) -> int:
     if os.path.exists(base_path):
         shutil.rmtree(base_path)
     os.rename(tmp_path, base_path)
-    ledger = {"folded": sorted(folded | set(todo))}
+    new_folded = {
+        run: sorted(folded.get(run, set()) | set(todo.get(run, [])))
+        for run in set(folded) | set(todo)
+    }
     tmp = os.path.join(index_path, _COMPACT_LEDGER + ".tmp")
     with open(tmp, "w") as f:
-        json.dump(ledger, f)
+        json.dump({"folded": new_folded}, f)
     os.replace(tmp, os.path.join(index_path, _COMPACT_LEDGER))
-    for e in todo:
-        shutil.rmtree(os.path.join(root, f"epoch={e}"))
-    return len(todo)
+    for run, epochs in todo.items():
+        for e in epochs:
+            shutil.rmtree(_epoch_dir(index_path, run, e))
+        run_dir = os.path.dirname(_epoch_dir(index_path, run, 0))
+        if os.path.isdir(run_dir) and not os.listdir(run_dir):
+            os.rmdir(run_dir)
+    return sum(len(v) for v in todo.values())
 
 
 def ann_files(
@@ -167,8 +252,10 @@ def ann_files(
 ):
     """Drive the maintainer through the real streaming engine off a file
     source (the in-container stand-in for Kafka); availableNow drains
-    what exists and stops."""
-    fn = make_ann_batch_fn(index_path, dim)
+    what exists and stops. The run_id derives from the checkpoint path,
+    so distinct queries against one index can never cross epoch
+    namespaces."""
+    fn = make_ann_batch_fn(index_path, dim, run_id_for_checkpoint(checkpoint))
     raw = spark.readStream.schema(schema).json(source_dir)
     return (
         raw.writeStream.foreachBatch(fn)

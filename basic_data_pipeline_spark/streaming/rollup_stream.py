@@ -103,13 +103,18 @@ def _swap_dir(root: str, d: str) -> str:
 
 
 def recover_partitions(root: str) -> None:
-    """Finish or roll back interrupted per-date swaps: a completed
+    """Finish or roll back interrupted per-date swaps: a COMPLETE
     ``_swap-date=D`` temp dir replaces a MISSING live dir (crash in the
-    rmtree→rename window) and is discarded when the live dir exists
-    (incomplete write — the replay re-merges from the live state)."""
+    rmtree→rename window) and is discarded otherwise — when the live dir
+    still exists, or when the temp's write never finished (a crash mid
+    ``merged.write`` on a date's first-ever write leaves a temp holding
+    only Spark _temporary files; promoting it would wedge the partition
+    behind an unreadable dir). Completeness is the ``_rollup_part_meta``
+    marker, written strictly AFTER the parquet commit."""
     for tmp in glob.glob(os.path.join(root, "_swap-date=*")):
         live = _date_dir(root, os.path.basename(tmp)[len("_swap-date="):])
-        if os.path.exists(live):
+        complete = os.path.exists(os.path.join(tmp, _PART_META))
+        if os.path.exists(live) or not complete:
             shutil.rmtree(tmp)
         else:
             os.rename(tmp, live)

@@ -86,8 +86,9 @@ def test_compaction_folds_and_replay_after_fold_skips(spark, vecs, tmp_path):
     assert not os.listdir(ann_stream._epochs_root(idx))
     assert ann_stream.live_assigned(spark, idx).count() == vecs.count()
     assert _ranks(ann_stream.ann_search_live(queries, idx, DIM, k=3)) == before
-    # a replay of a folded epoch must NOT resurrect a delta
-    fn(b1, 0)
+    # a replay of the newest folded epoch (the only genuinely
+    # replayable one) must NOT resurrect a delta
+    fn(b2, 1)
     assert not os.listdir(ann_stream._epochs_root(idx))
     assert ann_stream.live_assigned(spark, idx).count() == vecs.count()
     # nothing left to fold
@@ -108,7 +109,7 @@ def test_compaction_crash_retry_converges(spark, vecs, tmp_path):
     # their pre-ledger state (as a crash between swap and ledger leaves)
     import shutil
 
-    epoch_dir = os.path.join(ann_stream._epochs_root(idx), "epoch=0")
+    epoch_dir = ann_stream._epoch_dir(idx, "default", 0)
     backup = str(tmp_path / "epoch0.bak")
     shutil.copytree(epoch_dir, backup)
     assert ann_stream.compact_epochs(spark, idx) == 1
@@ -122,6 +123,62 @@ def test_compaction_crash_retry_converges(spark, vecs, tmp_path):
     assert ann_stream.compact_epochs(spark, idx) == 1
     assert ann_stream.live_assigned(spark, idx).count() == base.count() + b1.count()
     assert _ranks(ann_stream.ann_search_live(queries, idx, DIM, k=3)) == want
+
+
+def test_base_swap_crash_window_recovers(spark, vecs, tmp_path):
+    """Crash AFTER rmtree(assigned) but BEFORE the rename: no base dir,
+    a complete .tmp-swap. Every read and the compaction rerun must
+    promote the temp and converge."""
+    import shutil
+
+    idx, base, b1, b2 = _build(spark, vecs, tmp_path)
+    fn = ann_stream.make_ann_batch_fn(idx, DIM)
+    fn(b1, 0)
+    n_live = base.count() + b1.count()
+    base_dir = os.path.join(idx, "assigned")
+    tmp = base_dir + ".tmp-swap"
+    # simulate the window: the temp was fully written (carries _SUCCESS),
+    # the old base is gone, the rename never happened
+    os.rename(base_dir, tmp)
+    assert ann_stream.live_assigned(spark, idx).count() == n_live
+    # compaction from the same window also converges
+    os.rename(os.path.join(idx, "assigned"), tmp)
+    assert ann_stream.compact_epochs(spark, idx) == 1
+    assert ann_stream.live_assigned(spark, idx).count() == n_live
+    # a PARTIAL temp (no _SUCCESS) next to a live base is discarded
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-junk"), "w") as f:
+        f.write("x")
+    ann_stream._recover_base_swap(idx)
+    assert not os.path.exists(tmp) and os.path.exists(base_dir)
+
+
+def test_checkpoint_reset_epoch_reuse_fails_loudly(spark, vecs, tmp_path):
+    """After epochs 0,1 are folded, a NEW batch arriving as epoch 0 (the
+    checkpoint-reset signature) must raise, not be silently dropped; a
+    replay of the newest folded epoch still no-ops; a different run_id
+    namespaces cleanly."""
+    idx, base, b1, b2 = _build(spark, vecs, tmp_path)
+    fn = ann_stream.make_ann_batch_fn(idx, DIM)
+    fn(b1, 0)
+    fn(b2, 1)
+    assert ann_stream.compact_epochs(spark, idx) == 2
+    fn(b2, 1)  # newest folded epoch: genuine replay, skipped
+    assert not os.listdir(ann_stream._epochs_root(idx))
+    with pytest.raises(ann_stream.EpochReusedError):
+        fn(b1, 0)  # below newest folded: reset numbering, new data
+    # a restarted query under a fresh run_id lands in its own namespace
+    fn2 = ann_stream.make_ann_batch_fn(idx, DIM, run_id="restart")
+    fn2(b1, 0)
+    assert os.path.isdir(ann_stream._epoch_dir(idx, "restart", 0))
+    # and search sees base + the new run's delta, deduped correctly
+    assert ann_stream.live_assigned(spark, idx).count() == (
+        base.count() + b1.count() + b2.count() + b1.count()
+    )
+    assert ann_stream.compact_epochs(spark, idx) == 1
+    assert ann_stream.live_assigned(spark, idx).count() == (
+        base.count() + b1.count() + b2.count()
+    )
 
 
 def test_streaming_engine_end_to_end(spark, vecs, tmp_path):

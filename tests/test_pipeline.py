@@ -147,6 +147,32 @@ def test_workdir_param_change_raises(spark, docs, tmp_path):
         )
 
 
+def test_workdir_input_change_raises(spark, docs, tmp_path):
+    """The fingerprint binds the workdir to the INPUT too: resuming with
+    a different corpus (here, a filtered subset — same files, different
+    rows) or a different benchmark must raise instead of serving the old
+    corpus's cached stages."""
+    wd = str(tmp_path / "wd")
+    prepare_training_corpus(docs, min_quality=0.4, seq_len=256, workdir=wd)
+    with pytest.raises(ValueError, match="DIFFERENT parameters"):
+        prepare_training_corpus(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            min_quality=0.4, seq_len=256, workdir=wd,
+        )
+    # a different benchmark frame changes the fingerprint as well
+    wd2 = str(tmp_path / "wd2")
+    bench_a = docs.filter(F.col("doc_id") % 50 == 0)
+    bench_b = docs.filter(F.col("doc_id") % 10 == 0)
+    prepare_training_corpus(
+        docs, min_quality=0.4, seq_len=256, workdir=wd2, benchmark=bench_a
+    )
+    with pytest.raises(ValueError, match="DIFFERENT parameters"):
+        prepare_training_corpus(
+            docs, min_quality=0.4, seq_len=256, workdir=wd2,
+            benchmark=bench_b,
+        )
+
+
 def test_lm_floor_drops_word_salad(spark, docs):
     """min_lm_score: a planted shuffled-vocabulary doc (improbable bigrams
     under the corpus LM) drops; natural docs survive; ledger records the

@@ -170,6 +170,29 @@ def test_partitioned_interrupted_swap_recovery(spark, tmp_path):
     assert os.path.exists(live) and not os.path.exists(tmp)
 
 
+def test_partitioned_first_write_crash_discards_partial_temp(spark, tmp_path):
+    """Crash mid merged.write on a date's FIRST-ever write: live dir
+    missing, temp holds only Spark _temporary droppings (no part meta).
+    Recovery must DISCARD the partial temp — promoting it would wedge the
+    partition behind an unreadable dir — and the replay then re-merges
+    from scratch."""
+    root = str(tmp_path / "proll")
+    os.makedirs(root)
+    d = "2024-03-01"
+    tmp = os.path.join(root, f"_swap-date={d}")
+    os.makedirs(os.path.join(tmp, "_temporary", "0"))
+    with open(os.path.join(tmp, "_temporary", "0", "part-000.parquet"), "w") as f:
+        f.write("not parquet")
+    rollup_stream.recover_partitions(root)
+    live = os.path.join(root, f"date={d}")
+    assert not os.path.exists(tmp) and not os.path.exists(live)
+    # the replayed batch now completes the date cleanly
+    fn = rollup_stream.make_partitioned_rollup_batch_fn(root)
+    fn(_batches(spark)[0], 0)
+    assert os.path.exists(live)
+    assert rollup_stream.read_partitioned_rollup(spark, root).count() > 0
+
+
 def test_partitioned_lateness_horizon_drops_old(spark, tmp_path):
     """With lateness_days=1, partials dated > 1 day before the batch's
     newest date are dropped instead of rewriting ancient partitions."""
