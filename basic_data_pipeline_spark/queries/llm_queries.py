@@ -25,6 +25,7 @@ from basic_data_pipeline_spark.operators import (
     packing,
     quality,
     similarity,
+    substring,
     text,
 )
 from basic_data_pipeline_spark.partitioning import spread
@@ -340,7 +341,34 @@ _DUCK_SHINGLES = """
     lfirst2 AS (SELECT l.line, l.fd, min(s.line_no) AS fl
                 FROM lfirst l
                 JOIN lsegs s ON s.line = l.line AND s.doc_id = l.fd
-                GROUP BY 1, 2)
+                GROUP BY 1, 2),
+    stoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents),
+    soc AS (SELECT doc_id, i AS pos,
+                   array_to_string(w[i+1 : i+8], chr(1)) AS gram
+            FROM stoks, UNNEST(range(0, len(w) - 8 + 1)) AS t(i)),
+    sfirst AS (SELECT gram, count(*) AS n, min(doc_id) AS fd
+               FROM soc GROUP BY 1),
+    sfirst2 AS (SELECT f.gram, f.fd, min(o.pos) AS fp
+                FROM sfirst f
+                JOIN soc o ON o.gram = f.gram AND o.doc_id = f.fd
+                WHERE f.n > 1 GROUP BY 1, 2),
+    sdup AS (SELECT o.doc_id, o.pos
+             FROM soc o JOIN sfirst2 f ON o.gram = f.gram
+             WHERE NOT (o.doc_id = f.fd AND o.pos = f.fp)),
+    scov AS (SELECT DISTINCT doc_id, pos + j AS tpos
+             FROM sdup, UNNEST(range(0, 8)) AS u(j)),
+    sisl AS (SELECT doc_id, pos,
+                    CASE WHEN pos - lag(pos) OVER
+                         (PARTITION BY doc_id ORDER BY pos) <= 8
+                         THEN 0 ELSE 1 END AS brk
+             FROM sdup),
+    sspans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+               FROM (SELECT doc_id, pos,
+                            sum(brk) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) AS grp
+                     FROM sisl)
+               GROUP BY doc_id, grp)
     SELECT 'raw' AS kind, min(doc_id) AS doc_id, count(*) AS group_size
     FROM documents GROUP BY text
     UNION ALL
@@ -355,6 +383,15 @@ _DUCK_SHINGLES = """
     FROM lsegs s JOIN lfirst2 f
       ON s.line = f.line AND s.doc_id = f.fd AND s.line_no = f.fl
     GROUP BY 2
+    UNION ALL
+    SELECT 'substr', t.doc_id, count(*)
+    FROM (SELECT doc_id, i AS tpos
+          FROM stoks, UNNEST(range(0, len(w))) AS t(i)) t
+    LEFT JOIN scov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+    WHERE c.doc_id IS NULL GROUP BY 2
+    UNION ALL
+    SELECT 'substr_span', doc_id, CAST(sum(s + e) AS BIGINT)
+    FROM sspans GROUP BY 2
     """,
 )
 def dedup_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -373,7 +410,18 @@ def dedup_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules — drop lines in >2 distinct docs (C4/RefinedWeb boilerplate
     removal), and keep only the globally first occurrence of each line
     (span dedup). The oracle replays segmentation, doc-frequency, and
-    first-occurrence arithmetic exactly."""
+    first-occurrence arithmetic exactly.
+
+    `substr` / `substr_span` — EXACT SUBSTRING dedup
+    (operators/substring.py, the Lee et al. suffix-array policy as
+    relational algebra): every repeated ≥8-token window is removed
+    except its globally first occurrence. `substr` counts each doc's
+    surviving tokens through the public one-call rewrite; `substr_span`
+    checksums the MERGED maximal span boundaries (Σ span_start+span_end
+    per doc), so the oracle pins the window-hash match, the
+    first-occurrence rule, AND the span-merge arithmetic (DuckDB replays
+    all three on raw gram strings — no hashing — making the branch also
+    a collision audit of the xxhash64 fingerprints)."""
     d = _t(spark, sf_dir, "documents")
     raw = dedup.exact_dedup_survivors(d, "doc_id", F.col("text")).select(
         F.lit("raw").alias("kind"), "doc_id", "group_size"
@@ -394,7 +442,28 @@ def dedup_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("group_size"))
         .select(F.lit("line_first").alias("kind"), "doc_id", "group_size")
     )
-    return raw.unionByName(fp).unionByName(common).unionByName(first)
+    sub = substring.substring_dedup_corpus(d, "doc_id", "text", 8).select(
+        F.lit("substr").alias("kind"),
+        "doc_id",
+        F.col("n_tokens_kept").alias("group_size"),
+    )
+    span = (
+        substring.duplicate_spans(d, "doc_id", "text", 8)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("span_start") + F.col("span_end")).alias(
+                "group_size"
+            )
+        )
+        .select(F.lit("substr_span").alias("kind"), "doc_id", "group_size")
+    )
+    return (
+        raw.unionByName(fp)
+        .unionByName(common)
+        .unionByName(first)
+        .unionByName(sub)
+        .unionByName(span)
+    )
 
 
 @query(

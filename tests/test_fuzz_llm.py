@@ -1,0 +1,175 @@
+"""Property-based fuzz for the LLM-pipeline surface (hypothesis): the
+operators previously pinned only on fixtures — line dedup, token-window
+packing, fuzzy pairing, substring dedup — each swept against a serial
+Python reference over randomized corpora. Small max_examples (every
+example is a full Spark plan), adversarial generators (tiny vocab /
+alphabet so collisions and duplicates actually occur)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from basic_data_pipeline_spark.operators import dedup, packing, substring
+from basic_data_pipeline_spark.operators.entity import fuzzy_pairs
+from tests.test_substring import serial_substring_dedup
+
+_SET = dict(max_examples=6, deadline=None,
+            suppress_health_check=list(HealthCheck))
+
+
+# --- line dedup ----------------------------------------------------------
+
+_LINE_POOL = ["the quick fox", "copyright footer", "alpha beta", "x y z",
+              "subscribe now", "lorem ipsum dolor"]
+_line = st.one_of(
+    st.sampled_from(_LINE_POOL),
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=4).map(" ".join),
+)
+_corpus = st.lists(
+    st.lists(_line, min_size=1, max_size=6).map("\n".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _serial_line_dedup(corpus, mode, max_doc_freq=2):
+    lines = {d: corpus[d].split("\n") for d in range(len(corpus))}
+    docs_of = {}
+    first = {}
+    for d in sorted(lines):
+        for i, ln in enumerate(lines[d]):
+            docs_of.setdefault(ln, set()).add(d)
+            first.setdefault(ln, (d, i))
+    out = {}
+    for d in sorted(lines):
+        if mode == "drop_common":
+            kept = [ln for ln in lines[d] if len(docs_of[ln]) <= max_doc_freq]
+        else:
+            kept = [
+                ln
+                for i, ln in enumerate(lines[d])
+                if first[ln] == (d, i)
+            ]
+        if kept:
+            out[d] = "\n".join(kept)
+    return out
+
+
+@settings(**_SET)
+@given(corpus=_corpus, mode=st.sampled_from(["drop_common", "keep_first"]))
+def test_line_dedup_matches_serial(spark, corpus, mode):
+    df = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup.line_dedup_corpus(df, mode=mode).collect()
+    }
+    assert got == _serial_line_dedup(corpus, mode)
+
+
+# --- token-window packing ------------------------------------------------
+
+_doc_text = st.lists(
+    st.sampled_from(["Alpha", "beta", "GAMMA", "d", "ee"]),
+    min_size=1,
+    max_size=12,
+).map(" ".join)
+
+
+@settings(**_SET)
+@given(
+    texts=st.lists(_doc_text, min_size=1, max_size=8),
+    seq_len=st.integers(min_value=2, max_value=9),
+)
+def test_pack_token_windows_matches_serial(spark, texts, seq_len):
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["seq_bin"]: (r["n_tokens"], r["n_docs"], list(r["tokens"]))
+        for r in packing.pack_token_windows(
+            df, "doc_id", "text", seq_len
+        ).collect()
+    }
+    # serial: the global token stream in doc_id order, cut every seq_len
+    stream = []
+    for d in range(len(texts)):
+        for tok in re.split(r"\s+", texts[d].lower()):
+            stream.append((d, tok))
+    want = {}
+    for b in range(0, len(stream), seq_len):
+        w = stream[b : b + seq_len]
+        want[b // seq_len] = (
+            len(w),
+            len({d for d, _ in w}),
+            [t for _, t in w],
+        )
+    assert got == want
+
+
+# --- fuzzy pairing -------------------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+_name = st.text(alphabet="ab ", min_size=0, max_size=8)
+
+
+@settings(**_SET)
+@given(
+    names=st.lists(_name, min_size=2, max_size=14, unique=True),
+    k=st.integers(min_value=1, max_value=2),
+)
+def test_fuzzy_pairs_matches_bruteforce(spark, names, k):
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(df, "id", "name", max_edit=k).collect()
+    }
+    norm = {i: n.strip().lower() for i, n in rows}
+    want = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = _lev(norm[i], norm[j])
+            if d <= k:
+                want.add((i, j, d))
+    assert got == want
+
+
+# --- substring dedup -----------------------------------------------------
+
+_sub_doc = st.lists(
+    st.sampled_from("pqr"), min_size=1, max_size=14
+).map(" ".join)
+
+
+@settings(**_SET)
+@given(
+    texts=st.lists(_sub_doc, min_size=1, max_size=6),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_substring_dedup_matches_serial(spark, texts, k):
+    corpus = dict(enumerate(texts))
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in substring.substring_dedup_corpus(df, k=k).collect()
+    }
+    assert got == serial_substring_dedup(corpus, k)
