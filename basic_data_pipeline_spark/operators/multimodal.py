@@ -49,10 +49,11 @@ MEDIA_META_SCHEMA = T.StructType(
 
 
 class RealDecodeUnavailable(NotImplementedError):
-    """Raised by the real-codec path when the codec library for the
-    modality is not importable (PIL for images, soundfile for audio;
-    video has no in-container codec). The deterministic fake keeps the
-    pipeline testable either way."""
+    """Raised by the real-codec path when neither a codec library (PIL
+    for images, soundfile for audio) nor a pure-stdlib container parser
+    (PNG/GIF/BMP for images, WAV for audio — see ``_STDLIB_PARSERS``)
+    can handle the bytes. Video has no in-container codec ever. The
+    deterministic fake keeps the pipeline testable either way."""
 
 
 def _load_codecs() -> dict:
@@ -102,19 +103,129 @@ def _load_codecs() -> dict:
 _CODECS: dict | None = None
 
 
+# --- pure-stdlib container parsers (no codec library needed) -------------
+# Real header parsing with `struct` only: PNG IHDR, GIF logical screen
+# descriptor + block-walk frame count, BMP info header, WAV fmt/data
+# chunks. These retire the codec gate for the formats whose metadata
+# lives in a documented container header — the gate remains only for
+# formats that genuinely need a decoder (JPEG entropy-coded dimensions
+# are header-borne too, but SOF scanning is codec-adjacent; kept gated).
+
+def _parse_png(data: bytes) -> dict | None:
+    import struct
+
+    if len(data) < 24 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    # first chunk must be IHDR: length(4) type(4) width(4) height(4) ...
+    if data[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", data[16:24])
+    return {"width": w, "height": h, "n_frames": 1}
+
+
+def _parse_gif(data: bytes) -> dict | None:
+    import struct
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", data[6:10])
+    # walk the block structure to COUNT image descriptors (frames):
+    # header(13) [+ global color table] then 0x2C image blocks /
+    # 0x21 extensions (label + length-prefixed sub-blocks) / 0x3B end
+    flags = data[10]
+    pos = 13
+    if flags & 0x80:  # global color table present
+        pos += 3 * (2 << (flags & 0x07))
+    frames = 0
+    try:
+        while pos < len(data):
+            b = data[pos]
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension: introducer + label, then sub-blocks
+                pos += 2
+            elif b == 0x2C:  # image descriptor
+                frames += 1
+                lflags = data[pos + 9]
+                pos += 10
+                if lflags & 0x80:  # local color table
+                    pos += 3 * (2 << (lflags & 0x07))
+                pos += 1  # LZW minimum code size
+            else:
+                return None  # corrupt structure — refuse, don't guess
+            while True:  # length-prefixed data sub-blocks, 0-terminated
+                n = data[pos]
+                pos += 1
+                if n == 0:
+                    break
+                pos += n
+    except IndexError:
+        return None  # truncated file
+    return {"width": w, "height": h, "n_frames": max(frames, 1)}
+
+
+def _parse_bmp(data: bytes) -> dict | None:
+    import struct
+
+    if len(data) < 26 or data[:2] != b"BM":
+        return None
+    w, h = struct.unpack("<ii", data[18:26])
+    return {"width": abs(w), "height": abs(h), "n_frames": 1}
+
+
+def _parse_wav(data: bytes) -> dict | None:
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, channels, rate, block_align, data_size = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack(
+            "<I", data[pos + 4 : pos + 8]
+        )[0]
+        if cid == b"fmt " and pos + 24 <= len(data):
+            channels, rate = struct.unpack("<HI", data[pos + 10 : pos + 16])
+            block_align = struct.unpack("<H", data[pos + 20 : pos + 22])[0]
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not channels or not rate or not block_align or data_size is None:
+        return None
+    # same schema mapping as the soundfile path: width=channels,
+    # height=sample rate, n_frames=frame count
+    return {
+        "width": channels,
+        "height": rate,
+        "n_frames": data_size // block_align,
+    }
+
+
+_STDLIB_PARSERS = {
+    "image": (_parse_png, _parse_gif, _parse_bmp),
+    "audio": (_parse_wav,),
+}
+
+
 def decode_with_real_codec(data: bytes, modality: str) -> dict:
-    """Decode one media item with the real codec library for its
-    modality; raises RealDecodeUnavailable if that library is not
-    importable in this environment."""
+    """Decode one media item's metadata for real: the codec library for
+    its modality when importable, else the pure-stdlib container parsers
+    (PNG/GIF/BMP, WAV). Raises RealDecodeUnavailable only when neither
+    path can handle the bytes (JPEG/MP3/video in a codec-less
+    container)."""
     global _CODECS
     if _CODECS is None:
         _CODECS = _load_codecs()
     fn = _CODECS.get(modality)
-    if fn is None:
-        raise RealDecodeUnavailable(
-            f"no codec library available for {modality}; use fake=True"
-        )
-    return fn(data)  # pragma: no cover - requires pillow/soundfile
+    if fn is not None:
+        return fn(data)  # pragma: no cover - requires pillow/soundfile
+    for parse in _STDLIB_PARSERS.get(modality, ()):
+        meta = parse(bytes(data))
+        if meta is not None:
+            return meta
+    raise RealDecodeUnavailable(
+        f"no codec library and no stdlib container match for {modality};"
+        " use fake=True"
+    )
 
 
 def synth_media(docs: DataFrame) -> DataFrame:

@@ -167,9 +167,9 @@ def test_multimodal_decode_meta_shape(docs, spark):
 
 
 def test_multimodal_real_codec_import_try():
-    """The real path is an import-try: with pillow/soundfile absent
-    (this container) every modality raises RealDecodeUnavailable; if a
-    library IS importable, its modality decodes real bytes instead."""
+    """The real path is an import-try with a stdlib fallback: bytes that
+    match no supported container raise RealDecodeUnavailable for every
+    modality; video is always gated (no stdlib video container parse)."""
     codecs = multimodal._load_codecs()
     for modality in multimodal.MODALITIES:
         if modality in codecs:  # pragma: no cover - codec lib present
@@ -177,6 +177,106 @@ def test_multimodal_real_codec_import_try():
         with pytest.raises(multimodal.RealDecodeUnavailable):
             multimodal.decode_with_real_codec(b"bytes", modality)
     assert "video" not in codecs  # no in-container video codec ever
+    # JPEG stays gated: magic matches no stdlib parser
+    with pytest.raises(multimodal.RealDecodeUnavailable):
+        multimodal.decode_with_real_codec(
+            b"\xff\xd8\xff\xe0" + b"\x00" * 64, "image"
+        )
+
+
+# --- real containers synthesized with stdlib only (no codec library) ----
+
+def _make_png(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_gif(w: int, h: int, n_frames: int) -> bytes:
+    import struct
+
+    out = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x00, 0, 0)  # no GCT
+    for _ in range(n_frames):
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x00)  # no LCT
+        out += b"\x02"  # LZW min code size
+        out += b"\x03\x44\x01\x05"  # one 3-byte data sub-block
+        out += b"\x00"  # sub-block terminator
+    return out + b"\x3b"
+
+
+def _make_wav(channels: int, rate: int, n_samples: int) -> bytes:
+    import struct
+
+    block_align = channels * 2  # 16-bit PCM
+    data = b"\x00\x00" * channels * n_samples
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_stdlib_png_gif_bmp_wav_parse():
+    """The codec gate is RETIRED for header-borne containers: PNG, GIF
+    (incl. the frame-counting block walk), BMP, and WAV parse with
+    struct/zlib only."""
+    assert multimodal.decode_with_real_codec(_make_png(12, 7), "image") == {
+        "width": 12, "height": 7, "n_frames": 1
+    }
+    assert multimodal.decode_with_real_codec(
+        _make_gif(40, 30, 3), "image"
+    ) == {"width": 40, "height": 30, "n_frames": 3}
+    import struct
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, -48) + b"\x00" * 8
+    assert multimodal.decode_with_real_codec(bmp, "image") == {
+        "width": 64, "height": 48, "n_frames": 1
+    }
+    assert multimodal.decode_with_real_codec(
+        _make_wav(2, 44100, 100), "audio"
+    ) == {"width": 2, "height": 44100, "n_frames": 100}
+    # truncated GIF refuses rather than guessing
+    with pytest.raises(multimodal.RealDecodeUnavailable):
+        multimodal.decode_with_real_codec(_make_gif(4, 4, 2)[:-8], "image")
+
+
+def test_real_decode_through_pipeline_no_codec_lib(spark):
+    """fake=False works END TO END for stdlib-parseable containers — the
+    same mapInPandas pipeline, real bytes, no pillow/soundfile."""
+    rows = [
+        (1, "image", bytearray(_make_png(320, 200))),
+        (2, "image", bytearray(_make_gif(16, 16, 5))),
+        (3, "audio", bytearray(_make_wav(1, 8000, 4000))),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, data binary"
+    )
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["n_frames"])
+        for r in multimodal.decode_media_meta(media, fake=False).collect()
+    }
+    assert got == {
+        1: (320, 200, 1),
+        2: (16, 16, 5),
+        3: (1, 8000, 4000),
+    }
 
 
 @pytest.mark.skipif(
