@@ -1,0 +1,171 @@
+"""Trained document-quality classifier: distributed logistic regression
+over the engine's own profile features (the CCNet/Gopher-style upgrade
+from fixed heuristic flags to a FITTED quality model).
+
+The heuristic floor (text.quality_score — hard thresholds on token
+stats) and the bigram LM (text.bigram_lm_scores) stay as the cheap
+first-pass filters; this module adds the learned layer public LLM
+pipelines put on top: a logistic regression trained on weak labels
+(e.g. "known-organic vs known-boilerplate" seed sets), scoring every
+document in [0, 1].
+
+Why hand-rolled batch gradient descent instead of pyspark.ml's LBFGS:
+this engine's contract is DETERMINISM — every operator is pinnable
+against a serial reference (k-means → CTE replay, BPE → serial scan).
+LBFGS line searches are iteration-order-sensitive; full-batch GD with
+decimal-exact gradient accumulation is bit-reproducible under ANY
+partitioning, and each iteration is ONE aggregation job of d+1 sums
+(d = #features, 6 here) — the same control-plane shape as a BPE merge
+round or a k-means step. The model itself (d+1 doubles) is driver-side
+state like centroids.
+
+Scale: training cost is n_iters passes over an (n × d) feature frame —
+features are computed once and checkpointed; each pass is map-side
+partial aggregation of d+1 decimal sums (no shuffle of rows, ~bytes of
+state per task). Scoring is a zero-shuffle codegen projection.
+
+Features (all existing text.py columns, z-standardized inside fit):
+log1p(n_tokens), mean token length, stopword ratio, punct ratio,
+upper ratio, duplicate-line fraction proxy (distinct/total tokens).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from basic_data_pipeline_spark.operators import text as T
+
+N_FEATURES = 6
+
+_DEC = "decimal(38,18)"
+
+
+def quality_features(text: Column) -> Column:
+    """array<double>[6] of quality signals for one document — one
+    codegen projection, no shuffle, no Python."""
+    nt = T.n_tokens(text).cast("double")
+    toks = T.tokens(text)
+    return F.array(
+        F.log1p(nt),
+        (T.sum_token_chars(text) / nt).cast("double"),
+        (T.stopword_hits(text, "en") / nt).cast("double"),
+        F.coalesce(T.punct_ratio(text), F.lit(0.0)).cast("double"),
+        F.coalesce(T.upper_ratio(text), F.lit(0.0)).cast("double"),
+        (F.size(F.array_distinct(toks)) / nt).cast("double"),
+    )
+
+
+@dataclass(frozen=True)
+class QualityModel:
+    """Fitted model: per-feature standardization + LR weights + bias.
+    Control-plane data (4·d+1 doubles) — persist it as literals or a
+    1-row DataFrame, like centroids or a BPE merge table."""
+
+    mean: tuple[float, ...]
+    std: tuple[float, ...]
+    weights: tuple[float, ...]
+    bias: float
+
+
+def _std_feats(feats: Column, model_mean, model_std) -> Column:
+    return F.array(
+        *[
+            (F.element_at(feats, j + 1) - F.lit(model_mean[j]))
+            / F.lit(model_std[j])
+            for j in range(len(model_mean))
+        ]
+    )
+
+
+def train_quality_lr(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    n_iters: int = 60,
+    learn_rate: float = 0.5,
+    l2: float = 1e-4,
+) -> QualityModel:
+    """Fit the logistic regression by full-batch gradient descent;
+    ``label_col`` is 0/1 (weak labels). Deterministic under any
+    partitioning: every gradient component accumulates in
+    DECIMAL(38,18), so there is no float summation-order dependence —
+    the fit is pinned bit-for-bit against the serial numpy reference in
+    tests/test_classifier.py.
+
+    Weights start at zero (convex objective — no seed needed); features
+    are z-standardized from a first single-pass moment aggregation."""
+    if n_iters < 1:
+        raise ValueError("need n_iters >= 1")
+    d = N_FEATURES
+    base = docs.select(
+        quality_features(F.col(text_col)).alias("_x"),
+        F.col(label_col).cast("double").alias("_y"),
+    ).localCheckpoint(eager=True)
+
+    mom = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("_x", j + 1).cast(_DEC)).alias(f"s{j}")
+            for j in range(d)
+        ],
+        *[
+            F.sum(
+                (F.element_at("_x", j + 1) * F.element_at("_x", j + 1)).cast(
+                    _DEC
+                )
+            ).alias(f"q{j}")
+            for j in range(d)
+        ],
+    ).collect()[0]
+    n = mom["n"]
+    if n == 0:
+        raise ValueError("empty training frame")
+    mean = [float(mom[f"s{j}"]) / n for j in range(d)]
+    std = [
+        math.sqrt(max(float(mom[f"q{j}"]) / n - mean[j] ** 2, 1e-12))
+        for j in range(d)
+    ]
+
+    z = base.select(_std_feats(F.col("_x"), mean, std).alias("_z"), "_y")
+    z = z.localCheckpoint(eager=True)
+    base.unpersist()
+
+    w = [0.0] * d
+    b = 0.0
+    for _ in range(n_iters):
+        margin = F.lit(b)
+        for j in range(d):
+            margin = margin + F.element_at("_z", j + 1) * F.lit(w[j])
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - F.col("_y")
+        g = z.agg(
+            *[
+                F.sum((err * F.element_at("_z", j + 1)).cast(_DEC)).alias(
+                    f"g{j}"
+                )
+                for j in range(d)
+            ],
+            F.sum(err.cast(_DEC)).alias("gb"),
+        ).collect()[0]
+        w = [
+            w[j]
+            - learn_rate * (float(g[f"g{j}"]) / n + l2 * w[j])
+            for j in range(d)
+        ]
+        b = b - learn_rate * float(g["gb"]) / n
+    z.unpersist()
+    return QualityModel(tuple(mean), tuple(std), tuple(w), b)
+
+
+def quality_lr_score(model: QualityModel, text: Column) -> Column:
+    """P(organic | doc) under the fitted model — a pure codegen
+    projection (standardize → dot → sigmoid), usable as a filter
+    predicate at any scale."""
+    zx = _std_feats(quality_features(text), model.mean, model.std)
+    margin = F.lit(model.bias)
+    for j in range(len(model.weights)):
+        margin = margin + F.element_at(zx, j + 1) * F.lit(model.weights[j])
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))

@@ -27,7 +27,13 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from basic_data_pipeline_spark.operators import dedup, packing, sampling, text
+from basic_data_pipeline_spark.operators import (
+    classifier,
+    dedup,
+    packing,
+    sampling,
+    text,
+)
 from basic_data_pipeline_spark.operators.maintenance import atomic_overwrite
 
 _PARAMS_FILE = "_prep_params.json"
@@ -50,6 +56,8 @@ def prepare_training_corpus(
     min_quality: float = 0.5,
     max_repetition: float | None = None,
     min_lm_score: float | None = None,
+    quality_model: "classifier.QualityModel | None" = None,
+    min_model_quality: float = 0.5,
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 8,
     mix: dict[str, float] | None = None,
@@ -69,7 +77,11 @@ def prepare_training_corpus(
     kept). `min_lm_score` (when set) additionally drops documents whose
     corpus-self-trained bigram LM score (mean log2 P(w_i|w_{i-1}),
     text.bigram_lm_scores) falls below the floor — docs with no bigrams
-    are kept, mirroring `max_repetition`. `workdir` (when set) makes the
+    are kept, mirroring `max_repetition`. `quality_model` (when set)
+    adds the TRAINED quality floor: a fitted
+    `classifier.QualityModel` scores every survivor (zero-shuffle
+    codegen projection) and docs below `min_model_quality` drop —
+    the learned CCNet-style layer on top of the heuristic flags. `workdir` (when set) makes the
     run DURABLE: each stage's survivors are written atomically to
     workdir/<stage> and a restarted run resumes from the last completed
     stage (the `_SUCCESS` marker is the completion signal; eager stage
@@ -123,6 +135,17 @@ def prepare_training_corpus(
                     "min_quality": min_quality,
                     "max_repetition": max_repetition,
                     "min_lm_score": min_lm_score,
+                    "quality_model": (
+                        None
+                        if quality_model is None
+                        else [
+                            list(quality_model.mean),
+                            list(quality_model.std),
+                            list(quality_model.weights),
+                            quality_model.bias,
+                        ]
+                    ),
+                    "min_model_quality": min_model_quality,
                     "docs_input": _input_identity(docs),
                     "benchmark_input": _input_identity(benchmark),
                     "contamination_ngram": contamination_ngram,
@@ -215,6 +238,25 @@ def prepare_training_corpus(
 
         d = stage(_lm_stage, "lm_floor")
         ledger["lm_floor"] = d.count()
+
+    # 3a'. trained-classifier floor: a fitted logistic-regression quality
+    # model (operators/classifier.py QualityModel, trained on the
+    # caller's weak labels) scores every survivor; docs below the floor
+    # drop. Scoring is a zero-shuffle codegen projection — the CHEAPEST
+    # stage in the pipeline despite being the only learned one.
+    if quality_model is not None:
+        prev = d
+
+        def _clf_stage(prev=prev):
+            return prev.filter(
+                classifier.quality_lr_score(
+                    quality_model, F.col(text_col)
+                )
+                >= min_model_quality
+            )
+
+        d = stage(_clf_stage, "clf_quality")
+        ledger["clf_quality"] = d.count()
 
     # 3b. repetition ceiling (duplicate-bigram fraction — boilerplate)
     if max_repetition is not None:

@@ -173,6 +173,49 @@ def test_workdir_input_change_raises(spark, docs, tmp_path):
         )
 
 
+def test_trained_classifier_stage_drops_junk(spark, docs):
+    """quality_model=: a fitted LR quality model (trained on weak labels
+    from the fixture + constructed junk) becomes a pipeline stage; the
+    planted junk docs drop, organic docs survive, and the ledger records
+    the stage between the heuristic floor and packing."""
+    from basic_data_pipeline_spark.operators import classifier as C
+
+    def junk(i):
+        frag = f"@@x{i}## $$%%&&** ((zqj{i})) //kpw || ^^~~qq{i}!!"
+        return " ".join(frag for _ in range(8))
+
+    labeled = (
+        docs.select("doc_id", "text").limit(150).withColumn("label", F.lit(1))
+    ).unionByName(
+        spark.createDataFrame(
+            [(20_000 + i, junk(i), 0) for i in range(80)],
+            "doc_id long, text string, label int",
+        )
+    )
+    model = C.train_quality_lr(labeled, "label", n_iters=40)
+
+    planted = spark.createDataFrame(
+        [(90_001 + i, junk(500 + i), "web") for i in range(3)],
+        "doc_id long, text string, source string",
+    )
+    corpus = docs.limit(200).unionByName(planted, allowMissingColumns=True)
+    res = prepare_training_corpus(
+        corpus,
+        min_quality=0.0,  # heuristic floor off — the model does the work
+        quality_model=model,
+        min_model_quality=0.5,
+        seq_len=256,
+    )
+    kept = {r["doc_id"] for r in res.docs.select("doc_id").collect()}
+    assert not kept & {90_001, 90_002, 90_003}  # junk dropped by the model
+    led = res.ledger
+    assert "clf_quality" in led
+    keys = list(led)
+    assert keys.index("quality") < keys.index("clf_quality")
+    assert led["clf_quality"] <= led["quality"]
+    assert led["clf_quality"] >= led["quality"] - 10  # organic mostly kept
+
+
 def test_lm_floor_drops_word_salad(spark, docs):
     """min_lm_score: a planted shuffled-vocabulary doc (improbable bigrams
     under the corpus LM) drops; natural docs survive; ledger records the
