@@ -306,27 +306,133 @@ def centroids(vectors: DataFrame, by: str, dim: int) -> DataFrame:
     )
 
 
+# Above this many cells, flat assignment's n_vectors × n_cells scoring
+# dominates (with the production nlist ∝ n sizing it is Θ(n²/cell_size)
+# — MEASURED going super-linear at the 64× probe, SCALING.md round 7)
+# and the auto-dispatching callers switch to the two-level hierarchical
+# assignment. Below it, flat is both exact and cheaper.
+HIER_ASSIGN_THRESHOLD = 4096
+
+
 def ivf_assign(
-    vectors: DataFrame, cents: DataFrame, dim: int, nprobe: int = 1
+    vectors: DataFrame,
+    cents: DataFrame,
+    dim: int,
+    nprobe: int = 1,
+    hier: bool | None = None,
+    super_probes: int = 2,
 ) -> DataFrame:
     """(vec_id, embedding, cell, probe): each vector's `nprobe` nearest
     centroids by cosine, probe = 1..nprobe in similarity order — the IVF
     coarse quantization. probe=1 is the storage assignment (each vector
     lives in exactly one inverted list); probe>1 rows exist only for the
-    query side of a search. Centroids are broadcast (n_cells rows); one
-    pass, no shuffle of the vector side beyond its incoming
-    partitioning."""
-    c = F.broadcast(
-        cents.select(
-            F.col(cents.columns[0]).alias("cell"), F.col("centroid")
+    query side of a search.
+
+    ``hier=None`` (default) auto-dispatches: the centroid frame is
+    persisted and counted (control-plane cost — n_cells rows) and the
+    hierarchical path engages above HIER_ASSIGN_THRESHOLD cells. Every
+    IVF entry point therefore gets the scale path with no signature
+    change, and every oracle-scale call (hundreds of cells) keeps the
+    exact flat plan.
+
+    ``hier=False``: flat and EXACT — centroids broadcast (n_cells
+    rows), every vector scored against every centroid; one pass, no
+    shuffle of the vector side. Cost n·n_cells·dim: right whenever
+    n_cells is modest, quadratic when nlist ∝ n (the production cell
+    sizing).
+
+    ``hier=True``: two-level coarse quantization (the FAISS-style scale
+    path). ~√n_cells SUPER-centroids are trained over the centroid
+    table itself (control-plane sized: one hash-block seed + one Lloyd
+    step, all over n_cells rows); each vector scores the supers
+    (n·√n_cells), keeps its ``super_probes`` nearest, and scores only
+    those supers' member cells (n·super_probes·√n_cells expected) —
+    total Θ(n·√n_cells) instead of Θ(n·n_cells). APPROXIMATE: a
+    vector's true nearest cell can live in an unprobed super (recall
+    lever: super_probes); every IVF consumer already treats cell
+    assignment as approximate. The cell-candidate join keys on the
+    super id, so AQE may shuffle both sides when the centroid table
+    outgrows broadcast — nothing here requires the centroids to fit on
+    one executor."""
+    c = cents.select(F.col(cents.columns[0]).alias("cell"), F.col("centroid"))
+    n_cells: int | None = None
+    if hier is None:
+        c = tracked_persist(c)
+        n_cells = c.count()
+        hier = n_cells > HIER_ASSIGN_THRESHOLD
+    if not hier:
+        scored = spread(vectors, "vec_id").crossJoin(F.broadcast(c)).withColumn(
+            "sim",
+            cosine(as_double_array(F.col("embedding")), F.col("centroid")),
         )
+        w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+        return (
+            scored.withColumn("probe", F.row_number().over(w))
+            .filter(F.col("probe") <= nprobe)
+            .select("vec_id", "embedding", "cell", "probe")
+        )
+
+    import math
+
+    if n_cells is None:
+        c = tracked_persist(c)
+        n_cells = c.count()
+    n_super = max(2, math.isqrt(n_cells))
+    # super-centroid training, entirely over the n_cells-row table:
+    # hash-block seed → mean → one Lloyd step (re-assign + re-mean)
+    cent_vecs = c.select(
+        F.col("cell").alias("vec_id"), F.col("centroid").alias("embedding")
     )
-    scored = spread(vectors, "vec_id").crossJoin(c).withColumn(
-        "sim", cosine(as_double_array(F.col("embedding")), F.col("centroid"))
+    seed = centroids(
+        cent_vecs.withColumn(
+            "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_super))
+        ),
+        "blk",
+        dim,
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    refit = centroids(
+        ivf_assign(cent_vecs, seed.select(F.col("blk"), "centroid"), dim,
+                   hier=False)
+        .select(F.col("cell").alias("blk"), "vec_id", "embedding"),
+        "blk",
+        dim,
+    )
+    sup = tracked_persist(refit.select(F.col("blk"), "centroid"))
+    # final cell → super map under the refit supers
+    cmap = (
+        ivf_assign(cent_vecs, sup, dim, hier=False)
+        .select(F.col("vec_id").alias("cell"), F.col("cell").alias("blk"))
+        .join(c, "cell")
+        .select("blk", "cell", "centroid")
+    )
+    cmap = tracked_persist(cmap)
+    cmap.count()  # pin the map before the big-side jobs reuse it
+
+    # level 1: every vector scores the ~√n_cells supers (broadcast)
+    sup_b = F.broadcast(
+        sup.select(F.col("blk"), F.col("centroid").alias("_sc"))
+    )
+    w_sup = W.partitionBy("vec_id").orderBy(F.desc("_ssim"), F.asc("blk"))
+    vsup = (
+        spread(vectors, "vec_id")
+        .crossJoin(sup_b)
+        .withColumn(
+            "_ssim",
+            cosine(as_double_array(F.col("embedding")), F.col("_sc")),
+        )
+        .withColumn("_sp", F.row_number().over(w_sup))
+        .filter(F.col("_sp") <= super_probes)
+        .select("vec_id", "embedding", "blk")
+    )
+    # level 2: score only the probed supers' member cells
+    w_cell = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
     return (
-        scored.withColumn("probe", F.row_number().over(w))
+        vsup.join(cmap, "blk")
+        .withColumn(
+            "sim",
+            cosine(as_double_array(F.col("embedding")), F.col("centroid")),
+        )
+        .withColumn("probe", F.row_number().over(w_cell))
         .filter(F.col("probe") <= nprobe)
         .select("vec_id", "embedding", "cell", "probe")
     )
