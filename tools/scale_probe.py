@@ -45,8 +45,13 @@ def _is_key(col: str) -> bool:
     return col.endswith(KEYish) or col in ("user_id",)
 
 
+REUSE = os.environ.get("SPARK_GRAFT_PROBE_REUSE", "") == "1"
+
+
 def build_probe_dir(spark) -> None:
     if os.path.isdir(PROBE_DIR):
+        if REUSE:  # an existing replica dir is deterministic — reusable
+            return
         shutil.rmtree(PROBE_DIR)
     copies = spark.range(COPIES).select(F.col("id").alias("_copy"))
     for name in TABLES:
@@ -89,6 +94,16 @@ def _probe_contamination_hits(spark, d):
     return packing.contamination_hits(
         docs, docs.filter(F.col("doc_id") % 50 == 0), "doc_id", "text", 8
     )
+
+
+def _probe_substring_dedup(spark, d):
+    from basic_data_pipeline_spark.operators import substring
+
+    # ADVERSARIAL at 16x: content is NOT perturbed by the copier, so every
+    # gram in every doc is 16x-hot and all but the first copy's tokens are
+    # removed — the maximal-removal case (covered set ~ the whole corpus).
+    docs = load_table(spark, d, "documents")
+    return substring.substring_dedup_corpus(docs, "doc_id", "text", 8)
 
 
 def _probe_ivfpq_search(spark, d):
@@ -377,6 +392,7 @@ EXTRA_PROBES = {
     "op_bigram_lm_scores": _probe_bigram_lm,
     "op_binned_range_join": _probe_binned_range_join,
     "op_repetition_profile": _probe_repetition_profile,
+    "op_substring_dedup": _probe_substring_dedup,
 }
 
 
