@@ -117,14 +117,12 @@ def duplicate_positions(
     )
 
 
-def duplicate_spans(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 8,
+def merge_window_spans(
+    dup: DataFrame, k: int, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, span_start, span_end): MAXIMAL token spans (inclusive,
-    0-based) covered by duplicated windows, merged per document.
+    """(id, span_start, span_end) from a (id, pos) frame of duplicate
+    window START positions: MAXIMAL merged token spans (inclusive,
+    0-based) per document.
 
     A duplicate window at ``pos`` covers tokens [pos, pos+k-1]. Two
     windows p < q merge exactly when q - p <= k (their coverages overlap
@@ -133,9 +131,8 @@ def duplicate_spans(
     merged spans reproduces the per-window covered set bit-for-bit. One
     doc-keyed lag window + one groupBy, both on the doc_id partitioning.
     """
-    dup = duplicate_positions(docs, id_col, text_col, k)
     w = Window.partitionBy(id_col).orderBy("pos")
-    spans = (
+    return (
         dup.withColumn(
             "_new",
             (
@@ -155,22 +152,34 @@ def duplicate_spans(
         )
         .select(id_col, "span_start", "span_end")
     )
-    return spans
 
 
-def substring_dedup_corpus(
+def duplicate_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
 ) -> DataFrame:
-    """One-call corpus rewrite: every token covered by a repeated
-    ≥k-token span is removed except at the span content's globally first
-    occurrence; returns (id, text, n_tokens_kept) with token order
-    preserved and whitespace normalized to single spaces (tokenization
-    is lossy for whitespace, exactly like the reassembled line dedup).
-    Documents whose every token was removed do not appear; documents
-    with no duplicated spans pass through (whitespace-normalized)."""
+    """(id, span_start, span_end): MAXIMAL token spans covered by
+    duplicated windows, merged per document (see merge_window_spans)."""
+    return merge_window_spans(
+        duplicate_positions(docs, id_col, text_col, k), k, id_col
+    )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rebuild (id, text, n_tokens_kept) with every token covered by
+    ``spans`` (inclusive 0-based token ranges) removed; token order
+    preserved, whitespace normalized to single spaces. Documents whose
+    every token was removed do not appear; documents with no spans pass
+    through (whitespace-normalized). Spans explode to covered positions
+    (linear in removed volume) → one anti-join → per-doc bounded
+    rebuild."""
     toks = (
         docs.select(
             F.col(id_col),
@@ -180,8 +189,7 @@ def substring_dedup_corpus(
         )
     )
     covered = (
-        duplicate_spans(docs, id_col, text_col, k)
-        .select(
+        spans.select(
             F.col(id_col),
             F.explode(
                 F.sequence(F.col("span_start"), F.col("span_end"))
@@ -205,4 +213,22 @@ def substring_dedup_corpus(
             ).alias(text_col),
             "n_tokens_kept",
         )
+    )
+
+
+def substring_dedup_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """One-call corpus rewrite: every token covered by a repeated
+    ≥k-token span is removed except at the span content's globally first
+    occurrence; returns (id, text, n_tokens_kept) with token order
+    preserved and whitespace normalized to single spaces (tokenization
+    is lossy for whitespace, exactly like the reassembled line dedup).
+    Documents whose every token was removed do not appear; documents
+    with no duplicated spans pass through (whitespace-normalized)."""
+    return remove_spans(
+        docs, duplicate_spans(docs, id_col, text_col, k), id_col, text_col
     )

@@ -4,8 +4,8 @@ of this engine runs between "raw crawl" and "tokenizer input".
 Chains the package's operators in the order production corpora use them,
 with per-stage row accounting so a run is auditable:
 
-    exact dedup → near dedup (LSH+verify) → quality filter →
-    repetition filter → benchmark decontamination →
+    exact dedup → near dedup (LSH+verify) → [substring dedup] →
+    quality filter → repetition filter → benchmark decontamination →
     mixing (temperature or explicit) → [deterministic shuffle] →
     sequence packing
 
@@ -32,6 +32,7 @@ from basic_data_pipeline_spark.operators import (
     dedup,
     packing,
     sampling,
+    substring,
     text,
 )
 from basic_data_pipeline_spark.operators.maintenance import atomic_overwrite
@@ -53,6 +54,7 @@ def prepare_training_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     near_dup_threshold: float = 0.5,
+    substring_k: int | None = None,
     min_quality: float = 0.5,
     max_repetition: float | None = None,
     min_lm_score: float | None = None,
@@ -77,7 +79,13 @@ def prepare_training_corpus(
     kept). `min_lm_score` (when set) additionally drops documents whose
     corpus-self-trained bigram LM score (mean log2 P(w_i|w_{i-1}),
     text.bigram_lm_scores) falls below the floor — docs with no bigrams
-    are kept, mirroring `max_repetition`. `quality_model` (when set)
+    are kept, mirroring `max_repetition`. `substring_k` (when set) adds
+    the EXACT SUBSTRING dedup stage after near dedup: every repeated
+    span of ≥ substring_k tokens is cut everywhere but its globally
+    first occurrence (operators/substring.py — the Lee et al. pass
+    public LLM pipelines run between document dedup and quality
+    filtering); note the surviving text is whitespace-normalized by the
+    rewrite. `quality_model` (when set)
     adds the TRAINED quality floor: a fitted
     `classifier.QualityModel` scores every survivor (zero-shuffle
     codegen projection) and docs below `min_model_quality` drop —
@@ -132,6 +140,7 @@ def prepare_training_corpus(
                 {
                     "id_col": id_col, "text_col": text_col,
                     "near_dup_threshold": near_dup_threshold,
+                    "substring_k": substring_k,
                     "min_quality": min_quality,
                     "max_repetition": max_repetition,
                     "min_lm_score": min_lm_score,
@@ -213,6 +222,22 @@ def prepare_training_corpus(
         "near_dedup",
     )
     ledger["near_dedup"] = d.count()
+
+    # 2b. exact substring dedup (Lee et al.): repeated ≥k-token spans cut
+    # everywhere but their first occurrence; a fully-covered doc drops.
+    # Runs AFTER doc-level dedup so whole-document duplicates are already
+    # gone and the gram stats see each surviving doc once.
+    if substring_k is not None:
+        prev = d
+
+        def _substr_stage(prev=prev):
+            rewritten = substring.substring_dedup_corpus(
+                prev, id_col, text_col, substring_k
+            ).select(id_col, text_col)
+            return prev.drop(text_col).join(rewritten, id_col)
+
+        d = stage(_substr_stage, "substring_dedup")
+        ledger["substring_dedup"] = d.count()
 
     # 3. quality floor (C4-style flags → mean score in [0, 1])
     prev = d

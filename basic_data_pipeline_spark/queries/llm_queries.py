@@ -328,6 +328,7 @@ _DUCK_SHINGLES = """
 
 @query(
     "dedup_exact_fp",
+    headline=True,
     oracle=f"""
     WITH ltoks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
                    FROM documents),

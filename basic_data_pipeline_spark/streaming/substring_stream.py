@@ -1,0 +1,120 @@
+"""Streaming exact substring dedup: readStream → foreachBatch
+(incremental_substring_dedup) against the persisted gram index.
+
+The streaming face of operators/incremental_substring.py: documents
+arrive continuously, each micro-batch has its repeated ≥k-token spans
+cut against every gram the corpus has ever seen (increment-only
+shuffle), its surviving rewritten docs land in an epoch-tagged output
+directory, and its new grams fold into the index.
+
+Delivery semantics are the dedup-stream ledger contract verbatim
+(streaming/dedup_stream.py machinery): the gram-index APPEND is not
+replay-safe — a replayed append would duplicate first-occurrence rows
+(harmless for the semi-join but unbounded growth) and, worse, a
+PARTIAL append from a crash mid-write could make a replay see its own
+half-written grams as "already known" and over-remove. So completed
+epochs are skipped outright, an intent marker brackets the append, and
+a stale marker raises DirtyIndexError (rebuild the index) rather than
+risking either failure mode.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from basic_data_pipeline_spark.operators.incremental_substring import (
+    incremental_substring_dedup,
+)
+from basic_data_pipeline_spark.streaming.dedup_stream import (
+    DirtyIndexError,
+    _read_ledger,
+    _write_ledger,
+)
+
+__all__ = ["DirtyIndexError", "make_substring_batch_fn", "substring_files",
+           "run_substring_batches"]
+
+
+def make_substring_batch_fn(
+    index_path: str,
+    out_root: str,
+    tag: str = "stream",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body: epoch-guarded incremental substring dedup with
+    epoch-tagged rewritten-document output under ``out_root/epoch=N/``."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        ledger = _read_ledger(index_path)
+        state = ledger.get(tag, {"last_epoch": -1, "intent": None})
+        if epoch_id <= state["last_epoch"]:
+            return  # full replay of completed work — drop it
+        if state["intent"] is not None:
+            raise DirtyIndexError(
+                f"epoch {state['intent']} of stream {tag!r} crashed "
+                f"mid-append into the gram index at {index_path!r}; "
+                "rebuild the index before resuming"
+            )
+        if batch_df.isEmpty():
+            state["last_epoch"] = epoch_id
+            ledger[tag] = state
+            _write_ledger(index_path, ledger)
+            return
+
+        state["intent"] = epoch_id
+        ledger[tag] = state
+        _write_ledger(index_path, ledger)
+
+        out = incremental_substring_dedup(
+            batch_df.sparkSession, batch_df, index_path
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"epoch={epoch_id}")
+        )
+
+        state["last_epoch"] = epoch_id
+        state["intent"] = None
+        ledger[tag] = state
+        _write_ledger(index_path, ledger)
+
+    return fn
+
+
+def substring_files(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    out_root: str,
+    checkpoint: str,
+    schema: str = "doc_id long, text string",
+    **kw,
+):
+    """Drive the streaming substring dedup through the real streaming
+    engine off a file source (the in-container stand-in for Kafka);
+    availableNow drains what exists and stops."""
+    fn = make_substring_batch_fn(index_path, out_root, **kw)
+    raw = spark.readStream.schema(schema).json(source_dir)
+    return (
+        raw.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_substring_batches(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    index_path: str,
+    out_root: str,
+    start_epoch: int = 0,
+    **kw,
+) -> Callable[[DataFrame, int], None]:
+    """Drive the foreachBatch body over explicit micro-batches (tests
+    needing precise batch boundaries / simulated replays)."""
+    fn = make_substring_batch_fn(index_path, out_root, **kw)
+    for i, b in enumerate(batches):
+        fn(b, start_epoch + i)
+    return fn

@@ -173,6 +173,36 @@ def test_workdir_input_change_raises(spark, docs, tmp_path):
         )
 
 
+def test_substring_stage_cuts_pasted_span(spark, docs):
+    """substring_k=: a long span pasted into two otherwise-distinct docs
+    survives only at its first occurrence; the ledger records the stage
+    right after near_dedup."""
+    span = " ".join(f"tok{i}" for i in range(40))
+    filler_a = " ".join(f"alpha{i}" for i in range(120))
+    filler_b = " ".join(f"beta{i}" for i in range(120))
+    planted = spark.createDataFrame(
+        [
+            (90_101, filler_a + " " + span, "web"),
+            (90_102, span + " " + filler_b, "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    corpus = docs.limit(150).unionByName(planted, allowMissingColumns=True)
+    res = prepare_training_corpus(
+        corpus, substring_k=8, min_quality=0.0, seq_len=256
+    )
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in res.docs.filter(F.col("doc_id") > 90_000)
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert span in texts[90_101]
+    assert span not in texts[90_102]
+    keys = list(res.ledger)
+    assert keys.index("near_dedup") + 1 == keys.index("substring_dedup")
+
+
 def test_trained_classifier_stage_drops_junk(spark, docs):
     """quality_model=: a fitted LR quality model (trained on weak labels
     from the fixture + constructed junk) becomes a pipeline stage; the

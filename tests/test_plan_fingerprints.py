@@ -37,6 +37,12 @@ EXPECTED = {
     "text_doc_profile": (2, 0, 0, 0),
     "dedup_minhash_lsh": (3, 1, 0, 0),
     "dedup_lsh_verified": (9, 5, 0, 0),
+    # promoted to headline in r7 with the substr/substr_span branches:
+    # 6 tag-unioned dedup granularities (doc raw/fingerprint, line
+    # common/first, substring kept/span-checksum) — the shuffles are the
+    # per-branch keyed aggs + the gram/line stats joins; broadcasts are
+    # AQE-sized stats sides at sf0.001
+    "dedup_exact_fp": (12, 5, 0, 0),
     # the nested-loop is the sanctioned brute-force baseline branch
     # (5 query vectors crossed against the corpus)
     "sim_topk_methods": (4, 2, 0, 1),
