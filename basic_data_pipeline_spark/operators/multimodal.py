@@ -6,10 +6,13 @@ next to typed metadata; decode / feature-extraction / resize / frame-
 sample run as `mapInPandas` stages — Arrow moves columnar batches into
 pandas with zero row-at-a-time serde, the ONLY sanctioned Python hot path
 in this engine. The Spark-side plumbing (schemas, batch shapes, UDF
-signatures, partitioning) is real and tested; the codec call itself is
-stubbed (`RealDecodeUnavailable`) because image/audio libraries are not in
-this container — `decode_media_meta` ships a deterministic fake decoder so
-the full pipeline is exercisable and oracle-checkable end to end.
+signatures, partitioning) is real and tested. Metadata decode is REAL for
+header-borne containers even without a codec library: PNG/GIF/BMP/WAV
+parse with stdlib `struct`/`zlib` (r7); pillow/soundfile are picked up by
+import-try when present; only genuinely codec-bound bytes (JPEG/MP3/
+video) stay gated behind `RealDecodeUnavailable`, and `decode_media_meta`
+ships a deterministic fake decoder so the full pipeline is exercisable
+and oracle-checkable end to end regardless.
 
 Scale notes (100 TB of media):
 - binary columns ride Parquet like any other column; `maxPartitionBytes`

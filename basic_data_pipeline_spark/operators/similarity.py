@@ -309,9 +309,13 @@ def centroids(vectors: DataFrame, by: str, dim: int) -> DataFrame:
 # Above this many cells, flat assignment's n_vectors × n_cells scoring
 # dominates (with the production nlist ∝ n sizing it is Θ(n²/cell_size)
 # — MEASURED going super-linear at the 64× probe, SCALING.md round 7)
-# and the auto-dispatching callers switch to the two-level hierarchical
-# assignment. Below it, flat is both exact and cheaper.
-HIER_ASSIGN_THRESHOLD = 4096
+# and auto-dispatch switches to the two-level hierarchical assignment.
+# Below it, flat is exact and its broadcast scoring is cheap enough.
+# Calibration (SCALING.md round-7 micro-probe, 128k vectors): at 2560
+# cells flat=324s vs hier=20s — a 16× win; hier's fixed setup (~3
+# control-plane jobs over the centroid table) only pays for itself once
+# the per-vector comparison saving is real, so the floor sits at 1024.
+HIER_ASSIGN_THRESHOLD = 1024
 
 
 def ivf_assign(
@@ -354,6 +358,10 @@ def ivf_assign(
     super id, so AQE may shuffle both sides when the centroid table
     outgrows broadcast — nothing here requires the centroids to fit on
     one executor."""
+    # Output carries only (vec_id, embedding, cell, probe); project the
+    # input down NOW so caller columns can't collide with the internal
+    # join keys (a caller's own `cell`/`blk` would otherwise be ambiguous)
+    vectors = vectors.select("vec_id", "embedding")
     c = cents.select(F.col(cents.columns[0]).alias("cell"), F.col("centroid"))
     n_cells: int | None = None
     if hier is None:
