@@ -161,10 +161,91 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- LR-branch oracle: the trained quality classifier's fixed-iteration
+# gradient descent replayed as chained CTEs (the k-means-as-CTEs
+# precedent, sim_topk_ivf). Feature extraction reuses the exact SQL
+# fragments already hash-validated by the other text branches; each
+# iteration CTE computes the 6 gradient sums + bias gradient from the
+# previous iteration's scalar weights (CROSS JOIN + GROUP BY scalars).
+_LR_D = 6
+_LR_ITERS = 8
+_LR_RATE, _LR_L2 = 0.5, 1e-4
+
+
+def _lr_iter_cte(k: int) -> str:
+    margin = "+".join(f"z.z{j}*p.w{j}" for j in range(_LR_D)) + "+p.b"
+    err = f"(1.0/(1.0+exp(-({margin}))) - z.y)"
+    ws = ", ".join(
+        f"p.w{j} - {_LR_RATE}*(sum({err}*z.z{j})/m.n + {_LR_L2}*p.w{j})"
+        f" AS w{j}"
+        for j in range(_LR_D)
+    )
+    grp = ", ".join(f"p.w{j}" for j in range(_LR_D)) + ", p.b, m.n"
+    return (
+        f"it{k} AS (SELECT {ws}, p.b - {_LR_RATE}*(sum({err})/m.n) AS b "
+        f"FROM lrz z, it{k - 1} p, lrm m GROUP BY {grp})"
+    )
+
+
+_LR_CTES = ",\n    ".join(
+    [
+        f"""lrf AS (
+      SELECT CAST(len({_DUCK_TOKENS}) AS DOUBLE) AS nt,
+             ln(1 + CAST(len({_DUCK_TOKENS}) AS DOUBLE)) AS x0,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+               / len({_DUCK_TOKENS}) AS x1,
+             CAST({_DUCK_HITS['en']} AS DOUBLE) / len({_DUCK_TOKENS}) AS x2,
+             coalesce(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]',
+               '', 'g')) AS DOUBLE) / NULLIF(length(text), 0), 0.0) AS x3,
+             coalesce(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+               AS DOUBLE) / NULLIF(length(text), 0), 0.0) AS x4,
+             CAST(len(list_distinct({_DUCK_TOKENS})) AS DOUBLE)
+               / len({_DUCK_TOKENS}) AS x5
+      FROM documents)""",
+        """lrl AS (
+      SELECT x0, x1, x2, x3, x4, x5,
+             CASE WHEN x1 >= 4.62 THEN 1.0 ELSE 0.0 END AS y
+      FROM lrf)""",
+        "lrm AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        + ", ".join(
+            f"sum(x{j})/count(*) AS m{j}, "
+            f"sqrt(greatest(sum(x{j}*x{j})/count(*)"
+            f" - (sum(x{j})/count(*))*(sum(x{j})/count(*)), 1e-12)) AS s{j}"
+            for j in range(_LR_D)
+        )
+        + " FROM lrl)",
+        "lrz AS (SELECT "
+        + ", ".join(f"(l.x{j} - m.m{j})/m.s{j} AS z{j}" for j in range(_LR_D))
+        + ", l.y FROM lrl l, lrm m)",
+        "it0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(_LR_D))
+        + ", 0.0 AS b)",
+    ]
+    + [_lr_iter_cte(k) for k in range(1, _LR_ITERS + 1)]
+)
+
+# (+ 0.0 normalizes IEEE negative zero so a ~1e-9 weight can't hash
+# differently across engines after rounding)
+_LR_SELECT = "\n    UNION ALL\n".join(
+    [
+        f"""    SELECT 'lr', 'w{j}', CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           round(w{j}, 6) + 0.0, CAST(NULL AS DOUBLE) FROM it{_LR_ITERS}"""
+        for j in range(_LR_D)
+    ]
+    + [
+        f"""    SELECT 'lr', 'bias', CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           round(b, 6) + 0.0, CAST(NULL AS DOUBLE) FROM it{_LR_ITERS}"""
+    ]
+)
+
+
 @query(
     "text_lang_token",
     oracle=f"""
-    WITH h AS (
+    WITH {_LR_CTES},
+    h AS (
       SELECT lang,
              {_DUCK_HITS['en']} AS en, {_DUCK_HITS['de']} AS de,
              {_DUCK_HITS['es']} AS es, {_DUCK_HITS['fr']} AS fr,
@@ -233,6 +314,8 @@ def text_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((greatest(fb, 1e-6) - greatest(fa, 1e-6))
                  * ln(greatest(fb, 1e-6) / greatest(fa, 1e-6)), 6)
     FROM pf
+    UNION ALL
+{_LR_SELECT}
     """,
 )
 def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,7 +394,43 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("frac_a", 6).alias("d1"),
         F.round("psi_term", 6).alias("d2"),
     )
-    return lang.unionByName(tokens).unionByName(rep).unionByName(psi)
+    # lr branch (r7, operators/classifier.py): the trained quality
+    # classifier's coefficients — deterministic full-batch GD with
+    # decimal-exact gradients, so the oracle can REPLAY the whole fit as
+    # chained CTEs (the k-means precedent) and hash-match every weight
+    # at 6 places. The weak label is a mean-token-length split — chosen
+    # for a NON-degenerate class balance on the fixture (the all-pass
+    # heuristic label trains weights to ~0, which checks nothing); the
+    # oracle pins the fit ALGORITHM, not the label policy.
+    from basic_data_pipeline_spark.operators import classifier
+
+    labeled = d.withColumn(
+        "label",
+        ((text.sum_token_chars(t) / text.n_tokens(t)) >= 4.62).cast("int"),
+    )
+    model = classifier.train_quality_lr(
+        labeled, "label", n_iters=8, learn_rate=0.5, l2=1e-4
+    )
+    names = [f"w{j}" for j in range(len(model.weights))] + ["bias"]
+    vals = list(model.weights) + [model.bias]
+    lr = spark.createDataFrame(
+        [(nm, float(v)) for nm, v in zip(names, vals)],
+        "k1 string, raw double",
+    ).select(
+        F.lit("lr").alias("grp"),
+        "k1",
+        F.lit(None).cast("string").alias("k2"),
+        F.lit(None).cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        (F.round("raw", 6) + F.lit(0.0)).alias("d1"),
+        F.lit(None).cast("double").alias("d2"),
+    )
+    return (
+        lang.unionByName(tokens)
+        .unionByName(rep)
+        .unionByName(psi)
+        .unionByName(lr)
+    )
 
 
 # --------------------------------------------------------------------------

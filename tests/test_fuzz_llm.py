@@ -173,3 +173,39 @@ def test_substring_dedup_matches_serial(spark, texts, k):
         for r in substring.substring_dedup_corpus(df, k=k).collect()
     }
     assert got == serial_substring_dedup(corpus, k)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(_sub_doc, min_size=2, max_size=6),
+    cut=st.integers(min_value=1, max_value=5),
+    k=st.integers(min_value=2, max_value=3),
+)
+def test_incremental_substring_random_split_equals_oneshot(
+    spark, tmp_path_factory, texts, cut, k
+):
+    """ANY split point: corpus-prefix indexed one-shot, suffix fed as an
+    increment — the union of outputs equals the one-shot dedup of the
+    whole corpus (the prefix-stability property the module contract
+    claims, swept over random corpora and split points)."""
+    from basic_data_pipeline_spark.operators import incremental_substring as IS
+
+    corpus = dict(enumerate(texts))
+    cut = min(cut, len(texts) - 1)
+    head = {d: t for d, t in corpus.items() if d < cut}
+    tail = {d: t for d, t in corpus.items() if d >= cut}
+    if not head or not tail:
+        return
+    idx = str(tmp_path_factory.mktemp("sidx"))
+    df_h = spark.createDataFrame(list(head.items()), "doc_id long, text string")
+    df_t = spark.createDataFrame(list(tail.items()), "doc_id long, text string")
+    out_h = {
+        r["doc_id"]: r["text"]
+        for r in IS.build_substring_index(spark, df_h, idx, k=k).collect()
+    }
+    out_t = {
+        r["doc_id"]: r["text"]
+        for r in IS.incremental_substring_dedup(spark, df_t, idx).collect()
+    }
+    assert {**out_h, **out_t} == serial_substring_dedup(corpus, k)

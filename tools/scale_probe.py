@@ -96,6 +96,22 @@ def _probe_contamination_hits(spark, d):
     )
 
 
+def _probe_lr_train(spark, d):
+    from basic_data_pipeline_spark.operators import classifier, text
+
+    # weak label from the heuristic score (the real workflow: heuristic
+    # seeds → trained model); 8 GD iterations, one agg job each
+    docs = load_table(spark, d, "documents").withColumn(
+        "label", (text.quality_score(F.col("text")) >= 0.5).cast("int")
+    )
+    m = classifier.train_quality_lr(docs, "label", n_iters=8)
+    return spark.createDataFrame(
+        [tuple(m.weights) + (m.bias,)],
+        ", ".join(f"w{j} double" for j in range(len(m.weights)))
+        + ", bias double",
+    )
+
+
 def _probe_substring_dedup(spark, d):
     from basic_data_pipeline_spark.operators import substring
 
@@ -393,6 +409,7 @@ EXTRA_PROBES = {
     "op_binned_range_join": _probe_binned_range_join,
     "op_repetition_profile": _probe_repetition_profile,
     "op_substring_dedup": _probe_substring_dedup,
+    "op_lr_train": _probe_lr_train,
 }
 
 
