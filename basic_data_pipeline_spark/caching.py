@@ -41,3 +41,43 @@ def release_persisted() -> int:
             pass  # session already stopped; nothing to free
     _TRACKED.clear()
     return n
+
+
+def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint(eager) that REMEMBERS its checkpoint blocks'
+    storage ids, so free_local_checkpoint can actually release them.
+
+    Why: ``DataFrame.unpersist()`` goes through the CacheManager, but
+    localCheckpoint blocks are persisted at the RDD level and never
+    registered there — plain unpersist on a checkpointed frame frees
+    NOTHING (verified empirically; the blocks survive until JVM GC).
+    The only reliable handle is the SparkContext's persistent-RDD
+    registry, diffed around the checkpoint (the driver is
+    single-threaded in every flow that iterates checkpoints here, so
+    the diff is race-free)."""
+    jsc = df.sparkSession.sparkContext._jsc.sc()
+    before = {info.id() for info in jsc.getRDDStorageInfo()}
+    out = df.localCheckpoint(eager=True)
+    out._ckpt_rdd_ids = [  # type: ignore[attr-defined]
+        info.id()
+        for info in jsc.getRDDStorageInfo()
+        if info.id() not in before
+    ]
+    return out
+
+
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release a tracked_local_checkpoint's blocks. The frame is DEAD
+    afterwards (checkpoint storage has no lineage to recompute from) —
+    only call once nothing will ever read it again (e.g. the previous
+    iteration's vocab after the next round materialized)."""
+    ids = getattr(df, "_ckpt_rdd_ids", [])
+    if not ids:
+        return
+    try:
+        prdds = df.sparkSession.sparkContext._jsc.sc().getPersistentRDDs()
+        for i in ids:
+            if prdds.contains(i):
+                prdds.apply(i).unpersist(False)
+    except Exception:
+        pass  # session stopped; nothing to free

@@ -34,6 +34,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from basic_data_pipeline_spark.caching import (
+    free_local_checkpoint,
+    tracked_local_checkpoint,
+)
+
 WS = r"\s+"
 
 
@@ -89,13 +94,11 @@ def train_bpe(
     """
     if n_merges < 1:
         raise ValueError("need n_merges >= 1")
-    vocab = (
-        word_freqs(docs, text_col)
-        .select(
+    vocab = tracked_local_checkpoint(
+        word_freqs(docs, text_col).select(
             F.col("freq"),
             F.split(F.col("word"), "").alias("syms"),
         )
-        .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, int]] = []
     prev_ckpt: DataFrame = vocab
@@ -126,13 +129,17 @@ def train_bpe(
             break
         a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
         merges.append((rank, a, b, int(n)))
-        vocab = vocab.select(
-            "freq", apply_merge_jvm(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint(eager=True)
+        vocab = tracked_local_checkpoint(
+            vocab.select(
+                "freq", apply_merge_jvm(F.col("syms"), a, b).alias("syms")
+            )
+        )
         # the new round's checkpoint is materialized; release the
         # previous round's blocks so storage stays one-vocab-sized for
-        # the whole training instead of growing n_merges × vocab
-        prev_ckpt.unpersist()
+        # the whole training instead of growing n_merges × vocab.
+        # (free_local_checkpoint, not unpersist: DataFrame.unpersist is
+        # a NO-OP for checkpoint storage — caching.py)
+        free_local_checkpoint(prev_ckpt)
         prev_ckpt = vocab
     return merges
 

@@ -37,6 +37,10 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from basic_data_pipeline_spark.caching import (
+    free_local_checkpoint,
+    tracked_local_checkpoint,
+)
 from basic_data_pipeline_spark.operators import text as T
 
 N_FEATURES = 6
@@ -101,10 +105,12 @@ def train_quality_lr(
     if n_iters < 1:
         raise ValueError("need n_iters >= 1")
     d = N_FEATURES
-    base = docs.select(
-        quality_features(F.col(text_col)).alias("_x"),
-        F.col(label_col).cast("double").alias("_y"),
-    ).localCheckpoint(eager=True)
+    base = tracked_local_checkpoint(
+        docs.select(
+            quality_features(F.col(text_col)).alias("_x"),
+            F.col(label_col).cast("double").alias("_y"),
+        )
+    )
 
     mom = base.agg(
         F.count(F.lit(1)).alias("n"),
@@ -130,9 +136,12 @@ def train_quality_lr(
         for j in range(d)
     ]
 
-    z = base.select(_std_feats(F.col("_x"), mean, std).alias("_z"), "_y")
-    z = z.localCheckpoint(eager=True)
-    base.unpersist()
+    z = tracked_local_checkpoint(
+        base.select(_std_feats(F.col("_x"), mean, std).alias("_z"), "_y")
+    )
+    # free the raw-feature checkpoint (free_local_checkpoint, not
+    # unpersist — the latter is a no-op for checkpoint storage)
+    free_local_checkpoint(base)
 
     w = [0.0] * d
     b = 0.0
@@ -156,7 +165,7 @@ def train_quality_lr(
             for j in range(d)
         ]
         b = b - learn_rate * float(g["gb"]) / n
-    z.unpersist()
+    free_local_checkpoint(z)
     return QualityModel(tuple(mean), tuple(std), tuple(w), b)
 
 

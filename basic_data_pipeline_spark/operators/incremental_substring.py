@@ -83,11 +83,19 @@ def _meta_rw(index_path: str, meta: dict | None = None) -> dict:
 def _registered_grams(
     spark: SparkSession, index_path: str, n_buckets: int
 ) -> DataFrame:
+    """The bucketed gram table, re-registered from the on-disk files if
+    this session has never seen it. The schema comes FROM THE PARQUET —
+    the doc column keeps the corpus id column's native type (a
+    hard-coded BIGINT would NULL-out string ids on write and silently
+    break the first-occurrence rule)."""
     table = _table_name(index_path)
     if not spark.catalog.tableExists(table):
+        schema = spark.read.parquet(_p(index_path, "grams")).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
         spark.sql(
-            f"CREATE TABLE {table} "
-            "(`gram` BIGINT, `doc` BIGINT, `fpos` INT) USING PARQUET "
+            f"CREATE TABLE {table} ({cols}) USING PARQUET "
             "CLUSTERED BY (gram) SORTED BY (gram) "
             f"INTO {n_buckets} BUCKETS LOCATION '{_p(index_path, 'grams')}'"
         )
@@ -95,13 +103,14 @@ def _registered_grams(
 
 
 def _first_per_gram(occ: DataFrame, id_col: str) -> DataFrame:
-    """(gram, doc, fpos): each gram's first occurrence within ``occ``."""
+    """(gram, doc, fpos): each gram's first occurrence within ``occ``.
+    ``doc`` keeps ``id_col``'s native type."""
     return (
         occ.groupBy("gram")
         .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_f"))
         .select(
             "gram",
-            F.col(f"_f.{id_col}").cast("long").alias("doc"),
+            F.col(f"_f.{id_col}").alias("doc"),
             F.col("_f.pos").cast("int").alias("fpos"),
         )
     )

@@ -172,7 +172,18 @@ def _parse_bmp(data: bytes) -> dict | None:
 
     if len(data) < 26 or data[:2] != b"BM":
         return None
-    w, h = struct.unpack("<ii", data[18:26])
+    # the DIB header size at offset 14 selects the layout: 12 =
+    # BITMAPCOREHEADER (16-bit w/h at 18/20), >= 40 = BITMAPINFOHEADER
+    # family (32-bit signed w/h at 18/26). Reading the wrong width
+    # would silently produce garbage dimensions, so unknown sizes
+    # refuse instead of guessing.
+    (hdr,) = struct.unpack("<I", data[14:18])
+    if hdr == 12:
+        w, h = struct.unpack("<HH", data[18:22])
+    elif hdr >= 40:
+        w, h = struct.unpack("<ii", data[18:26])
+    else:
+        return None
     return {"width": abs(w), "height": abs(h), "n_frames": 1}
 
 

@@ -416,9 +416,15 @@ def ivf_assign(
     cmap = tracked_persist(cmap)
     cmap.count()  # pin the map before the big-side jobs reuse it
 
-    # level 1: every vector scores the ~√n_cells supers (broadcast)
+    # level 1: every vector scores the ~√n_cells supers (broadcast).
+    # Probe only supers that OWN member cells in cmap — a refit super
+    # can lose all its members to neighbors in skewed geometries, and a
+    # vector whose every probed super were member-less would otherwise
+    # get NO cell assignment at all (silently dropped from the index);
+    # the restriction guarantees ≥1 candidate cell per probed super.
+    sup_live = cmap.select("blk").distinct().join(sup, "blk")
     sup_b = F.broadcast(
-        sup.select(F.col("blk"), F.col("centroid").alias("_sc"))
+        sup_live.select(F.col("blk"), F.col("centroid").alias("_sc"))
     )
     w_sup = W.partitionBy("vec_id").orderBy(F.desc("_ssim"), F.asc("blk"))
     vsup = (

@@ -35,6 +35,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from basic_data_pipeline_spark.caching import release_persisted
 from basic_data_pipeline_spark.operators import similarity
 
 _EPOCHS = "assigned_epochs"
@@ -135,8 +136,31 @@ def make_ann_batch_fn(
             .partitionBy("cell")
             .parquet(_epoch_dir(index_path, run_id, epoch_id))
         )
+        # the epoch is written; free the assign path's tracked persists
+        # (auto-dispatch counts the centroid frame per call) — no @query
+        # wrapper runs in foreachBatch to do it
+        release_persisted()
 
     return fn
+
+
+def _on_disk_epochs(index_path: str) -> dict[str, dict[int, str]]:
+    """{run: {epoch: dir}} for every delta on disk — BOTH layouts: the
+    run-namespaced `run=R/epoch=N` dirs and any legacy root-level
+    `epoch=N` dirs from before run namespacing (they belong to run
+    'default', matching the legacy-ledger migration in _folded_epochs —
+    ignoring them would silently drop un-compacted pre-upgrade deltas
+    from every search and strand them forever)."""
+    root = _epochs_root(index_path)
+    out: dict[str, dict[int, str]] = {}
+    for d in glob.glob(os.path.join(root, "run=*", "epoch=*")):
+        run = os.path.basename(os.path.dirname(d)).split("=", 1)[1]
+        out.setdefault(run, {})[int(os.path.basename(d).split("=", 1)[1])] = d
+    for d in glob.glob(os.path.join(root, "epoch=*")):
+        out.setdefault("default", {})[
+            int(os.path.basename(d).split("=", 1)[1])
+        ] = d
+    return out
 
 
 def live_assigned(spark: SparkSession, index_path: str) -> DataFrame:
@@ -145,17 +169,19 @@ def live_assigned(spark: SparkSession, index_path: str) -> DataFrame:
     base = spark.read.parquet(os.path.join(index_path, "assigned")).select(
         "vec_id", "embedding", "cell"
     )
-    root = _epochs_root(index_path)
-    if not os.path.isdir(root) or not glob.glob(
-        os.path.join(root, "run=*", "epoch=*")
-    ):
-        return base
-    deltas = (
-        spark.read.option("basePath", root)
-        .parquet(os.path.join(root, "run=*", "epoch=*"))
-        .select("vec_id", "embedding", "cell")
+    dirs = sorted(
+        d for runs in _on_disk_epochs(index_path).values()
+        for d in runs.values()
     )
-    return base.unionByName(deltas)
+    # per-dir reads (not one multi-path read): each epoch dir is its own
+    # partition-discovery root for the cell= layout, and mixed
+    # legacy/namespaced layouts share no consistent base path. Dir count
+    # is bounded by compaction cadence, not stream length.
+    for d in dirs:
+        base = base.unionByName(
+            spark.read.parquet(d).select("vec_id", "embedding", "cell")
+        )
+    return base
 
 
 def ann_search_live(
@@ -201,20 +227,15 @@ def compact_epochs(spark: SparkSession, index_path: str) -> int:
     if not os.path.isdir(root):
         return 0
     folded = _folded_epochs(index_path)
-    on_disk: dict[str, set[int]] = {}
-    for d in glob.glob(os.path.join(root, "run=*", "epoch=*")):
-        run = os.path.basename(os.path.dirname(d)).split("=", 1)[1]
-        on_disk.setdefault(run, set()).add(
-            int(os.path.basename(d).split("=", 1)[1])
-        )
+    on_disk = _on_disk_epochs(index_path)  # incl. legacy dirs as 'default'
     # clean up dirs from a crash after ledger write
     for run, epochs in on_disk.items():
-        for e in epochs & folded.get(run, set()):
-            shutil.rmtree(_epoch_dir(index_path, run, e))
+        for e in set(epochs) & folded.get(run, set()):
+            shutil.rmtree(epochs[e])
     todo = {
-        run: sorted(epochs - folded.get(run, set()))
+        run: sorted(set(epochs) - folded.get(run, set()))
         for run, epochs in on_disk.items()
-        if epochs - folded.get(run, set())
+        if set(epochs) - folded.get(run, set())
     }
     if not todo:
         return 0
@@ -235,7 +256,7 @@ def compact_epochs(spark: SparkSession, index_path: str) -> int:
     os.replace(tmp, os.path.join(index_path, _COMPACT_LEDGER))
     for run, epochs in todo.items():
         for e in epochs:
-            shutil.rmtree(_epoch_dir(index_path, run, e))
+            shutil.rmtree(on_disk[run][e])
         run_dir = os.path.dirname(_epoch_dir(index_path, run, 0))
         if os.path.isdir(run_dir) and not os.listdir(run_dir):
             os.rmdir(run_dir)

@@ -38,6 +38,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from basic_data_pipeline_spark.caching import release_persisted
 from basic_data_pipeline_spark.operators.incremental import incremental_dedup
 
 
@@ -69,16 +70,30 @@ def _write_ledger(index_path: str, ledger: dict) -> None:
     os.replace(tmp, _ledger_path(index_path))
 
 
-def make_dedup_batch_fn(
+def make_guarded_batch_fn(
     index_path: str,
     out_root: str,
+    body: Callable[[DataFrame, int], DataFrame],
     tag: str = "stream",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    **dedup_kw,
+    what: str = "index",
 ) -> Callable[[DataFrame, int], None]:
-    """Build the foreachBatch body: epoch-guarded incremental dedup with
-    epoch-tagged survivor output under ``out_root/epoch=N/``."""
+    """The SHARED foreachBatch skeleton for every stream that maintains
+    a persisted index whose appends are not replay-safe (incremental
+    dedup, entity resolution, substring dedup — one delivery-semantics
+    contract, one implementation):
+
+    * epoch ≤ ledger watermark → full replay of completed work, skipped
+      outright including the output write;
+    * an INTENT marker brackets ``body`` (which mutates the index); a
+      stale marker on entry means a crash landed mid-append and the only
+      safe continuation is an index rebuild — DirtyIndexError, never a
+      silent double-append;
+    * ``body``'s result lands in an epoch-subdir OVERWRITE (idempotent
+      by construction); the ledger advances strictly after;
+    * tracked persists accumulated by the body's operators are released
+      once the epoch completes — foreachBatch has no @query wrapper to
+      do it, and without this a long stream caches frames without bound.
+    """
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         ledger = _read_ledger(index_path)
@@ -88,7 +103,7 @@ def make_dedup_batch_fn(
         if state["intent"] is not None:
             raise DirtyIndexError(
                 f"epoch {state['intent']} of stream {tag!r} crashed "
-                f"mid-append into the index at {index_path!r}; rebuild "
+                f"mid-append into the {what} at {index_path!r}; rebuild "
                 "the index before resuming"
             )
         if batch_df.isEmpty():
@@ -101,15 +116,8 @@ def make_dedup_batch_fn(
         ledger[tag] = state
         _write_ledger(index_path, ledger)
 
-        survivors = incremental_dedup(
-            batch_df.sparkSession,
-            batch_df,
-            index_path,
-            id_col=id_col,
-            text_col=text_col,
-            **dedup_kw,
-        )
-        survivors.write.mode("overwrite").parquet(
+        out = body(batch_df, epoch_id)
+        out.write.mode("overwrite").parquet(
             os.path.join(out_root, f"epoch={epoch_id}")
         )
 
@@ -117,8 +125,34 @@ def make_dedup_batch_fn(
         state["intent"] = None
         ledger[tag] = state
         _write_ledger(index_path, ledger)
+        release_persisted()
 
     return fn
+
+
+def make_dedup_batch_fn(
+    index_path: str,
+    out_root: str,
+    tag: str = "stream",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **dedup_kw,
+) -> Callable[[DataFrame, int], None]:
+    """Build the foreachBatch body: epoch-guarded incremental dedup with
+    epoch-tagged survivor output under ``out_root/epoch=N/``."""
+    return make_guarded_batch_fn(
+        index_path,
+        out_root,
+        lambda batch_df, _epoch: incremental_dedup(
+            batch_df.sparkSession,
+            batch_df,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            **dedup_kw,
+        ),
+        tag=tag,
+    )
 
 
 def dedup_files(

@@ -27,7 +27,6 @@ could append conflicting alias records. So:
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,8 +36,7 @@ from basic_data_pipeline_spark.operators.incremental_entity import (
 )
 from basic_data_pipeline_spark.streaming.dedup_stream import (
     DirtyIndexError,
-    _read_ledger,
-    _write_ledger,
+    make_guarded_batch_fn,
 )
 
 __all__ = ["DirtyIndexError", "make_entity_batch_fn", "entity_files",
@@ -52,42 +50,17 @@ def make_entity_batch_fn(
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch body: epoch-guarded incremental entity
     resolution with epoch-tagged assignment output under
-    ``out_root/epoch=N/``."""
-
-    def fn(batch_df: DataFrame, epoch_id: int) -> None:
-        ledger = _read_ledger(index_path)
-        state = ledger.get(tag, {"last_epoch": -1, "intent": None})
-        if epoch_id <= state["last_epoch"]:
-            return  # full replay of completed work — drop it
-        if state["intent"] is not None:
-            raise DirtyIndexError(
-                f"epoch {state['intent']} of stream {tag!r} crashed "
-                f"mid-append into the entity index at {index_path!r}; "
-                "rebuild the index before resuming"
-            )
-        if batch_df.isEmpty():
-            state["last_epoch"] = epoch_id
-            ledger[tag] = state
-            _write_ledger(index_path, ledger)
-            return
-
-        state["intent"] = epoch_id
-        ledger[tag] = state
-        _write_ledger(index_path, ledger)
-
-        assigned = incremental_resolve(
+    ``out_root/epoch=N/`` — the shared guarded skeleton
+    (dedup_stream.make_guarded_batch_fn) around incremental_resolve."""
+    return make_guarded_batch_fn(
+        index_path,
+        out_root,
+        lambda batch_df, _epoch: incremental_resolve(
             batch_df.sparkSession, batch_df, index_path
-        )
-        assigned.write.mode("overwrite").parquet(
-            os.path.join(out_root, f"epoch={epoch_id}")
-        )
-
-        state["last_epoch"] = epoch_id
-        state["intent"] = None
-        ledger[tag] = state
-        _write_ledger(index_path, ledger)
-
-    return fn
+        ),
+        tag=tag,
+        what="entity index",
+    )
 
 
 def entity_files(

@@ -20,7 +20,6 @@ risking either failure mode.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,8 +29,7 @@ from basic_data_pipeline_spark.operators.incremental_substring import (
 )
 from basic_data_pipeline_spark.streaming.dedup_stream import (
     DirtyIndexError,
-    _read_ledger,
-    _write_ledger,
+    make_guarded_batch_fn,
 )
 
 __all__ = ["DirtyIndexError", "make_substring_batch_fn", "substring_files",
@@ -44,42 +42,18 @@ def make_substring_batch_fn(
     tag: str = "stream",
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: epoch-guarded incremental substring dedup with
-    epoch-tagged rewritten-document output under ``out_root/epoch=N/``."""
-
-    def fn(batch_df: DataFrame, epoch_id: int) -> None:
-        ledger = _read_ledger(index_path)
-        state = ledger.get(tag, {"last_epoch": -1, "intent": None})
-        if epoch_id <= state["last_epoch"]:
-            return  # full replay of completed work — drop it
-        if state["intent"] is not None:
-            raise DirtyIndexError(
-                f"epoch {state['intent']} of stream {tag!r} crashed "
-                f"mid-append into the gram index at {index_path!r}; "
-                "rebuild the index before resuming"
-            )
-        if batch_df.isEmpty():
-            state["last_epoch"] = epoch_id
-            ledger[tag] = state
-            _write_ledger(index_path, ledger)
-            return
-
-        state["intent"] = epoch_id
-        ledger[tag] = state
-        _write_ledger(index_path, ledger)
-
-        out = incremental_substring_dedup(
+    epoch-tagged rewritten-document output under ``out_root/epoch=N/`` —
+    the shared guarded skeleton (dedup_stream.make_guarded_batch_fn)
+    around incremental_substring_dedup."""
+    return make_guarded_batch_fn(
+        index_path,
+        out_root,
+        lambda batch_df, _epoch: incremental_substring_dedup(
             batch_df.sparkSession, batch_df, index_path
-        )
-        out.write.mode("overwrite").parquet(
-            os.path.join(out_root, f"epoch={epoch_id}")
-        )
-
-        state["last_epoch"] = epoch_id
-        state["intent"] = None
-        ledger[tag] = state
-        _write_ledger(index_path, ledger)
-
-    return fn
+        ),
+        tag=tag,
+        what="gram index",
+    )
 
 
 def substring_files(

@@ -181,6 +181,36 @@ def test_checkpoint_reset_epoch_reuse_fails_loudly(spark, vecs, tmp_path):
     )
 
 
+def test_legacy_root_level_epoch_dirs_still_served_and_folded(
+    spark, vecs, tmp_path
+):
+    """An index from before run namespacing has deltas at
+    assigned_epochs/epoch=N (no run= level). Searches must still see
+    them and compaction must fold + clean them — silently dropping
+    pre-upgrade deltas would be permanent data loss."""
+    import shutil
+
+    idx, base, b1, b2 = _build(spark, vecs, tmp_path)
+    fn = ann_stream.make_ann_batch_fn(idx, DIM)
+    fn(b1, 0)
+    # rewrite the delta into the LEGACY layout: move run=default/epoch=0
+    # up to the root
+    new_dir = ann_stream._epoch_dir(idx, "default", 0)
+    legacy_dir = os.path.join(ann_stream._epochs_root(idx), "epoch=0")
+    shutil.move(new_dir, legacy_dir)
+    os.rmdir(os.path.dirname(new_dir))
+    assert ann_stream.live_assigned(spark, idx).count() == (
+        base.count() + b1.count()
+    )
+    assert ann_stream.compact_epochs(spark, idx) == 1
+    assert not os.path.exists(legacy_dir)
+    assert ann_stream.live_assigned(spark, idx).count() == (
+        base.count() + b1.count()
+    )
+    # the folded legacy epoch is recorded under run 'default'
+    assert 0 in ann_stream._folded_epochs(idx)["default"]
+
+
 def test_streaming_engine_end_to_end(spark, vecs, tmp_path):
     idx, base, b1, b2 = _build(spark, vecs, tmp_path)
     src = str(tmp_path / "src")

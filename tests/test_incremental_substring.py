@@ -67,6 +67,32 @@ def test_new_gram_within_batch_first_survives(spark, tmp_path):
     assert 11 not in got      # later in-batch copy fully covered
 
 
+def test_string_doc_ids_round_trip(spark, tmp_path):
+    """The gram index keeps the id column's NATIVE type: string doc ids
+    must work end to end (a hard-coded BIGINT doc column would NULL
+    them out on write and break the first-occurrence rule silently)."""
+    idx = str(tmp_path / "sidx")
+    b0 = spark.createDataFrame(
+        [("a-1", _mk(1, 25) + " " + SPAN)], "doc_id string, text string"
+    )
+    b1 = spark.createDataFrame(
+        [("b-1", SPAN + " " + _mk(6, 18)), ("b-2", _mk(7, 18))],
+        "doc_id string, text string",
+    )
+    IS.build_substring_index(spark, b0, idx, k=K)
+    got = _texts(IS.incremental_substring_dedup(spark, b1, idx))
+    assert SPAN not in got["b-1"]  # cross-batch removal worked
+    assert got["b-2"] == _mk(7, 18)
+    # and the index's doc column is a string, holding real ids
+    schema = dict(spark.read.parquet(f"{idx}/grams").dtypes)
+    assert schema["doc"] == "string"
+    docs = {
+        r["doc"]
+        for r in spark.read.parquet(f"{idx}/grams").select("doc").distinct().collect()
+    }
+    assert None not in docs and "a-1" in docs
+
+
 def test_membership_join_index_side_in_place(spark, tmp_path):
     """The gram-membership joins must not exchange the bucketed index:
     only the increment side shuffles to the bucket layout."""

@@ -245,10 +245,29 @@ def test_stdlib_png_gif_bmp_wav_parse():
     ) == {"width": 40, "height": 30, "n_frames": 3}
     import struct
 
-    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, -48) + b"\x00" * 8
+    bmp = (
+        b"BM" + b"\x00" * 12
+        + struct.pack("<I", 40)  # BITMAPINFOHEADER
+        + struct.pack("<ii", 64, -48) + b"\x00" * 8
+    )
     assert multimodal.decode_with_real_codec(bmp, "image") == {
         "width": 64, "height": 48, "n_frames": 1
     }
+    # legacy BITMAPCOREHEADER: 16-bit dims at 18/20 — a fixed-offset
+    # 32-bit read would decode garbage
+    core = (
+        b"BM" + b"\x00" * 12
+        + struct.pack("<I", 12) + struct.pack("<HH", 100, 80) + b"\x00" * 8
+    )
+    assert multimodal.decode_with_real_codec(core, "image") == {
+        "width": 100, "height": 80, "n_frames": 1
+    }
+    # unknown DIB header size refuses instead of guessing
+    with pytest.raises(multimodal.RealDecodeUnavailable):
+        multimodal.decode_with_real_codec(
+            b"BM" + b"\x00" * 12 + struct.pack("<I", 16) + b"\x00" * 12,
+            "image",
+        )
     assert multimodal.decode_with_real_codec(
         _make_wav(2, 44100, 100), "audio"
     ) == {"width": 2, "height": 44100, "n_frames": 100}
