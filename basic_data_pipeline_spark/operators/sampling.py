@@ -117,6 +117,62 @@ def temperature_mix(
     return weighted_mix(df, strata_col, fractions, id_col, salt)
 
 
+def cluster_balanced_mix(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "doc_id",
+    n_clusters: int | None = None,
+    temperature: float = 2.0,
+    train_iters: int = 2,
+    salt: str = "mix",
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Learned-DOMAIN rebalancing: k-means the documents' embedding
+    space into latent domains (deterministic hash-seeded cells + Lloyd
+    refinement — the SemDeDup clustering machinery), label every doc
+    with its domain, and temperature-rebalance the DOMAIN sizes with
+    the existing deterministic mixing.
+
+    Why: `source`-keyed mixing (temperature_mix over a metadata column)
+    needs labels that are present and meaningful; web-scale corpora are
+    dominated by one coarse source whose internal topic skew the label
+    can't see. Clustering the embeddings recovers latent domains and the
+    same (n_i/N)^(1/T) rule then flattens over- vs under-represented
+    topics — the public cluster-reweighting recipe (MiniPile-style
+    curation). Deterministic end to end: hash-seeded cells, tie-broken
+    Lloyd, hash-bucket sampling — no RNG anywhere.
+
+    ``embeddings`` is (vec_id, embedding) with vec_id matching
+    ``docs[id_col]``; docs without an embedding are DROPPED (no domain →
+    no quota; filter upstream if that is not intended). ``n_clusters``
+    defaults to ~1 domain per 200 docs, capped at 64 — domains are for
+    REBALANCING, so they stay coarse (unlike dedup cells at ~50/cell).
+    Output: the mixed docs plus their `_domain` and `replica` columns.
+
+    Scale: clustering is the bounded-shuffle k-means (centroid partial
+    sums only); labeling is one broadcast/hier assignment pass + one
+    equi-join on the id; the quota arithmetic is #domains driver rows.
+    """
+    from basic_data_pipeline_spark.operators import similarity as S
+
+    if n_clusters is None:
+        n_clusters = max(2, min(64, embeddings.count() // 200))
+    seeded = embeddings.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_clusters))
+    )
+    cents = S.centroids(seeded, "blk", dim)
+    cents = S.kmeans_refine(embeddings, cents, dim, train_iters)
+    labels = S.ivf_assign(embeddings, cents, dim, nprobe=1).select(
+        F.col("vec_id").alias(id_col), F.col("cell").alias("_domain")
+    )
+    labeled = docs.join(labels, id_col)
+    return temperature_mix(
+        labeled, "_domain", temperature, id_col=id_col, salt=salt,
+        target_rows=target_rows,
+    )
+
+
 def hash_split(
     df: DataFrame,
     weights: dict[str, float],

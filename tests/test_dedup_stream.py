@@ -56,6 +56,25 @@ def test_stream_batches_match_batch_operator(spark, docs, tmp_path):
     assert ledger["stream"] == {"last_epoch": 1, "intent": None}
 
 
+def test_stream_releases_tracked_persists_per_epoch(spark, docs, tmp_path):
+    """The guarded skeleton must release the body's tracked persists
+    once an epoch completes — foreachBatch has no @query wrapper to do
+    it, and without the release a long-lived stream caches frames
+    without bound (the round-7 leak)."""
+    from basic_data_pipeline_spark import caching
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    incremental.build_index(spark, docs.filter(F.col("doc_id") < 150), idx)
+    caching.release_persisted()  # clean slate
+    b1 = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 250))
+    b2 = docs.filter(F.col("doc_id") >= 250)
+    fn = dedup_stream.make_dedup_batch_fn(idx, out)
+    for i, b in enumerate((b1, b2)):
+        fn(b, i)
+        assert caching._TRACKED == [], "epoch must end with zero tracked"
+
+
 def test_stream_replay_of_completed_epoch_is_dropped(spark, docs, tmp_path):
     idx = str(tmp_path / "idx")
     out = str(tmp_path / "out")

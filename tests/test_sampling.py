@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from basic_data_pipeline_spark.operators.sampling import (
+    cluster_balanced_mix,
     hash_split,
     stratified_sample,
     temperature_mix,
@@ -193,3 +194,56 @@ def test_negative_samples_tiny_corpus_caps(spark):
     assert all(len(v) == 2 for v in by_doc.values()), "capped at N-1"
     one = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     assert negative_samples(one, "doc_id", k=3).count() == 0
+
+
+def test_cluster_balanced_mix_flattens_latent_domains(spark):
+    """Learned-domain rebalancing: docs clustered by their embeddings,
+    then temperature-mixed over the CLUSTER sizes — the skewed planted
+    domain loses share, deterministic across runs, docs without an
+    embedding drop."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    out = cluster_balanced_mix(
+        docs, emb, dim=64, n_clusters=6, temperature=4.0
+    )
+    assert "_domain" in out.columns and "replica" in out.columns
+    # determinism: exact same membership on a second run and under a
+    # different partitioning
+    a = sorted((r["doc_id"], r["replica"]) for r in out.collect())
+    out2 = cluster_balanced_mix(
+        docs.repartition(7), emb.repartition(5), dim=64,
+        n_clusters=6, temperature=4.0,
+    )
+    assert sorted((r["doc_id"], r["replica"]) for r in out2.collect()) == a
+
+    def shares(df, col):
+        per = {
+            r["k"]: r["n"]
+            for r in df.groupBy(F.col(col).alias("k"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        tot = sum(per.values())
+        return {k: v / tot for k, v in per.items()}
+
+    # flattening: the dominant latent domain loses share vs its natural
+    # share, the rarest gains (when they differ)
+    labeled_shares = shares(out, "_domain")
+    naturals = {
+        r["k"]: r["n"]
+        for r in cluster_balanced_mix(
+            docs, emb, dim=64, n_clusters=6, temperature=1.0
+        ).groupBy(F.col("_domain").alias("k")).agg(F.count("*").alias("n")).collect()
+    }
+    tot = sum(naturals.values())
+    dom = max(naturals, key=naturals.get)
+    rare = min(naturals, key=naturals.get)
+    if naturals[dom] != naturals[rare]:
+        assert labeled_shares[dom] < naturals[dom] / tot
+        assert labeled_shares[rare] > naturals[rare] / tot
+    # docs without an embedding are dropped: output ids are a subset
+    ids = {r["doc_id"] for r in out.select("doc_id").distinct().collect()}
+    have_emb = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert ids <= have_emb
