@@ -16,8 +16,11 @@ micro-batch's assignments to its OWN epoch partition —
 — with overwrite. A replayed epoch rewrites an identical partition
 instead of appending duplicates (the epoch-subdir idempotence pattern of
 quality_stream/dedup_stream), so foreachBatch's at-least-once becomes
-exactly-once per epoch with no ledger, no intent marker, and no
-rebuild-the-index failure path. Searches read base ∪ epoch deltas with
+exactly-once per epoch with no intent marker and no rebuild-the-index
+failure path; the only driver-side state is a tiny per-run written-epoch
+watermark (_epoch_meta.json) that turns a same-path checkpoint RESET —
+epoch ids reused for new data — into a loud EpochReusedError instead of
+a silent delta overwrite. Searches read base ∪ epoch deltas with
 the same cell-pruned probe join; ``compact_epochs`` periodically folds
 deltas into the base (compaction ledger → folding is itself
 crash-idempotent) so the file count stays bounded.
@@ -40,15 +43,22 @@ from basic_data_pipeline_spark.operators import similarity
 
 _EPOCHS = "assigned_epochs"
 _COMPACT_LEDGER = "_compacted.json"
+_EPOCH_META = "_epoch_meta.json"
 
 
 class EpochReusedError(RuntimeError):
-    """A batch arrived with an epoch_id that was ALREADY folded and is
-    below the run's newest folded epoch — the signature of a checkpoint
-    reset (Structured Streaming restarts epoch numbering at 0). Silently
-    skipping would drop the new data as if it were a replay; the caller
-    must point the restarted query at a fresh ``run_id`` (or a fresh
-    checkpoint AND run_id) so its epochs land in their own namespace."""
+    """A batch arrived with an epoch_id the run has ALREADY used for
+    different data — the signature of a checkpoint reset (Structured
+    Streaming restarts epoch numbering at 0). Detected two ways: the
+    epoch is below the run's newest FOLDED epoch (compaction ledger), or
+    it is at/below the run's WRITTEN-epoch watermark with a different
+    batch fingerprint (_epoch_meta.json, advanced at write time — so a
+    reset is caught even before any compaction has run; without the
+    write-time watermark, mode('overwrite') would silently replace the
+    earlier batch's vectors). Silently skipping would drop the new data
+    as if it were a replay; the caller must point the restarted query at
+    a fresh ``run_id`` (or a fresh checkpoint AND run_id) so its epochs
+    land in their own namespace."""
 
 
 def _epochs_root(index_path: str) -> str:
@@ -75,9 +85,48 @@ def _folded_epochs(index_path: str) -> dict[str, set[int]]:
 def run_id_for_checkpoint(checkpoint: str) -> str:
     """Stable, filesystem-safe namespace for a checkpoint location — a
     NEW checkpoint directory (new query, or a reset) gets a new run_id
-    only if its path differs; a same-path reset is caught at batch time
-    by EpochReusedError instead."""
+    only if its path differs. A SAME-PATH reset reuses the run_id and is
+    caught at batch time: the run's written-epoch watermark + batch
+    fingerprint (_epoch_meta.json) raises EpochReusedError the moment a
+    reused epoch id arrives carrying different data, whether or not any
+    compaction has folded yet."""
     return hashlib.sha256(os.path.abspath(checkpoint).encode()).hexdigest()[:16]
+
+
+def _epoch_meta(index_path: str) -> dict:
+    """{run: {"max_epoch": int, "max_fp": [n, xor]}} — per-run
+    written-epoch watermark, advanced at WRITE time (not fold time), so
+    a same-path checkpoint reset is caught even while all deltas are
+    still unfolded."""
+    try:
+        with open(os.path.join(index_path, _EPOCH_META)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def _advance_epoch_meta(
+    index_path: str, run_id: str, epoch: int, fp: list
+) -> None:
+    meta = _epoch_meta(index_path)
+    meta[run_id] = {"max_epoch": epoch, "max_fp": fp}
+    tmp = os.path.join(index_path, _EPOCH_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(index_path, _EPOCH_META))
+
+
+def _batch_fingerprint(batch_df: DataFrame) -> list:
+    """Order-independent content fingerprint of a micro-batch: row count
+    + XOR of per-row xxhash64(vec_id, embedding). One bounded aggregate
+    over the BATCH (not the index) — replays of the same source offsets
+    reproduce it exactly; a reset's new data collides with probability
+    ~2^-64."""
+    row = batch_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(vec_id, embedding))").alias("x"),
+    ).first()
+    return [row["n"], row["x"]]
 
 
 def _recover_base_swap(index_path: str) -> None:
@@ -113,7 +162,12 @@ def make_ann_batch_fn(
     only genuinely replayable one under foreachBatch's at-least-once);
     an older folded id means the checkpoint was reset and epoch numbers
     are being reused for new data — that raises EpochReusedError rather
-    than silently dropping the batch."""
+    than silently dropping the batch. UNFOLDED epochs are guarded the
+    same way by the write-time watermark in _epoch_meta.json: an epoch
+    at/below the run's last WRITTEN epoch must carry the identical batch
+    fingerprint (a true replay) or it raises — so a same-path checkpoint
+    reset can never silently overwrite a delta that compaction has not
+    yet folded."""
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -127,6 +181,23 @@ def make_ann_batch_fn(
                 f"folded epoch {max(folded)} — checkpoint was reset; use a "
                 "fresh run_id for the restarted query"
             )
+        wm = _epoch_meta(index_path).get(
+            run_id, {"max_epoch": -1, "max_fp": None}
+        )
+        if epoch_id < wm["max_epoch"]:
+            raise EpochReusedError(
+                f"epoch {epoch_id} (run {run_id!r}) is below the run's "
+                f"written-epoch watermark {wm['max_epoch']} — checkpoint "
+                "was reset; use a fresh run_id for the restarted query"
+            )
+        fp = _batch_fingerprint(batch_df)
+        if epoch_id == wm["max_epoch"] and fp != wm["max_fp"]:
+            raise EpochReusedError(
+                f"epoch {epoch_id} (run {run_id!r}) was already written "
+                "with DIFFERENT content — checkpoint was reset; a silent "
+                "overwrite would lose the earlier batch's vectors. Use a "
+                "fresh run_id for the restarted query"
+            )
         spark = batch_df.sparkSession
         cents = spark.read.parquet(os.path.join(index_path, "centroids"))
         (
@@ -136,6 +207,10 @@ def make_ann_batch_fn(
             .partitionBy("cell")
             .parquet(_epoch_dir(index_path, run_id, epoch_id))
         )
+        # advance the write-time watermark AFTER the data lands: a crash
+        # between the two leaves watermark < written epoch, and the
+        # replay (same offsets → same fingerprint) simply rewrites it
+        _advance_epoch_meta(index_path, run_id, epoch_id, fp)
         # the epoch is written; free the assign path's tracked persists
         # (auto-dispatch counts the centroid frame per call) — no @query
         # wrapper runs in foreachBatch to do it

@@ -229,3 +229,30 @@ def test_streaming_engine_end_to_end(spark, vecs, tmp_path):
     )
     q.awaitTermination(120)
     assert ann_stream.live_assigned(spark, idx).count() == vecs.count()
+
+
+def test_pre_compaction_checkpoint_reset_fails_loudly(spark, vecs, tmp_path):
+    """The r7-ADVICE hole: a same-path checkpoint reset BEFORE any
+    compaction (folded ledger empty) re-issues epoch ids whose delta
+    dirs still exist — without the write-time watermark the overwrite
+    would silently replace the earlier batch's vectors. Must raise for
+    (a) an epoch below the written watermark and (b) the watermark epoch
+    arriving with different content; a true replay (same content) still
+    no-ops idempotently."""
+    idx, base, b1, b2 = _build(spark, vecs, tmp_path)
+    fn = ann_stream.make_ann_batch_fn(idx, DIM)
+    fn(b1, 0)
+    fn(b2, 1)
+    # NO compaction — folded ledger is empty; only the watermark guards
+    assert ann_stream._folded_epochs(idx) == {}
+    with pytest.raises(ann_stream.EpochReusedError):
+        fn(b2, 0)  # reset: epoch 0 reused, below watermark 1
+    with pytest.raises(ann_stream.EpochReusedError):
+        fn(b1, 1)  # reset: watermark epoch reused with different data
+    n_before = ann_stream.live_assigned(spark, idx).count()
+    fn(b2, 1)  # true replay: identical content, idempotent rewrite
+    assert ann_stream.live_assigned(spark, idx).count() == n_before
+    # legacy index (no _epoch_meta.json) keeps working: guard passes
+    os.remove(os.path.join(idx, ann_stream._EPOCH_META))
+    fn(b2, 2)
+    assert ann_stream._epoch_meta(idx)["default"]["max_epoch"] == 2
