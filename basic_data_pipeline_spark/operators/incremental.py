@@ -263,6 +263,13 @@ def build_index(
             "n_buckets": n_buckets,
             "survivor_policy": survivor_policy,
             "staging": [],
+            # id column + the base corpus's max id (a column-pruned
+            # aggregate): with ids monotone across batches, every index
+            # row with id <= max_id belongs to the BASE build — the
+            # anchor the streaming rebuild helper filters against when
+            # no epoch has completed yet (streaming/rebuild.py)
+            "id_col": id_col,
+            "max_id": docs.agg(F.max(id_col)).first()[0],
         },
     )
     return survivors

@@ -169,14 +169,19 @@ def build_entity_index(
     tables.write_bucketed(
         strings, strings_t, ["id"], n_buckets, path=_p(index_path, "strings")
     )
-    spark.createDataFrame([], "entity long, canonical long").write.mode(
-        "overwrite"
-    ).parquet(_p(index_path, "aliases"))
+    # alias rows carry the stream epoch that appended them (_epoch;
+    # null for batch callers) so the rebuild helper can drop a crashed
+    # epoch's half-appended merges — see streaming/rebuild.py
+    spark.createDataFrame(
+        [], "entity long, canonical long, _epoch int"
+    ).write.mode("overwrite").parquet(_p(index_path, "aliases"))
     _meta_rw(
         index_path,
         {
             "id_col": id_col, "text_col": text_col, "max_edit": max_edit,
             "q": q, "n_buckets": n_buckets,
+            # base-corpus id watermark for the streaming rebuild helper
+            "max_id": records.agg(F.max(id_col)).first()[0],
         },
     )
     return assigned
@@ -213,9 +218,12 @@ def incremental_resolve(
     spark: SparkSession,
     batch: DataFrame,
     index_path: str,
+    epoch: int | None = None,
 ) -> DataFrame:
     """Assign canonical entity ids to ``batch`` at increment cost and
     fold it into the index. Returns (id, entity_id) for the batch.
+    ``epoch`` (set by the streaming skeleton) tags this batch's alias
+    appends so a crashed epoch's merges are identifiable on rebuild.
 
     Steps: prefix grams under the frozen order → ONE candidate equi-join
     against the bucketed gram table (increment side shuffles, index side
@@ -235,7 +243,11 @@ def incremental_resolve(
         spark, strings_t, _p(index_path, "strings"), ["id"], n_buckets
     )
     freq = spark.read.parquet(_p(index_path, "freq"))
-    aliases = spark.read.parquet(_p(index_path, "aliases"))
+    # select the two logical columns: legacy alias dirs lack _epoch and
+    # post-upgrade dirs carry it — neither shape may leak into joins
+    aliases = spark.read.parquet(_p(index_path, "aliases")).select(
+        "entity", "canonical"
+    )
 
     norm = batch.select(
         F.col(id_col).alias("_id"),
@@ -298,6 +310,7 @@ def incremental_resolve(
                 F.col("cluster").alias("canonical"),
             )
             .distinct()
+            .withColumn("_epoch", F.lit(epoch).cast("int"))
         )
         merges.write.mode("append").parquet(_p(index_path, "aliases"))
     assigned = tracked_persist(assigned)
@@ -333,7 +346,9 @@ def current_entities(spark: SparkSession, index_path: str) -> DataFrame:
         spark, strings_t, _p(index_path, "strings"), ["id"],
         meta["n_buckets"],
     )
-    aliases = spark.read.parquet(_p(index_path, "aliases"))
+    aliases = spark.read.parquet(_p(index_path, "aliases")).select(
+        "entity", "canonical"
+    )
     out = strings.select(
         F.col("id").alias(meta["id_col"]), F.col("entity").alias("entity_id")
     )

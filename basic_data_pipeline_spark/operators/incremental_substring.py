@@ -53,7 +53,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from basic_data_pipeline_spark.caching import tracked_persist
+from basic_data_pipeline_spark.caching import (
+    free_local_checkpoint,
+    tracked_local_checkpoint,
+    tracked_persist,
+)
 from basic_data_pipeline_spark.operators import substring
 from basic_data_pipeline_spark.sources import tables
 
@@ -142,7 +146,11 @@ def build_substring_index(
     _meta_rw(
         index_path,
         {"id_col": id_col, "text_col": text_col, "k": k,
-         "n_buckets": n_buckets},
+         "n_buckets": n_buckets,
+         # base-corpus id watermark for the streaming rebuild helper
+         # (streaming/rebuild.py): index rows with doc <= max_id belong
+         # to the base build
+         "max_id": docs.agg(F.max(id_col)).first()[0]},
     )
     return substring.substring_dedup_corpus(docs, id_col, text_col, k)
 
@@ -195,11 +203,14 @@ def incremental_substring_dedup(
     # recompute against the post-append index and see the batch's own
     # grams as "already known" (= everything covered, empty output).
     # localCheckpoint is an eager physical materialization with no
-    # logical plan left to invalidate.
-    out = out.localCheckpoint(eager=True)
+    # logical plan left to invalidate. TRACKED form: checkpoint blocks
+    # live at the RDD level where plain unpersist is a no-op, so a
+    # long-lived stream would otherwise accumulate two checkpoints'
+    # blocks per micro-batch until driver GC.
+    out = tracked_local_checkpoint(out)
     # firsts feeds the append next; checkpoint it off the table plan too
     # so writing it cannot race its own invalidation mid-job
-    firsts = firsts.localCheckpoint(eager=True)
+    firsts = tracked_local_checkpoint(firsts)
     tables.write_bucketed(
         firsts,
         _table_name(index_path),
@@ -209,4 +220,8 @@ def incremental_substring_dedup(
         mode="append",
         path=_p(index_path, "grams"),
     )
+    # the append consumed firsts — free its checkpoint blocks now; out's
+    # are freed by the streaming skeleton after the epoch output write
+    # (batch callers keep out alive until they drop the frame)
+    free_local_checkpoint(firsts)
     return out

@@ -38,7 +38,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from basic_data_pipeline_spark.caching import release_persisted
+from pyspark.sql import functions as F
+
+from basic_data_pipeline_spark.caching import (
+    free_local_checkpoint,
+    release_persisted,
+)
 from basic_data_pipeline_spark.operators.incremental import incremental_dedup
 
 
@@ -46,8 +51,11 @@ class DirtyIndexError(RuntimeError):
     """A previous run crashed between the index append and the epoch
     ledger write: the bucketed index may contain a partial append for
     that epoch, and set-semantics consumers (jaccard_verify) would be
-    corrupted by re-appending. Rebuild the index (build_index over the
-    surviving corpus) before resuming the stream."""
+    corrupted by re-appending. Run the matching recovery helper —
+    streaming/rebuild.py rebuild_dedup_index / rebuild_entity_index /
+    rebuild_substring_index — which drops the partial append exactly
+    (id-watermark filter) and clears the marker; then resume the
+    stream."""
 
 
 def _ledger_path(index_path: str) -> str:
@@ -76,6 +84,7 @@ def make_guarded_batch_fn(
     body: Callable[[DataFrame, int], DataFrame],
     tag: str = "stream",
     what: str = "index",
+    max_id_of: Callable[[DataFrame], object] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The SHARED foreachBatch skeleton for every stream that maintains
     a persisted index whose appends are not replay-safe (incremental
@@ -87,12 +96,21 @@ def make_guarded_batch_fn(
     * an INTENT marker brackets ``body`` (which mutates the index); a
       stale marker on entry means a crash landed mid-append and the only
       safe continuation is an index rebuild — DirtyIndexError, never a
-      silent double-append;
+      silent double-append; the matching streaming/rebuild.py helper
+      performs that rebuild and clears the marker;
     * ``body``'s result lands in an epoch-subdir OVERWRITE (idempotent
       by construction); the ledger advances strictly after;
+    * ``max_id_of`` (batch max of the id column) is recorded in the
+      ledger ON COMPLETION only — so after a mid-append crash the
+      ledger's ``max_id`` bounds exactly the COMPLETED epochs' ids, and
+      the rebuild helpers can cut every partial row with one
+      ``id <= max_id`` filter (ids are monotone across batches — the
+      standing convention of every incremental index here);
     * tracked persists accumulated by the body's operators are released
       once the epoch completes — foreachBatch has no @query wrapper to
-      do it, and without this a long stream caches frames without bound.
+      do it, and without this a long stream caches frames without bound;
+      a localCheckpoint'ed ``out`` (tracked_local_checkpoint) is freed
+      too — plain unpersist is a no-op for checkpoint blocks.
     """
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
@@ -103,8 +121,8 @@ def make_guarded_batch_fn(
         if state["intent"] is not None:
             raise DirtyIndexError(
                 f"epoch {state['intent']} of stream {tag!r} crashed "
-                f"mid-append into the {what} at {index_path!r}; rebuild "
-                "the index before resuming"
+                f"mid-append into the {what} at {index_path!r}; run the "
+                "matching streaming.rebuild helper before resuming"
             )
         if batch_df.isEmpty():
             state["last_epoch"] = epoch_id
@@ -123,8 +141,14 @@ def make_guarded_batch_fn(
 
         state["last_epoch"] = epoch_id
         state["intent"] = None
+        if max_id_of is not None:
+            wm = max_id_of(batch_df)
+            prev = state.get("max_id")
+            if wm is not None:
+                state["max_id"] = wm if prev is None else max(prev, wm)
         ledger[tag] = state
         _write_ledger(index_path, ledger)
+        free_local_checkpoint(out)
         release_persisted()
 
     return fn
@@ -152,6 +176,7 @@ def make_dedup_batch_fn(
             **dedup_kw,
         ),
         tag=tag,
+        max_id_of=lambda b: b.agg(F.max(id_col)).first()[0],
     )
 
 

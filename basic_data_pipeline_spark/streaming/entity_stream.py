@@ -30,8 +30,10 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from basic_data_pipeline_spark.operators.incremental_entity import (
+    _meta_rw,
     incremental_resolve,
 )
 from basic_data_pipeline_spark.streaming.dedup_stream import (
@@ -55,11 +57,16 @@ def make_entity_batch_fn(
     return make_guarded_batch_fn(
         index_path,
         out_root,
-        lambda batch_df, _epoch: incremental_resolve(
-            batch_df.sparkSession, batch_df, index_path
+        # the epoch rides into the alias log (_epoch column) so a
+        # rebuild can drop alias rows a crashed epoch half-appended
+        lambda batch_df, epoch: incremental_resolve(
+            batch_df.sparkSession, batch_df, index_path, epoch=epoch
         ),
         tag=tag,
         what="entity index",
+        max_id_of=lambda b: b.agg(
+            F.max(_meta_rw(index_path)["id_col"])
+        ).first()[0],
     )
 
 

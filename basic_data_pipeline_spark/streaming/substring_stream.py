@@ -23,8 +23,10 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from basic_data_pipeline_spark.operators.incremental_substring import (
+    _meta_rw,
     incremental_substring_dedup,
 )
 from basic_data_pipeline_spark.streaming.dedup_stream import (
@@ -53,6 +55,9 @@ def make_substring_batch_fn(
         ),
         tag=tag,
         what="gram index",
+        max_id_of=lambda b: b.agg(
+            F.max(_meta_rw(index_path)["id_col"])
+        ).first()[0],
     )
 
 

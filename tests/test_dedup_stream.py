@@ -53,7 +53,10 @@ def test_stream_batches_match_batch_operator(spark, docs, tmp_path):
     assert _out_ids(spark, out) == expected
 
     ledger = dedup_stream._read_ledger(idx_a)
-    assert ledger["stream"] == {"last_epoch": 1, "intent": None}
+    assert ledger["stream"]["last_epoch"] == 1
+    assert ledger["stream"]["intent"] is None
+    # the completed-epoch id watermark (rebuild anchor) tracks batch max
+    assert ledger["stream"]["max_id"] == docs.agg(F.max("doc_id")).first()[0]
 
 
 def test_stream_releases_tracked_persists_per_epoch(spark, docs, tmp_path):

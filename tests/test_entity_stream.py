@@ -69,7 +69,9 @@ def test_stream_batches_match_batch_operator_with_bridge(spark, tmp_path):
     assert got == want
 
     ledger = dedup_stream._read_ledger(idx_s)
-    assert ledger["stream"] == {"last_epoch": 1, "intent": None}
+    assert ledger["stream"]["last_epoch"] == 1
+    assert ledger["stream"]["intent"] is None
+    assert ledger["stream"]["max_id"] == 21  # completed-epoch id watermark
 
 
 def test_stream_replay_of_completed_epoch_is_dropped(spark, tmp_path):

@@ -164,3 +164,34 @@ def test_streaming_engine_end_to_end(spark, tmp_path):
     got = _texts(spark.read.parquet(f"{out}/epoch=*"))
     assert SPAN not in got.get(10, "")
     assert 21 not in got
+
+
+def test_stream_epoch_frees_checkpoint_storage(spark, tmp_path):
+    """The r7-ADVICE leak: incremental_substring_dedup localCheckpoints
+    two frames per micro-batch, and plain unpersist is a no-op for
+    checkpoint blocks — a long-lived stream accumulated them until
+    driver GC. With tracked_local_checkpoint + the skeleton's
+    free_local_checkpoint, persistent-RDD storage returns to its
+    pre-epoch level after every completed epoch."""
+    import time
+
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    IS.build_substring_index(spark, _df(spark, B0), idx, k=K)
+    fn = substring_stream.make_substring_batch_fn(idx, out)
+
+    def n_stored():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    base_n = n_stored()
+    for i, rows in enumerate((B1, B2)):
+        fn(_df(spark, rows), i)
+        # unpersist is async; poll briefly before asserting
+        for _ in range(20):
+            if n_stored() <= base_n:
+                break
+            time.sleep(0.25)
+        assert n_stored() <= base_n, (
+            f"epoch {i} leaked persistent RDD storage: "
+            f"{n_stored()} > {base_n}"
+        )
