@@ -1,7 +1,8 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: sec, ...}, "queries_median": {...},
+"session_norm": {...}, "sf": ...}.
 
 The session is warmed once (JVM classloading, codegen compiler) before
 timing. Each query is then timed through the `noop` sink: it executes the
@@ -10,10 +11,22 @@ prune the work away) without `collect()`'s py4j row serialization, which
 for the full-table queries costs multiples of the engine time and measures
 the Python driver, not the engine.
 
-Noise control: the whole suite runs $SPARK_GRAFT_BENCH_RUNS times
-(default 3) and each query reports its BEST time across runs — one slow
-run from GC, page-cache misses, or driver-side scheduling noise cannot
-masquerade as a code regression (the r2→r3 q3/q5 drift investigation).
+Noise control (round 8 — the r7 lockstep-drift lesson, where EVERY legacy
+query read 6-29% slower with all plan fingerprints pinned and unchanged):
+
+* the whole suite runs $SPARK_GRAFT_BENCH_RUNS times (default 5, up from
+  3); each query reports BEST (headline `queries`, comparable to all
+  prior rounds) and MEDIAN (`queries_median` — robust to one fast outlier
+  the way best is robust to one slow one);
+* a pinned SESSION-NORM query — a trivial two-column scan+aggregate over
+  lineitem whose plan no engine change of ours should ever alter — is
+  timed once per suite pass. Its best/median ride in `session_norm`.
+  HOW TO READ cross-round drift: if round N+1's query times move by
+  roughly the same factor as its `session_norm` (GC posture, page cache,
+  CPU contention of the measuring session), the drift is the session, not
+  the code; a query that moves WITHOUT session_norm moving is a real
+  change. See README.md "Benchmarking".
+
 `value` is the sum of the per-query bests; `runs` records the repeat
 count."""
 
@@ -21,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -30,7 +44,30 @@ from basic_data_pipeline_spark import get_spark
 from basic_data_pipeline_spark.registry import headline_queries
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+N_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+
+
+def _session_norm(spark, sf_dir: str):
+    """The pinned normalization query: scan lineitem, aggregate two
+    columns. Fixed forever — its time moves only when the SESSION
+    (JVM/GC/page-cache/CPU contention) moves, so it factors session
+    state out of cross-round comparisons."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select("l_quantity", "l_extendedprice")
+        .agg(
+            F.sum("l_quantity").alias("sq"),
+            F.sum("l_extendedprice").alias("se"),
+        )
+    )
+
+
+def _timed_noop(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -45,26 +82,30 @@ def main() -> None:
     errors: dict[str, str] = {}
     try:
         next(iter(qs.values()))(spark, SF_DIR).count()
+        _session_norm(spark, SF_DIR).count()
     except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
         errors["_warmup"] = f"{type(exc).__name__}: {exc}"[:500]
 
-    best: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    norm_samples: list[float] = []
     for _ in range(N_RUNS):
+        try:
+            norm_samples.append(_timed_noop(_session_norm(spark, SF_DIR)))
+        except Exception as exc:  # noqa: BLE001
+            errors["_session_norm"] = f"{type(exc).__name__}: {exc}"[:500]
         for name, fn in qs.items():
             if name in errors:
                 continue
-            t0 = time.time()
             try:
-                fn(spark, SF_DIR).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+                dt = _timed_noop(fn(spark, SF_DIR))
             except Exception as exc:  # noqa: BLE001 — isolate per query
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-                best.pop(name, None)
+                samples.pop(name, None)
                 continue
-            dt = round(time.time() - t0, 3)
-            if name not in best or dt < best[name]:
-                best[name] = dt
+            samples.setdefault(name, []).append(dt)
+
+    best = {n: min(v) for n, v in samples.items()}
+    median = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     total = round(sum(best.values()), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -73,6 +114,15 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": best,
+        "queries_median": median,
+        "session_norm": (
+            {
+                "best": min(norm_samples),
+                "median": round(statistics.median(norm_samples), 3),
+            }
+            if norm_samples
+            else None
+        ),
         "runs": N_RUNS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
