@@ -7,10 +7,10 @@ sample run as `mapInPandas` stages — Arrow moves columnar batches into
 pandas with zero row-at-a-time serde, the ONLY sanctioned Python hot path
 in this engine. The Spark-side plumbing (schemas, batch shapes, UDF
 signatures, partitioning) is real and tested. Metadata decode is REAL for
-header-borne containers even without a codec library: PNG/GIF/BMP/WAV
-parse with stdlib `struct`/`zlib` (r7); pillow/soundfile are picked up by
-import-try when present; only genuinely codec-bound bytes (JPEG/MP3/
-video) stay gated behind `RealDecodeUnavailable`, and `decode_media_meta`
+header-borne containers even without a codec library: PNG/GIF/BMP/JPEG/WAV
+parse with stdlib `struct`/`zlib` (r7; JPEG SOF-walk r8); pillow/soundfile
+are picked up by import-try when present; only genuinely codec-bound
+bytes (MP3/video) stay gated behind `RealDecodeUnavailable`, and `decode_media_meta`
 ships a deterministic fake decoder so the full pipeline is exercisable
 and oracle-checkable end to end regardless.
 
@@ -54,7 +54,7 @@ MEDIA_META_SCHEMA = T.StructType(
 class RealDecodeUnavailable(NotImplementedError):
     """Raised by the real-codec path when neither a codec library (PIL
     for images, soundfile for audio) nor a pure-stdlib container parser
-    (PNG/GIF/BMP for images, WAV for audio — see ``_STDLIB_PARSERS``)
+    (PNG/GIF/BMP/JPEG for images, WAV for audio — see ``_STDLIB_PARSERS``)
     can handle the bytes. Video has no in-container codec ever. The
     deterministic fake keeps the pipeline testable either way."""
 
@@ -108,11 +108,11 @@ _CODECS: dict | None = None
 
 # --- pure-stdlib container parsers (no codec library needed) -------------
 # Real header parsing with `struct` only: PNG IHDR, GIF logical screen
-# descriptor + block-walk frame count, BMP info header, WAV fmt/data
-# chunks. These retire the codec gate for the formats whose metadata
-# lives in a documented container header — the gate remains only for
-# formats that genuinely need a decoder (JPEG entropy-coded dimensions
-# are header-borne too, but SOF scanning is codec-adjacent; kept gated).
+# descriptor + block-walk frame count, BMP info header, JPEG SOF marker
+# walk, WAV fmt/data chunks. These retire the codec gate for the formats
+# whose metadata lives in a documented container header — the gate
+# remains only for formats that genuinely need a decoder (MP3 audio,
+# video containers).
 
 def _parse_png(data: bytes) -> dict | None:
     import struct
@@ -167,6 +167,44 @@ def _parse_gif(data: bytes) -> dict | None:
     return {"width": w, "height": h, "n_frames": max(frames, 1)}
 
 
+def _parse_jpeg(data: bytes) -> dict | None:
+    """Walk the JPEG marker stream to the first SOFn frame header and
+    read (height, width) — pure `struct`, no entropy decoding (the
+    dimensions live in the frame header, before any coded data). SOF
+    markers are 0xC0-0xCF minus DHT(0xC4)/JPG(0xC8)/DAC(0xCC); hitting
+    SOS or EOI without a SOF, a non-marker byte, or a truncation refuses
+    rather than guessing."""
+    import struct
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    sof = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+    pos = 2
+    try:
+        while pos + 2 <= len(data):
+            if data[pos] != 0xFF:
+                return None  # corrupt marker stream
+            marker = data[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                pos += 2  # standalone markers carry no length
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF seen → refuse
+                return None
+            (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            if seglen < 2:
+                return None
+            if marker in sof:
+                h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+                return {"width": w, "height": h, "n_frames": 1}
+            pos += 2 + seglen
+    except struct.error:
+        return None  # truncated segment
+    return None
+
+
 def _parse_bmp(data: bytes) -> dict | None:
     import struct
 
@@ -215,7 +253,7 @@ def _parse_wav(data: bytes) -> dict | None:
 
 
 _STDLIB_PARSERS = {
-    "image": (_parse_png, _parse_gif, _parse_bmp),
+    "image": (_parse_png, _parse_gif, _parse_bmp, _parse_jpeg),
     "audio": (_parse_wav,),
 }
 
@@ -223,8 +261,8 @@ _STDLIB_PARSERS = {
 def decode_with_real_codec(data: bytes, modality: str) -> dict:
     """Decode one media item's metadata for real: the codec library for
     its modality when importable, else the pure-stdlib container parsers
-    (PNG/GIF/BMP, WAV). Raises RealDecodeUnavailable only when neither
-    path can handle the bytes (JPEG/MP3/video in a codec-less
+    (PNG/GIF/BMP/JPEG, WAV). Raises RealDecodeUnavailable only when
+    neither path can handle the bytes (MP3/video in a codec-less
     container)."""
     global _CODECS
     if _CODECS is None:

@@ -177,7 +177,8 @@ def test_multimodal_real_codec_import_try():
         with pytest.raises(multimodal.RealDecodeUnavailable):
             multimodal.decode_with_real_codec(b"bytes", modality)
     assert "video" not in codecs  # no in-container video codec ever
-    # JPEG stays gated: magic matches no stdlib parser
+    # a malformed JPEG (SOI then a zero-length segment, no SOF) still
+    # gates: the SOF walk refuses rather than guessing
     with pytest.raises(multimodal.RealDecodeUnavailable):
         multimodal.decode_with_real_codec(
             b"\xff\xd8\xff\xe0" + b"\x00" * 64, "image"
@@ -231,6 +232,49 @@ def _make_wav(channels: int, rate: int, n_samples: int) -> bytes:
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _make_jpeg(w: int, h: int, progressive: bool = False) -> bytes:
+    """Minimal structurally-valid JPEG prefix: SOI, APP0 (JFIF), DQT,
+    then SOF0 (baseline) or SOF2 (progressive) carrying the dimensions —
+    the marker walk never needs the entropy-coded scan."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" + b"\x00" * 7
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" * 65
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = (
+        sof_marker
+        + struct.pack(">H", 17)  # length: precision+dims+3 components
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03"
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof
+
+
+def test_stdlib_jpeg_sof_walk():
+    """JPEG dimensions parse via the SOF marker walk — baseline (SOF0),
+    progressive (SOF2), fill bytes before a marker, and refusals for
+    truncation / missing SOF (the r8 gate-narrowing item)."""
+    assert multimodal.decode_with_real_codec(
+        _make_jpeg(640, 480), "image"
+    ) == {"width": 640, "height": 480, "n_frames": 1}
+    assert multimodal.decode_with_real_codec(
+        _make_jpeg(31, 17, progressive=True), "image"
+    ) == {"width": 31, "height": 17, "n_frames": 1}
+    # fill bytes (0xFF padding) before the SOF marker are legal
+    j = _make_jpeg(8, 4)
+    padded = j[:2] + b"\xff" + j[2:]
+    assert multimodal._parse_jpeg(padded) == {
+        "width": 8, "height": 4, "n_frames": 1
+    }
+    # truncated mid-SOF refuses
+    assert multimodal._parse_jpeg(_make_jpeg(640, 480)[:-14]) is None
+    # SOS before any SOF refuses (dimensions must precede coded data)
+    no_sof = b"\xff\xd8\xff\xda" + b"\x00\x04\x00\x00"
+    assert multimodal._parse_jpeg(no_sof) is None
 
 
 def test_stdlib_png_gif_bmp_wav_parse():
