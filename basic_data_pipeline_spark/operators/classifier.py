@@ -34,7 +34,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from basic_data_pipeline_spark.caching import (
@@ -75,6 +75,41 @@ class QualityModel:
     bias: float
 
 
+def model_df(spark: SparkSession, model: QualityModel) -> DataFrame:
+    """The model as a 1-row DataFrame (mean/std/weights arrays + bias) —
+    the persistence form, like centroids or a BPE merge table: write it
+    parquet next to the corpus it scored and a later session (or a
+    pipeline workdir resume) reloads the identical model with
+    ``model_from_df``. Round-trip is exact: doubles pass through
+    unchanged."""
+    return spark.createDataFrame(
+        [
+            (
+                list(model.mean),
+                list(model.std),
+                list(model.weights),
+                model.bias,
+            )
+        ],
+        "mean array<double>, std array<double>, "
+        "weights array<double>, bias double",
+    )
+
+
+def model_from_df(df: DataFrame) -> QualityModel:
+    """Inverse of ``model_df``: rehydrate the QualityModel from its
+    1-row persistence frame."""
+    rows = df.collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"model frame must have exactly 1 row, got {len(rows)}"
+        )
+    r = rows[0]
+    return QualityModel(
+        tuple(r["mean"]), tuple(r["std"]), tuple(r["weights"]), r["bias"]
+    )
+
+
 def _std_feats(feats: Column, model_mean, model_std) -> Column:
     return F.array(
         *[
@@ -92,6 +127,8 @@ def train_quality_lr(
     n_iters: int = 60,
     learn_rate: float = 0.5,
     l2: float = 1e-4,
+    sample_fraction: float | None = None,
+    sample_salt: str = "qlr",
 ) -> QualityModel:
     """Fit the logistic regression by full-batch gradient descent;
     ``label_col`` is 0/1 (weak labels). Deterministic under any
@@ -100,10 +137,32 @@ def train_quality_lr(
     the fit is pinned bit-for-bit against the serial numpy reference in
     tests/test_classifier.py.
 
+    COST: training is ``n_iters`` aggregation passes over the
+    (checkpointed) feature frame. On a labeled SEED SET that is
+    trivially cheap; pointed at a full corpus frame it is 60 full
+    passes for a 6-feature LR — pass ``sample_fraction`` instead:
+    a hash-deterministic content-keyed subsample (xxhash64 of
+    (salt, text) bucket, the same no-RNG rule as sampling.py) bounds
+    the training frame while keeping the fit reproducible under any
+    partitioning, retry, or cluster; the returned model scores the FULL
+    corpus as a zero-shuffle projection regardless.
+
     Weights start at zero (convex objective — no seed needed); features
     are z-standardized from a first single-pass moment aggregation."""
     if n_iters < 1:
         raise ValueError("need n_iters >= 1")
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        docs = docs.filter(
+            F.pmod(
+                F.xxhash64(F.lit(sample_salt), F.col(text_col)),
+                F.lit(1_000_000),
+            )
+            < F.lit(int(sample_fraction * 1_000_000))
+        )
     d = N_FEATURES
     base = tracked_local_checkpoint(
         docs.select(

@@ -117,6 +117,28 @@ def temperature_mix(
     return weighted_mix(df, strata_col, fractions, id_col, salt)
 
 
+def _approx_rows(df: DataFrame, row_bytes: int) -> int | None:
+    """Row-count ESTIMATE from the frame's scanned file sizes (Hadoop
+    FileSystem — scheme-agnostic: local, HDFS, object stores): total
+    bytes ÷ ``row_bytes``. Metadata-only — no data pass. None for
+    file-less in-memory frames. Order-of-magnitude accuracy is the
+    contract (compression vs per-row overhead roughly cancel for float
+    arrays); use it only where the consumer saturates quickly, never
+    where exactness matters."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        fs = p.getFileSystem(hconf)
+        total += fs.getFileStatus(p).getLen()
+    return max(1, total // max(row_bytes, 1))
+
+
 def cluster_balanced_mix(
     docs: DataFrame,
     embeddings: DataFrame,
@@ -148,7 +170,12 @@ def cluster_balanced_mix(
     no quota; filter upstream if that is not intended). ``n_clusters``
     defaults to ~1 domain per 200 docs, capped at 64 — domains are for
     REBALANCING, so they stay coarse (unlike dedup cells at ~50/cell).
-    Output: the mixed docs plus their `_domain` and `replica` columns.
+    The default's row count is a FILE-SIZE ESTIMATE (scanned bytes ÷
+    ~4·dim bytes/row), not a count() — an extra full pass over 100 TB
+    just to pick a default that saturates at 12.8k rows would be pure
+    waste; only file-less in-memory frames (which by definition fit the
+    driver-session scale) fall back to counting. Output: the mixed docs
+    plus their `_domain` and `replica` columns.
 
     Scale: clustering is the bounded-shuffle k-means (centroid partial
     sums only); labeling is one broadcast/hier assignment pass + one
@@ -157,7 +184,10 @@ def cluster_balanced_mix(
     from basic_data_pipeline_spark.operators import similarity as S
 
     if n_clusters is None:
-        n_clusters = max(2, min(64, embeddings.count() // 200))
+        est = _approx_rows(embeddings, row_bytes=4 * dim)
+        if est is None:
+            est = embeddings.count()
+        n_clusters = max(2, min(64, est // 200))
     seeded = embeddings.withColumn(
         "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_clusters))
     )

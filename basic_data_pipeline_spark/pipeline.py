@@ -38,6 +38,10 @@ from basic_data_pipeline_spark.operators import (
 from basic_data_pipeline_spark.operators.maintenance import atomic_overwrite
 
 _PARAMS_FILE = "_prep_params.json"
+# bump when the fingerprint payload shape or digest rules change: a
+# version mismatch reads as "recreate the workdir (format changed)",
+# not the misleading "DIFFERENT parameters"
+_FP_VERSION = 2
 
 
 @dataclass
@@ -128,12 +132,23 @@ def prepare_training_corpus(
         # corpus's stage outputs as if recomputed. Identity = the scanned
         # file set plus the row count (the docs count is the ledger head,
         # so no extra pass on the big side; the count also distinguishes
-        # two filters of the same files).
+        # two filters of the same files). File-LESS in-memory frames get
+        # a content digest too (order-independent xxhash64-XOR over all
+        # columns): row count alone would let a different same-sized
+        # corpus silently reuse the cached stages (r7 ADVICE #3) — the
+        # digest pass only ever runs on frames already living in this
+        # session's memory, never on a 100 TB scan.
         def _input_identity(df: DataFrame | None):
             if df is None:
                 return None
             n = n_input if df is docs else df.count()
-            return {"files": sorted(df.inputFiles()), "rows": n}
+            ident: dict = {"files": sorted(df.inputFiles()), "rows": n}
+            if not ident["files"]:
+                cols = ", ".join(f"`{c}`" for c in df.columns)
+                ident["digest"] = df.agg(
+                    F.expr(f"bit_xor(xxhash64({cols}))")
+                ).first()[0]
+            return ident
 
         fp = hashlib.sha256(
             json.dumps(
@@ -169,15 +184,28 @@ def prepare_training_corpus(
         fp_path = os.path.join(workdir, _PARAMS_FILE)
         if os.path.exists(fp_path):
             with open(fp_path) as f:
-                if json.load(f)["fingerprint"] != fp:
-                    raise ValueError(
-                        "workdir was populated under DIFFERENT parameters"
-                        " or input data — point at a fresh workdir or"
-                        " delete it"
-                    )
+                stored = json.load(f)
+            if stored.get("version") != _FP_VERSION:
+                # the fingerprint FORMAT changed (payload shape/digest
+                # rules) — distinguish that from a real config mismatch
+                # so the operator isn't told their parameters differ
+                # when they don't (r7 ADVICE #4)
+                raise ValueError(
+                    "workdir fingerprint was written under an older "
+                    f"engine fingerprint format (v{stored.get('version', 1)}"
+                    f" != v{_FP_VERSION}) — the format changed, not "
+                    "necessarily your configuration; recreate the workdir "
+                    "(its stage outputs predate the current guard)"
+                )
+            if stored["fingerprint"] != fp:
+                raise ValueError(
+                    "workdir was populated under DIFFERENT parameters"
+                    " or input data — point at a fresh workdir or"
+                    " delete it"
+                )
         else:
             with open(fp_path, "w") as f:
-                json.dump({"fingerprint": fp}, f)
+                json.dump({"fingerprint": fp, "version": _FP_VERSION}, f)
 
     def _stage_path(name: str) -> str:
         return os.path.join(workdir, name)  # type: ignore[arg-type]

@@ -108,3 +108,42 @@ def test_empty_and_bad_params_raise(spark):
     )
     with pytest.raises(ValueError):
         C.train_quality_lr(one, "label", n_iters=0)
+
+
+def test_model_df_round_trip_exact(spark, labeled, tmp_path):
+    """model_df → parquet → model_from_df reproduces the fitted model
+    bit-for-bit (doubles pass through unchanged), so a trained quality
+    model survives the session like centroids or a BPE merge table."""
+    model = C.train_quality_lr(labeled, "label", n_iters=3)
+    path = str(tmp_path / "qmodel")
+    C.model_df(spark, model).write.parquet(path)
+    back = C.model_from_df(spark.read.parquet(path))
+    assert back == model  # dataclass equality: exact tuples + bias
+
+    with pytest.raises(ValueError, match="exactly 1 row"):
+        C.model_from_df(
+            C.model_df(spark, model).unionAll(C.model_df(spark, model))
+        )
+
+
+def test_sample_bounded_training_is_deterministic(spark, labeled):
+    """sample_fraction bounds the 60-pass GD to a hash-deterministic
+    subsample: identical coefficients under any partitioning, a genuine
+    subsample (differs from the full fit), and invalid fractions
+    refuse."""
+    m1 = C.train_quality_lr(labeled, "label", n_iters=5, sample_fraction=0.5)
+    m2 = C.train_quality_lr(
+        labeled.repartition(7), "label", n_iters=5, sample_fraction=0.5
+    )
+    assert m1 == m2  # partitioning-invariant, RNG-free
+    full = C.train_quality_lr(labeled, "label", n_iters=5)
+    assert m1 != full  # it really trained on a subsample
+    # a different salt draws a different (still deterministic) subsample
+    m3 = C.train_quality_lr(
+        labeled, "label", n_iters=5, sample_fraction=0.5, sample_salt="other"
+    )
+    assert m3 != m1
+    with pytest.raises(ValueError, match="sample_fraction"):
+        C.train_quality_lr(labeled, "label", sample_fraction=1.5)
+    with pytest.raises(ValueError, match="sample_fraction"):
+        C.train_quality_lr(labeled, "label", sample_fraction=0.0)

@@ -318,3 +318,65 @@ def test_deterministic_shuffle_packs_reproducible_permutation(spark, docs):
 
     c = layout(docs, shuffle_salt="epoch2")
     assert a != c, "different salt must give a different permutation"
+
+
+def test_workdir_inmemory_input_digest_raises(spark, docs, tmp_path):
+    """File-less in-memory inputs carry a CONTENT digest in the
+    fingerprint: a different same-row-count corpus must raise instead of
+    silently serving the previous corpus's cached stages (the r7 ADVICE
+    hole — row count alone can collide)."""
+    wd = str(tmp_path / "wd")
+    mem_a = spark.createDataFrame(docs.filter(F.col("doc_id") < 40).collect())
+    mem_b = spark.createDataFrame(
+        docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 80)).collect()
+    )
+    assert mem_a.count() == mem_b.count() == 40  # same count, diff content
+    prepare_training_corpus(mem_a, min_quality=0.0, seq_len=256, workdir=wd)
+    with pytest.raises(ValueError, match="DIFFERENT parameters"):
+        prepare_training_corpus(
+            mem_b, min_quality=0.0, seq_len=256, workdir=wd
+        )
+    # the true resume still works (same frame → same digest)
+    res = prepare_training_corpus(
+        mem_a, min_quality=0.0, seq_len=256, workdir=wd
+    )
+    assert res.ledger["input"] == 40
+
+
+def test_workdir_fingerprint_version_mismatch_says_so(spark, docs, tmp_path):
+    """A workdir written under an older fingerprint FORMAT gets the
+    explicit format-changed message, not the misleading 'DIFFERENT
+    parameters' (r7 ADVICE #4)."""
+    import json
+    import os
+
+    wd = str(tmp_path / "wd")
+    os.makedirs(wd)
+    with open(os.path.join(wd, "_prep_params.json"), "w") as f:
+        json.dump({"fingerprint": "deadbeef"}, f)  # v1: no version field
+    with pytest.raises(ValueError, match="older engine fingerprint format"):
+        prepare_training_corpus(docs, seq_len=256, workdir=wd)
+
+
+def test_workdir_model_identity_in_fingerprint(spark, docs, tmp_path):
+    """The trained quality model's COEFFICIENTS ride in the fingerprint:
+    resuming a workdir with a differently-fitted model raises — a
+    resumed run must never silently score with the wrong model."""
+    from basic_data_pipeline_spark.operators import classifier as C
+
+    wd = str(tmp_path / "wd")
+    m_a = C.QualityModel(
+        mean=(0.0,) * 6, std=(1.0,) * 6, weights=(0.1,) * 6, bias=0.0
+    )
+    m_b = C.QualityModel(
+        mean=(0.0,) * 6, std=(1.0,) * 6, weights=(0.2,) * 6, bias=0.0
+    )
+    prepare_training_corpus(
+        docs, seq_len=256, workdir=wd, quality_model=m_a,
+        min_model_quality=0.0,
+    )
+    with pytest.raises(ValueError, match="DIFFERENT parameters"):
+        prepare_training_corpus(
+            docs, seq_len=256, workdir=wd, quality_model=m_b,
+            min_model_quality=0.0,
+        )
