@@ -90,6 +90,33 @@ _LOADED = False
 # §2 families lacked r1 evidence lead, and the whole surface is kept ≤ 50
 # entries by tag-union merging (see VERDICT.md r1, "Next round" #1).
 # _reorder() raises if this list and the decorated queries ever drift.
+#
+# ORACLE-SLOT ROTATION (how new operators gain oracle coverage): the
+# 50-slot budget is FULL — these names must never change (pinned by
+# tests/test_registry_contract.py) and new slots cannot be added. A new
+# operator gets driver-checked correctness by folding a BRANCH into an
+# existing tag-union query: union more rows with a fresh `kind` tag onto
+# a query whose output schema is already the generic
+# (kind, key, value[, value2…]) shape, and extend its oracle SQL with
+# the matching UNION ALL arm. The hash compare is order-insensitive and
+# schema-stable under added branches, so this is always safe. Queries
+# with PROVEN branch headroom (already multi-branch, generic schema —
+# the r5-r7 precedents in parentheses):
+#   dedup_exact_fp        (raw/fingerprint + line_* r6 + substr_* r7)
+#   text_lang_token       (lang/token + psi r6 + lr r7)
+#   cdc_validate_dlq      (valid/dlq + profile/check r5)
+#   cdc_schema_drift_union(union + diff r5)
+#   cdc_delete_apply      (applied + scd2 r4)
+#   join_range_cross      (theta/cross + binned r3 + fuzzy r5)
+#   rollup_hourly_to_daily(rollup + sess/funnel r5)
+#   order_pick            (ordered + random_pick r3)
+#   sim_topk_methods      (brute/blocked — any new similarity strategy)
+#   dedup_jaccard_truth   (truth + cluster arms)
+#   corpus_pack_contam    (pack + contam r5)
+#   join_asof_union_window(asof + union-window arms)
+# Single-purpose queries with FIXED domain-specific schemas (q1/q3/q5,
+# window_*, agg_*, scan_filter_project, sql_direct_q6, multimodal_
+# pipeline…) have NO headroom — don't try to graft branches onto them.
 CANONICAL_ORDER: tuple[str, ...] = (
     # -- §2 families with no r1 oracle evidence first --
     "window_analytics",

@@ -29,15 +29,29 @@ from basic_data_pipeline_spark.catalog import TABLES, load_table
 from basic_data_pipeline_spark.registry import headline_queries
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PROBE_DIR = os.environ.get("SPARK_GRAFT_PROBE_DIR", "/tmp/spark_graft_sf16x")
 COPIES = int(os.environ.get("SPARK_GRAFT_PROBE_COPIES", "16"))
 SHIFT = 1_000_000_000  # key offset per copy; far above any fixture key
+
+# SPARK_GRAFT_PROBE_PERTURB=1 → every TOKEN of documents.text gets a
+# per-copy prefix, so copies share NO shingles/grams/lines: the replica
+# grows like an honest corpus (same per-shard duplicate rate, nothing
+# cross-copy) instead of the adversarial all-copies-identical case. Use
+# it to measure the dedup operators' own scaling — the default
+# (unperturbed) measures their worst case, where the OUTPUT (duplicate
+# pairs / removed spans) itself explodes with the copy count and wall
+# ratios conflate the two (r7 verdict: dedup_exact_fp 16× "ratio 6.5
+# (adversarial)"). Both dirs coexist.
+PERTURB = os.environ.get("SPARK_GRAFT_PROBE_PERTURB", "") == "1"
+PROBE_DIR = os.environ.get(
+    "SPARK_GRAFT_PROBE_DIR",
+    "/tmp/spark_graft_sf16x" + ("_perturbed" if PERTURB else ""),
+)
 
 # Columns that identify/join rows — shifted per copy so every copy is a
 # closed shard (orders.o_custkey still finds its customer, events keep
 # their per-user ordering, LSH pairs stay within-copy only if content
-# differs — content columns are NOT perturbed, so dedup queries see every
-# bucket 16× hot: the adversarial case we WANT to measure).
+# differs — content columns are NOT perturbed by default, so dedup
+# queries see every bucket 16× hot: the adversarial case; see PERTURB).
 KEYish = ("key", "_id", "id")
 
 
@@ -60,6 +74,22 @@ def build_probe_dir(spark) -> None:
         for c, t in df.dtypes:
             if _is_key(c) and t in ("bigint", "int", "long"):
                 rep = rep.withColumn(c, F.col(c) + F.col("_copy") * SHIFT)
+        if PERTURB and name == "documents":
+            # per-copy token prefix: within-copy duplicate structure is
+            # preserved exactly; across copies nothing matches
+            rep = rep.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda x: F.concat(
+                            F.lit("c"), F.col("_copy").cast("string"),
+                            F.lit("_"), x,
+                        ),
+                    ),
+                    " ",
+                ),
+            )
         rep.drop("_copy").write.mode("overwrite").parquet(
             f"{PROBE_DIR}/{name}.parquet"
         )
