@@ -273,18 +273,36 @@ def jaccard_verify(
     `shingles` must carry SET semantics (word_shingles distinct=True) and
     is consumed three times (two intersection joins + sizes): persist it.
     Candidate pairs are deduplicated defensively — duplicate pairs would
-    multiply the intersection counts and push jaccard past 1."""
-    shingles = tracked_persist(shingles)
-    candidates = candidates.select("id_a", "id_b").distinct()
-    sh_a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    multiply the intersection counts and push jaccard past 1.
+
+    The shingle frame is pruned to PARTICIPANT docs (one semi-join on
+    the candidate id set — AQE converts it to a broadcast when the set
+    is small) before anything shuffles: without the prune, the
+    (id_b, shingle) intersection join shuffles the WHOLE corpus's
+    shingles even when LSH surfaced only a handful of pairs — measured
+    at the 64× perturbed probe tier as the difference between per-4×
+    7.6 (corpus-shuffle bound) and linear (SCALING.md round 8). The
+    prune keeps every shingle of each participant doc, so intersection
+    counts and set sizes are unchanged."""
+    candidates = tracked_persist(candidates.select("id_a", "id_b").distinct())
+    part = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = tracked_persist(shingles.join(part, id_col, "left_semi"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         candidates.join(sh_a, "id_a")
         .join(sh_b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    return _jaccard_from_intersections(shingles, inter, id_col, threshold)
+    # sizes come from the pruned frame too: the semi-join prunes by DOC,
+    # never by shingle, so participant set sizes are exact — and docs
+    # outside the candidate set never reach the size join anyway
+    return _jaccard_from_intersections(sh, inter, id_col, threshold)
 
 
 HEX = "0123456789abcdef"
