@@ -121,10 +121,13 @@ def _approx_rows(df: DataFrame, row_bytes: int) -> int | None:
     """Row-count ESTIMATE from the frame's scanned file sizes (Hadoop
     FileSystem — scheme-agnostic: local, HDFS, object stores): total
     bytes ÷ ``row_bytes``. Metadata-only — no data pass. None for
-    file-less in-memory frames. Order-of-magnitude accuracy is the
-    contract (compression vs per-row overhead roughly cancel for float
-    arrays); use it only where the consumer saturates quickly, never
-    where exactness matters."""
+    file-less in-memory frames — including a file-backed frame whose
+    identical plan someone cached (Spark substitutes the
+    InMemoryRelation and inputFiles() turns []); callers fall back to
+    counting, which such a frame serves from memory anyway.
+    Order-of-magnitude accuracy is the contract (compression vs per-row
+    overhead roughly cancel for float arrays); use it only where the
+    consumer saturates quickly, never where exactness matters."""
     files = df.inputFiles()
     if not files:
         return None

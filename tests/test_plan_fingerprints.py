@@ -36,7 +36,18 @@ EXPECTED = {
     "cdc_compact_latest": (1, 0, 0, 0),
     "text_doc_profile": (2, 0, 0, 0),
     "dedup_minhash_lsh": (3, 1, 0, 0),
-    "dedup_lsh_verified": (9, 5, 0, 0),
+    # r8: jaccard_verify prunes the shingle frame to candidate
+    # PARTICIPANTS (one semi-join on the candidate id set) before the
+    # intersection join — the corpus-shuffle fix measured at the 64×
+    # perturbed tier (SCALING.md round 8: verify stage 52→9.5 s,
+    # per-4× 6.6→3.7). The count jump is TEXTUAL, not executed: the
+    # candidates and pruned-shingle frames are tracked_persist'd and
+    # consumed at 5 sites, and toString() reprints each cached
+    # subtree's full build plan under every InMemoryRelation (31 print
+    # sites). Python evals and nested loops stay 0, which is what this
+    # pin chiefly guards; the runtime exchange count is the cache-build
+    # plans' once each.
+    "dedup_lsh_verified": (42, 13, 0, 0),
     # promoted to headline in r7 with the substr/substr_span branches:
     # 6 tag-unioned dedup granularities (doc raw/fingerprint, line
     # common/first, substring kept/span-checksum) — the shuffles are the

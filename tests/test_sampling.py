@@ -257,6 +257,11 @@ def test_cluster_balanced_mix_default_n_clusters_without_count(spark):
     the cap logic, and the default run must stay deterministic."""
     from basic_data_pipeline_spark.operators.sampling import _approx_rows
 
+    # another module's session-scoped .cache() of the same parquet makes
+    # Spark substitute the InMemoryRelation, whose inputFiles() is [] —
+    # the estimator then (correctly) defers to the count fallback, but
+    # THIS test is about the file-size path, so clear the cache first
+    spark.catalog.clearCache()
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     est = _approx_rows(emb, row_bytes=4 * 64)
     assert est is not None and est > 0
