@@ -105,7 +105,16 @@ def fuzzy_pairs(
     """(id_a, id_b, dist): every unordered pair (id_a < id_b) whose
     normalized ``text_col`` values are within ``max_edit`` Levenshtein
     distance — EXACT result via the prefix-filtered candidate join (see
-    module docstring), never a cross product."""
+    module docstring), never a cross product.
+
+    The verify stage joins the normalized text frame back by id; that
+    frame is pruned to PARTICIPANT ids first (one semi-join on the
+    candidate id set — the dedup.jaccard_verify rule, SCALING.md round
+    8). Without the prune, both verify joins shuffle the whole corpus's
+    normalized text to score a candidate-sized pair set; with it, AQE
+    broadcasts the pruned side when candidates are few, and the
+    degenerate everyone-is-a-candidate case costs one extra linear
+    pass. Pruning is by id only, so verify distances are unchanged."""
     tagged = df.select(
         F.lit("s").alias("_side"),
         F.col(id_col).alias("_id"),
@@ -127,9 +136,15 @@ def fuzzy_pairs(
         )
         .distinct()
     )
+    cand = tracked_persist(cand)
+    part = (
+        cand.select(F.col("id_a").alias("_tid"))
+        .unionByName(cand.select(F.col("id_b").alias("_tid")))
+        .distinct()
+    )
     txt = df.select(
         F.col(id_col).alias("_tid"), _norm(F.col(text_col)).alias("_t")
-    )
+    ).join(part, "_tid", "left_semi")
     return (
         cand.join(txt.withColumnRenamed("_tid", "id_a"), "id_a")
         .withColumnRenamed("_t", "_ta")
@@ -179,7 +194,9 @@ def fuzzy_join(
 ) -> DataFrame:
     """(id_a, id_b, dist): the two-table variant — every (a-row, b-row)
     pair within ``max_edit``. The gram-frequency order is computed over
-    the UNION of both sides so the two prefixes are consistent."""
+    the UNION of both sides so the two prefixes are consistent. Each
+    side's text frame is pruned to its participant ids before the
+    verify joins (same rule as ``fuzzy_pairs``)."""
     tagged = a.select(
         F.lit("a").alias("_side"),
         F.col(id_col).alias("_id"),
@@ -204,12 +221,13 @@ def fuzzy_join(
         )
         .distinct()
     )
+    cand = tracked_persist(cand)
     ta = a.select(
         F.col(id_col).alias("id_a"), _norm(F.col(text_col)).alias("_ta")
-    )
+    ).join(cand.select("id_a").distinct(), "id_a", "left_semi")
     tb = b.select(
         F.col(id_col).alias("id_b"), _norm(F.col(text_col)).alias("_tb")
-    )
+    ).join(cand.select("id_b").distinct(), "id_b", "left_semi")
     return (
         cand.join(ta, "id_a")
         .join(tb, "id_b")

@@ -142,3 +142,16 @@ def test_no_cartesian_in_plan(names):
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_verify_side_pruned_to_participants(names):
+    """r8: the verify stage's text frame must carry the participant
+    semi-join prune (the dedup.jaccard_verify rule) — without it both
+    verify joins shuffle the whole corpus's normalized text for a
+    candidate-sized pair set."""
+    for frame in (
+        entity.fuzzy_pairs(names, "id", "name"),
+        entity.fuzzy_join(names, names, "id", "name"),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
