@@ -1,0 +1,190 @@
+"""Domain-level corpus curation: per-domain quota capping, domain
+stats, and blocklist/allowlist filtering (SURVEY.md §2.11).
+
+Web-scale training corpora are curated per *domain* before any
+per-document filter runs: RefinedWeb and CCNet cap how many documents a
+single domain may contribute (a handful of mirror-heavy domains
+otherwise dominate the corpus), and every production pipeline carries a
+domain blocklist. The reference has no notion of domains (its only
+grouping is the CDC table name, /root/reference/consumer_to_file.py:
+135-160); here the `documents.source` column plays the domain role.
+
+Scale design:
+
+- ``domain_cap`` keeps a deterministic pseudo-random sample of at most
+  ``cap`` documents per domain. The rank key is a hash of the document
+  id (xxhash64 by default), NOT arrival order, so the kept set is a
+  uniform sample of the domain and is stable under any partitioning or
+  input order. Ranking is a ``row_number`` window — one shuffle on the
+  domain key. A hot domain (the exact population this operator exists
+  to tame) would make that window a single straggler task, so the
+  window is SALTED two-phase: pass 1 ranks within (domain, salt) and
+  keeps at most ``cap`` rows per salt bucket — the hot domain's sort
+  fans out across ``salt_buckets`` tasks — and pass 2 ranks the
+  ≤ cap·salt_buckets survivors per domain, a frame bounded by
+  #domains·cap·salt_buckets regardless of corpus size. Both passes rank
+  a narrow (domain, id, rank-key) projection; the full rows rejoin by a
+  semi-join on id so wide document rows are never shuffled twice.
+- ``domain_stats`` is one map-side-partial ``groupBy`` producing one
+  row per domain; every aggregate is an exact integer sum or count (the
+  one ratio is a single integer/integer division, bit-reproducible).
+- ``domain_filter`` is a broadcast semi/anti join against the
+  domain-list frame — blocklists are small by construction, so the
+  corpus side never shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    rank_key: Optional[Column] = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """At most ``cap`` rows per ``domain_col`` value, chosen as the
+    ``cap`` smallest ``rank_key`` values (default ``xxhash64(id)`` — a
+    deterministic uniform sample). Exact, order-insensitive, and
+    partitioning-invariant; ties on the rank key break by id, so the
+    kept set is unique whenever ids are.
+
+    ``salt_buckets`` controls the skew fan-out of the first-pass window
+    (see module docstring); any value >= 1 returns the identical kept
+    set because pass 1 only discards rows that at least ``cap`` rows of
+    the SAME domain and bucket already beat.
+    """
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    if cap == 0:
+        return df.limit(0)
+    key = rank_key if rank_key is not None else F.xxhash64(F.col(id_col))
+    narrow = df.select(
+        F.col(domain_col).alias("_dom"),
+        F.col(id_col).alias("_id"),
+        key.alias("_rk"),
+    )
+    if salt_buckets > 1:
+        salted = Window.partitionBy(
+            "_dom", F.pmod(F.xxhash64(F.col("_id"), F.lit(1)), salt_buckets)
+        ).orderBy("_rk", "_id")
+        narrow = narrow.withColumn(
+            "_srn", F.row_number().over(salted)
+        ).filter(F.col("_srn") <= cap).drop("_srn")
+    final = Window.partitionBy("_dom").orderBy("_rk", "_id")
+    kept = (
+        narrow.withColumn("_rn", F.row_number().over(final))
+        .filter(F.col("_rn") <= cap)
+        .select(F.col("_id").alias(id_col))
+    )
+    return df.join(kept, id_col, "left_semi")
+
+
+def domain_cap_ranked(
+    df: DataFrame,
+    domain_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    rank_key: Optional[Column] = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """(domain, id, rank): the kept set of ``domain_cap`` with its
+    within-domain rank (1-based, rank order = kept-sample order) —
+    the audit view a curation report wants, without re-deriving the
+    window. Same exactness and salting contract as ``domain_cap``."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    key = rank_key if rank_key is not None else F.xxhash64(F.col(id_col))
+    narrow = df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(id_col).alias(id_col),
+        key.alias("_rk"),
+    )
+    if salt_buckets > 1:
+        salted = Window.partitionBy(
+            "domain",
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(1)), salt_buckets),
+        ).orderBy("_rk", id_col)
+        narrow = narrow.withColumn(
+            "_srn", F.row_number().over(salted)
+        ).filter(F.col("_srn") <= cap).drop("_srn")
+    final = Window.partitionBy("domain").orderBy("_rk", id_col)
+    return (
+        narrow.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= cap)
+        .select("domain", id_col, "rank")
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    domain_col: str,
+    size_col: str = "n_chars",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One row per domain: document count, exact total size, exact
+    mean size (integer-sum / count — one division, bit-reproducible),
+    and distinct language count. The curation dashboard every
+    web-corpus pipeline starts from; one map-side-partial groupBy."""
+    return df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(size_col).alias("total_size"),
+        (
+            F.sum(size_col).cast("double") / F.count(size_col)
+        ).alias("mean_size"),
+        F.countDistinct(lang_col).alias("n_langs"),
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    domain_col: str,
+    blocklist: Optional[DataFrame] = None,
+    allowlist: Optional[DataFrame] = None,
+    list_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose domain is on ``blocklist`` and/or keep only rows
+    whose domain is on ``allowlist`` (each a 1-column frame of domain
+    values). Both joins broadcast the list side — domain lists are
+    small by construction, so the corpus side never shuffles."""
+    if blocklist is None and allowlist is None:
+        raise ValueError("pass blocklist and/or allowlist")
+    out = df
+    if allowlist is not None:
+        out = out.join(
+            F.broadcast(
+                allowlist.select(F.col(list_col).alias(domain_col)).distinct()
+            ),
+            domain_col,
+            "left_semi",
+        )
+    if blocklist is not None:
+        out = out.join(
+            F.broadcast(
+                blocklist.select(F.col(list_col).alias(domain_col)).distinct()
+            ),
+            domain_col,
+            "left_anti",
+        )
+    return out
+
+
+def domains_from_values(
+    spark, values: Sequence[str], list_col: str = "domain"
+) -> DataFrame:
+    """Literal domain list -> 1-column frame (blocklist/allowlist
+    input for ``domain_filter``)."""
+    return spark.createDataFrame(
+        [(v,) for v in values], f"{list_col} string"
+    )

@@ -21,6 +21,7 @@ from basic_data_pipeline_spark.caching import tracked_persist
 from basic_data_pipeline_spark.catalog import load_table
 from basic_data_pipeline_spark.operators import (
     dedup,
+    domains,
     multimodal,
     packing,
     quality,
@@ -315,6 +316,26 @@ _LR_SELECT = "\n    UNION ALL\n".join(
                  * ln(greatest(fb, 1e-6) / greatest(fa, 1e-6)), 6)
     FROM pf
     UNION ALL
+    SELECT 'domcap', source, CAST(doc_id AS VARCHAR),
+           CAST(rn AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM (SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY (doc_id * 1000003) % 7919, doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 10
+    UNION ALL
+    SELECT 'domstats', source, CAST(NULL AS VARCHAR),
+           count(*), CAST(sum(n_chars) AS BIGINT),
+           CAST(sum(n_chars) AS DOUBLE) / count(n_chars),
+           CAST(count(DISTINCT lang) AS DOUBLE)
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT 'domfilter', source, CAST(NULL AS VARCHAR),
+           count(*), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM documents WHERE source NOT IN ('src0', 'src1') GROUP BY source
+    UNION ALL
 {_LR_SELECT}
     """,
 )
@@ -333,7 +354,8 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document top-n-gram and duplicate-n-gram fractions
     (operators/text.py repetition_profile) — the MassiveText repetition
     filters; the fractions are single integer divisions, so the oracle
-    matches them bit-exactly."""
+    matches them bit-exactly. Domain branches (domcap/domstats/
+    domfilter, r8): see the inline comment below."""
     d = _docs_spread(spark, sf_dir)
     t = F.col("text")
     null_d = F.lit(None).cast("double")
@@ -425,10 +447,56 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("raw", 6) + F.lit(0.0)).alias("d1"),
         F.lit(None).cast("double").alias("d2"),
     )
+    # domain branches (r8, operators/domains.py): per-domain quota
+    # capping (RefinedWeb-style — kept ids AND their within-domain
+    # ranks, so the oracle pins the salted two-phase window, not just
+    # the survivor count), the per-domain curation stats row, and the
+    # broadcast blocklist filter. The cap's rank key is an LCG on
+    # doc_id ((id*1000003) % 7919) instead of the default xxhash64 so
+    # DuckDB computes the identical permutation.
+    cap_rk = F.pmod(F.col("doc_id") * F.lit(1000003), F.lit(7919))
+    domcap = domains.domain_cap_ranked(
+        d, "source", 10, rank_key=cap_rk
+    ).select(
+        F.lit("domcap").alias("grp"),
+        F.col("domain").alias("k1"),
+        F.col("doc_id").cast("string").alias("k2"),
+        F.col("rank").cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        null_d.alias("d1"),
+        null_d.alias("d2"),
+    )
+    domstats = domains.domain_stats(d, "source").select(
+        F.lit("domstats").alias("grp"),
+        F.col("domain").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_docs").alias("n1"),
+        F.col("total_size").alias("n2"),
+        F.col("mean_size").alias("d1"),
+        F.col("n_langs").cast("double").alias("d2"),
+    )
+    blk = domains.domains_from_values(spark, ["src0", "src1"])
+    domfilter = (
+        domains.domain_filter(d, "source", blocklist=blk)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("domfilter").alias("grp"),
+            F.col("source").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            F.col("n").alias("n1"),
+            F.lit(None).cast("long").alias("n2"),
+            null_d.alias("d1"),
+            null_d.alias("d2"),
+        )
+    )
     return (
         lang.unionByName(tokens)
         .unionByName(rep)
         .unionByName(psi)
+        .unionByName(domcap)
+        .unionByName(domstats)
+        .unionByName(domfilter)
         .unionByName(lr)
     )
 
