@@ -4,10 +4,10 @@ of this engine runs between "raw crawl" and "tokenizer input".
 Chains the package's operators in the order production corpora use them,
 with per-stage row accounting so a run is auditable:
 
-    exact dedup → near dedup (LSH+verify) → [substring dedup] →
-    quality filter → repetition filter → benchmark decontamination →
-    mixing (temperature or explicit) → [deterministic shuffle] →
-    sequence packing
+    [domain cap] → exact dedup → near dedup (LSH+verify) →
+    [substring dedup] → quality filter → repetition filter →
+    benchmark decontamination → mixing (temperature or explicit) →
+    [deterministic shuffle] → sequence packing
 
 Every stage is one of the already-tested operators (dedup.py, text.py,
 packing.py, sampling.py); this module adds only the composition and the
@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from basic_data_pipeline_spark.operators import (
     classifier,
     dedup,
+    domains,
     packing,
     sampling,
     substring,
@@ -41,7 +42,7 @@ _PARAMS_FILE = "_prep_params.json"
 # bump when the fingerprint payload shape or digest rules change: a
 # version mismatch reads as "recreate the workdir (format changed)",
 # not the misleading "DIFFERENT parameters"
-_FP_VERSION = 2
+_FP_VERSION = 3
 
 
 @dataclass
@@ -57,6 +58,8 @@ def prepare_training_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    domain_col: str | None = None,
+    max_per_domain: int | None = None,
     near_dup_threshold: float = 0.5,
     substring_k: int | None = None,
     min_quality: float = 0.5,
@@ -75,7 +78,12 @@ def prepare_training_corpus(
 ) -> CorpusPrepResult:
     """Run the full prep pipeline; see module docstring for the stages.
 
-    `mix` (explicit per-source fractions, may upsample) and `temperature`
+    `domain_col`/`max_per_domain` (when set, together) prepend the
+    PER-DOMAIN QUOTA stage: at most `max_per_domain` documents per
+    domain survive, chosen as a deterministic hash-ranked sample
+    (operators/domains.py `domain_cap` — the RefinedWeb cap that stops
+    mirror-heavy domains dominating the corpus and every downstream
+    stage's cost). `mix` (explicit per-source fractions, may upsample) and `temperature`
     ((n_i/N)^(1/T) rebalancing) are mutually exclusive; neither skips
     mixing entirely. `max_repetition` (when set) drops documents whose
     duplicate-bigram fraction exceeds it (repetition_profile — the
@@ -113,6 +121,10 @@ def prepare_training_corpus(
     persisted for the caller's first action."""
     if mix is not None and temperature is not None:
         raise ValueError("pass either mix= or temperature=, not both")
+    if (domain_col is None) != (max_per_domain is None):
+        raise ValueError(
+            "pass domain_col= and max_per_domain= together (or neither)"
+        )
     held: list[DataFrame] = []
     spark = docs.sparkSession
 
@@ -154,6 +166,8 @@ def prepare_training_corpus(
             json.dumps(
                 {
                     "id_col": id_col, "text_col": text_col,
+                    "domain_col": domain_col,
+                    "max_per_domain": max_per_domain,
                     "near_dup_threshold": near_dup_threshold,
                     "substring_k": substring_k,
                     "min_quality": min_quality,
@@ -233,11 +247,28 @@ def prepare_training_corpus(
 
     ledger = {"input": n_input}
 
+    # 0. per-domain quota cap (optional): RefinedWeb-style — at most
+    # max_per_domain docs per domain_col value, a deterministic
+    # hash-ranked sample (operators/domains.py, salted two-phase
+    # window). Runs FIRST, on the raw crawl: capping before dedup is the
+    # production order (mirror-heavy domains otherwise dominate every
+    # downstream stage's cost), and the hash rank makes the kept set
+    # independent of input order, so the pipeline stays deterministic.
+    d0 = docs
+    if domain_col is not None:
+        d0 = stage(
+            lambda: domains.domain_cap(
+                docs, domain_col, max_per_domain, id_col=id_col
+            ),
+            "domain_cap",
+        )
+        ledger["domain_cap"] = d0.count()
+
     # 1. exact dedup under the canonical fingerprint (formatting-proof)
     survivors = dedup.exact_dedup_survivors(
-        docs, id_col, text.fingerprint(F.col(text_col))
+        d0, id_col, text.fingerprint(F.col(text_col))
     ).select(id_col)
-    d = stage(lambda: docs.join(survivors, id_col, "left_semi"),
+    d = stage(lambda: d0.join(survivors, id_col, "left_semi"),
               "exact_dedup")
     ledger["exact_dedup"] = d.count()
 

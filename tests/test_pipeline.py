@@ -380,3 +380,48 @@ def test_workdir_model_identity_in_fingerprint(spark, docs, tmp_path):
             docs, seq_len=256, workdir=wd, quality_model=m_b,
             min_model_quality=0.0,
         )
+
+
+def test_domain_cap_stage_bounds_every_domain(spark, docs):
+    """r8: the optional domain-quota stage caps each source at
+    max_per_domain BEFORE dedup, the ledger records it first, and the
+    kept set is deterministic under repartitioning."""
+    res = prepare_training_corpus(
+        docs, domain_col="source", max_per_domain=5, seq_len=256,
+    )
+    led = res.ledger
+    assert list(led)[:3] == ["input", "domain_cap", "exact_dedup"]
+    assert led["domain_cap"] <= led["input"]
+    assert led["domain_cap"] >= led["exact_dedup"]
+    per_dom = (
+        res.docs.groupBy("source").count().agg(F.max("count")).first()[0]
+    )
+    assert per_dom <= 5
+    res2 = prepare_training_corpus(
+        docs.repartition(13), domain_col="source", max_per_domain=5,
+        seq_len=256,
+    )
+    assert res2.ledger == led
+    ids = lambda r: {x.doc_id for x in r.docs.select("doc_id").collect()}
+    assert ids(res2) == ids(res)
+
+
+def test_domain_cap_params_must_travel_together(spark, docs):
+    with pytest.raises(ValueError, match="together"):
+        prepare_training_corpus(docs, domain_col="source", seq_len=256)
+    with pytest.raises(ValueError, match="together"):
+        prepare_training_corpus(docs, max_per_domain=5, seq_len=256)
+
+
+def test_domain_cap_in_workdir_fingerprint(spark, docs, tmp_path):
+    """Resuming a workdir under a different cap raises."""
+    wd = str(tmp_path / "wd")
+    prepare_training_corpus(
+        docs, domain_col="source", max_per_domain=5, seq_len=256,
+        workdir=wd,
+    )
+    with pytest.raises(ValueError, match="DIFFERENT parameters"):
+        prepare_training_corpus(
+            docs, domain_col="source", max_per_domain=6, seq_len=256,
+            workdir=wd,
+        )

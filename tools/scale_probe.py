@@ -411,7 +411,19 @@ def _probe_near_dedup_quality(spark, d):
     )
 
 
+def _probe_domain_cap(spark, d):
+    from basic_data_pipeline_spark.operators import domains
+
+    # source column is NOT key-shifted, so the 16x replica concentrates
+    # 16x docs into the SAME 20 domains — exactly the hot-domain case
+    # the salted two-phase window exists for. cap=100 keeps 2000 rows at
+    # every scale, so wall growth is the operator's, not the output's.
+    docs = load_table(spark, d, "documents")
+    return domains.domain_cap_ranked(docs, "source", 100)
+
+
 EXTRA_PROBES = {
+    "op_domain_cap": _probe_domain_cap,
     "op_quality_profile": _probe_quality_profile,
     "op_quality_checks": _probe_quality_checks,
     "op_table_diff": _probe_table_diff,
