@@ -6,7 +6,8 @@ with per-stage row accounting so a run is auditable:
 
     [domain cap] → exact dedup → near dedup (LSH+verify) →
     [substring dedup] → quality filter → repetition filter →
-    benchmark decontamination → mixing (temperature or explicit) →
+    benchmark decontamination → [DSIR importance resampling] →
+    mixing (temperature or explicit) →
     [deterministic shuffle] → sequence packing
 
 Every stage is one of the already-tested operators (dedup.py, text.py,
@@ -33,6 +34,7 @@ from basic_data_pipeline_spark.operators import (
     domains,
     packing,
     sampling,
+    selection,
     substring,
     text,
 )
@@ -42,7 +44,7 @@ _PARAMS_FILE = "_prep_params.json"
 # bump when the fingerprint payload shape or digest rules change: a
 # version mismatch reads as "recreate the workdir (format changed)",
 # not the misleading "DIFFERENT parameters"
-_FP_VERSION = 3
+_FP_VERSION = 4
 
 
 @dataclass
@@ -69,6 +71,9 @@ def prepare_training_corpus(
     min_model_quality: float = 0.5,
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 8,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_buckets: int = 4096,
     mix: dict[str, float] | None = None,
     mix_col: str = "source",
     temperature: float | None = None,
@@ -101,7 +106,12 @@ def prepare_training_corpus(
     adds the TRAINED quality floor: a fitted
     `classifier.QualityModel` scores every survivor (zero-shuffle
     codegen projection) and docs below `min_model_quality` drop —
-    the learned CCNet-style layer on top of the heuristic flags. `workdir` (when set) makes the
+    the learned CCNet-style layer on top of the heuristic flags.
+    `dsir_target`/`dsir_k` (when set, together) append the DSIR
+    IMPORTANCE RESAMPLING stage after decontamination: the `dsir_k`
+    survivors whose hashed-n-gram distribution best matches
+    `dsir_target` are kept, sampled without replacement by the
+    deterministic Gumbel top-k (operators/selection.py). `workdir` (when set) makes the
     run DURABLE: each stage's survivors are written atomically to
     workdir/<stage> and a restarted run resumes from the last completed
     stage (the `_SUCCESS` marker is the completion signal; eager stage
@@ -124,6 +134,10 @@ def prepare_training_corpus(
     if (domain_col is None) != (max_per_domain is None):
         raise ValueError(
             "pass domain_col= and max_per_domain= together (or neither)"
+        )
+    if (dsir_target is None) != (dsir_k is None):
+        raise ValueError(
+            "pass dsir_target= and dsir_k= together (or neither)"
         )
     held: list[DataFrame] = []
     spark = docs.sparkSession
@@ -187,6 +201,9 @@ def prepare_training_corpus(
                     "docs_input": _input_identity(docs),
                     "benchmark_input": _input_identity(benchmark),
                     "contamination_ngram": contamination_ngram,
+                    "dsir_target_input": _input_identity(dsir_target),
+                    "dsir_k": dsir_k,
+                    "dsir_buckets": dsir_buckets,
                     "mix": mix, "mix_col": mix_col,
                     "temperature": temperature,
                     "shuffle_salt": shuffle_salt, "seq_len": seq_len,
@@ -368,6 +385,26 @@ def prepare_training_corpus(
 
         d = stage(_decon_stage, "decontaminated")
         ledger["decontaminated"] = d.count()
+
+    # 4b. DSIR importance resampling (optional): keep the dsir_k
+    # survivors whose hashed-n-gram distribution best matches the target
+    # corpus, sampled without replacement via the deterministic Gumbel
+    # top-k (operators/selection.py — Xie et al. 2023). Runs on the
+    # CLEANED, DECONTAMINATED pool (the paper's order: selection from a
+    # pre-filtered raw pool) and before mixing, so the mix/pack stages
+    # see only the selected documents.
+    if dsir_target is not None:
+        prev = d
+
+        def _dsir_stage(prev=prev):
+            sel = selection.importance_resample(
+                prev, dsir_target, id_col, text_col,
+                k=dsir_k, n_buckets=dsir_buckets,
+            )
+            return prev.join(sel.select(id_col), id_col, "left_semi")
+
+        d = stage(_dsir_stage, "dsir")
+        ledger["dsir"] = d.count()
 
     # 5. mixing
     if temperature is not None:

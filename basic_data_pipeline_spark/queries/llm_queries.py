@@ -25,6 +25,7 @@ from basic_data_pipeline_spark.operators import (
     multimodal,
     packing,
     quality,
+    selection,
     similarity,
     substring,
     text,
@@ -281,7 +282,39 @@ _LR_SELECT = "\n    UNION ALL\n".join(
            FROM psrc GROUP BY bin),
     pt AS (SELECT CAST(sum(ca) AS DOUBLE) AS ta,
                   CAST(sum(cb) AS DOUBLE) AS tb FROM pc),
-    pf AS (SELECT bin, ca / ta AS fa, cb / tb AS fb FROM pc, pt)
+    pf AS (SELECT bin, ca / ta AS fa, cb / tb AS fb FROM pc, pt),
+    dgr AS (SELECT doc_id, array_to_string(w[i+1:i+1], ' ') AS g
+            FROM rtoks, UNNEST(range(0, greatest(len(w) - 1, 0) + 1)) AS t(i)
+            UNION ALL
+            SELECT doc_id, array_to_string(w[i+1:i+2], ' ') AS g
+            FROM rtoks, UNNEST(range(0, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+    dcnt AS (SELECT doc_id,
+                    ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b,
+                    count(*) AS c
+             FROM dgr GROUP BY 1, 2),
+    drawc AS (SELECT b, sum(c) AS r_b FROM dcnt GROUP BY 1),
+    dtgtc AS (SELECT b, sum(c) AS t_b FROM dcnt
+              WHERE doc_id % 50 = 0 GROUP BY 1),
+    dlam AS (SELECT r.b,
+                    CAST(round(
+                      ln((COALESCE(t.t_b, 0) + 1.0) /
+                         ((SELECT sum(t_b) FROM dtgtc) + 1024.0))
+                      - ln((r.r_b + 1.0) /
+                           ((SELECT sum(r_b) FROM drawc) + 1024.0)),
+                      6) AS DECIMAL(18,6)) AS lam
+             FROM drawc r LEFT JOIN dtgtc t ON r.b = t.b),
+    dw AS (SELECT c.doc_id, sum(c.c) AS n_grams,
+                  CAST(sum(CAST(c.c AS DECIMAL(12,0)) *
+                           COALESCE(l.lam, CAST(0 AS DECIMAL(18,6))))
+                       AS DECIMAL(38,6)) AS log_w
+           FROM dcnt c LEFT JOIN dlam l ON c.b = l.b GROUP BY 1),
+    dk AS (SELECT doc_id, n_grams, log_w,
+                  CAST(log_w AS DOUBLE)
+                  - ln(-ln((('0x' || substr(md5('dsir:' ||
+                              CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                            + 0.5) / 4294967296.0)) AS g
+           FROM dw),
+    dsel AS (SELECT doc_id FROM dk ORDER BY g DESC, doc_id LIMIT 150)
     SELECT 'lang' AS grp, lang AS k1,
            CASE WHEN cjk * 3 >= n THEN 'zh'
                 WHEN en >= greatest(en, de, es, fr) THEN 'en'
@@ -335,6 +368,12 @@ _LR_SELECT = "\n    UNION ALL\n".join(
            count(*), CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM documents WHERE source NOT IN ('src0', 'src1') GROUP BY source
+    UNION ALL
+    SELECT 'dsir', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(n_grams AS BIGINT),
+           CAST(doc_id IN (SELECT doc_id FROM dsel) AS BIGINT),
+           CAST(log_w AS DOUBLE), round(g, 6)
+    FROM dk
     UNION ALL
 {_LR_SELECT}
     """,
@@ -490,6 +529,45 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_d.alias("d2"),
         )
     )
+    # dsir branch (r8, operators/selection.py): DSIR importance
+    # resampling — hashed-n-gram importance weights toward the
+    # doc_id % 50 == 0 target slice (the corpus_pack_contam benchmark
+    # convention) and the Gumbel-top-k sample. The weights are exact
+    # DECIMAL sums over 6-place-rounded log-ratios and the Gumbel noise
+    # is md5-derived, so DuckDB reproduces weight, key, AND the selected
+    # set bit-for-bit; the sel_key is rounded at 6 places (the psi/ln
+    # ULP convention). Selection membership comes from a broadcast join
+    # against the orderBy().limit() top-k (TakeOrderedAndProject) — no
+    # global-order window.
+    raw_counts = tracked_persist(
+        selection.hashed_ngram_counts(d, "doc_id", "text", 1024)
+    )
+    tgt_counts = selection.hashed_ngram_counts(
+        d.filter(F.col("doc_id") % 50 == 0), "doc_id", "text", 1024
+    )
+    lam = selection.importance_log_ratios(tgt_counts, raw_counts, 1024)
+    weights = selection.importance_log_weights(raw_counts, lam, "doc_id")
+    keyed = tracked_persist(
+        weights.withColumn(
+            "sel_key", selection.gumbel_key(F.col("log_w"), F.col("doc_id"))
+        )
+    )
+    top = (
+        keyed.orderBy(F.desc("sel_key"), F.col("doc_id"))
+        .limit(150)
+        .select(F.col("doc_id").alias("sel_id"))
+    )
+    dsir = keyed.join(
+        F.broadcast(top), keyed["doc_id"] == top["sel_id"], "left"
+    ).select(
+        F.lit("dsir").alias("grp"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_grams").alias("n1"),
+        F.col("sel_id").isNotNull().cast("long").alias("n2"),
+        F.col("log_w").cast("double").alias("d1"),
+        F.round("sel_key", 6).alias("d2"),
+    )
     return (
         lang.unionByName(tokens)
         .unionByName(rep)
@@ -498,6 +576,7 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(domstats)
         .unionByName(domfilter)
         .unionByName(lr)
+        .unionByName(dsir)
     )
 
 

@@ -425,3 +425,54 @@ def test_domain_cap_in_workdir_fingerprint(spark, docs, tmp_path):
             docs, domain_col="source", max_per_domain=6, seq_len=256,
             workdir=wd,
         )
+
+
+def test_dsir_stage_selects_k_target_matched_docs(spark, docs):
+    """r8: the optional DSIR stage keeps exactly dsir_k survivors (the
+    Gumbel-top-k sample toward the target), the ledger records it after
+    decontamination, and the kept set is deterministic under
+    repartitioning."""
+    target = docs.filter(F.col("doc_id") % 50 == 0)
+    res = prepare_training_corpus(
+        docs, dsir_target=target, dsir_k=20, dsir_buckets=256, seq_len=256,
+    )
+    led = res.ledger
+    assert "dsir" in led and led["dsir"] == 20
+    keys = list(led)
+    assert keys.index("dsir") < keys.index("mixed") if "mixed" in led else True
+    assert res.docs.select("doc_id").distinct().count() == 20
+    res2 = prepare_training_corpus(
+        docs.repartition(13), dsir_target=target, dsir_k=20,
+        dsir_buckets=256, seq_len=256,
+    )
+    ids = lambda r: {x.doc_id for x in r.docs.select("doc_id").collect()}
+    assert ids(res2) == ids(res)
+    assert res2.ledger == led
+
+
+def test_dsir_params_must_travel_together(spark, docs):
+    target = docs.limit(5)
+    with pytest.raises(ValueError, match="together"):
+        prepare_training_corpus(docs, dsir_target=target, seq_len=256)
+    with pytest.raises(ValueError, match="together"):
+        prepare_training_corpus(docs, dsir_k=10, seq_len=256)
+
+
+def test_dsir_in_workdir_fingerprint(spark, docs, tmp_path):
+    """Resuming a workdir under a different dsir_k or target raises."""
+    target = docs.filter(F.col("doc_id") % 50 == 0)
+    wd = str(tmp_path / "wd")
+    prepare_training_corpus(
+        docs, dsir_target=target, dsir_k=20, dsir_buckets=256,
+        seq_len=256, workdir=wd,
+    )
+    with pytest.raises(ValueError, match="DIFFERENT parameters"):
+        prepare_training_corpus(
+            docs, dsir_target=target, dsir_k=21, dsir_buckets=256,
+            seq_len=256, workdir=wd,
+        )
+    with pytest.raises(ValueError, match="DIFFERENT parameters"):
+        prepare_training_corpus(
+            docs, dsir_target=docs.filter(F.col("doc_id") % 50 == 1),
+            dsir_k=20, dsir_buckets=256, seq_len=256, workdir=wd,
+        )
