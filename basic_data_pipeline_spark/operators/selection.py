@@ -117,6 +117,8 @@ def importance_log_ratios(
     sums are exact and partitioning-invariant. Buckets unseen in BOTH
     corpora are omitted — their lam would multiply a zero count in every
     document that could ever join against them."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (smoothing), got {alpha}")
     t = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("t_b"))
     r = raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("r_b"))
     # Totals are single-row frames; cross-join (broadcast, 1 row) beats
@@ -185,7 +187,7 @@ def gumbel_key(log_w: Column, id_col: Column, salt: str = "dsir") -> Column:
 
 def importance_resample(
     raw_docs: DataFrame,
-    target_docs: DataFrame,
+    target_docs: Optional[DataFrame],
     id_col: str,
     text_col: str,
     k: int,
@@ -196,8 +198,9 @@ def importance_resample(
     log_ratios: Optional[DataFrame] = None,
 ) -> DataFrame:
     """The one-call DSIR pipeline: fit p on ``target_docs`` and q on
-    ``raw_docs`` (or reuse a persisted ``log_ratios`` model), weight every
-    raw document, and return the k Gumbel-top-k selected rows as
+    ``raw_docs`` (or reuse a persisted ``log_ratios`` model, in which
+    case ``target_docs`` may be None), weight every raw document, and
+    return the k Gumbel-top-k selected rows as
     (id, n_grams, log_w, sel_key).
 
     The selection is ``orderBy(desc).limit(k)`` — Spark plans this as
@@ -206,6 +209,8 @@ def importance_resample(
     the weight pass regardless of pool size."""
     raw_counts = hashed_ngram_counts(raw_docs, id_col, text_col, n_buckets, ns)
     if log_ratios is None:
+        if target_docs is None:
+            raise ValueError("pass target_docs= or a fitted log_ratios=")
         # raw_counts feeds BOTH the q-fit and the weight pass; without
         # the persist the raw corpus is tokenized and hashed twice
         # (tracked_persist: released at the next @query invocation).

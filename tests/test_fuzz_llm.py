@@ -209,3 +209,41 @@ def test_incremental_substring_random_split_equals_oneshot(
         for r in IS.incremental_substring_dedup(spark, df_t, idx).collect()
     }
     assert {**out_h, **out_t} == serial_substring_dedup(corpus, k)
+
+
+# --- DSIR importance weights --------------------------------------------
+
+from tests.test_selection import _serial_log_weights, N_BUCKETS as _DSIR_B
+
+_dsir_doc = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zz"]),
+    min_size=1, max_size=8,
+).map(" ".join)
+
+
+@settings(**_SET)
+@given(
+    raw=st.lists(_dsir_doc, min_size=2, max_size=8),
+    tgt=st.lists(_dsir_doc, min_size=1, max_size=3),
+)
+def test_dsir_weights_match_serial(spark, raw, tgt):
+    """Random tiny-vocab corpora: Spark's exact-DECIMAL DSIR log-weights
+    equal the pure-python reference bit-for-bit (hash buckets collide on
+    purpose at 64 buckets)."""
+    from decimal import Decimal
+
+    from basic_data_pipeline_spark.operators import selection
+
+    raw_rows = list(enumerate(raw))
+    tgt_rows = [(100 + i, t) for i, t in enumerate(tgt)]
+    rdf = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tdf = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    rc = selection.hashed_ngram_counts(rdf, "doc_id", "text", _DSIR_B)
+    tc = selection.hashed_ngram_counts(tdf, "doc_id", "text", _DSIR_B)
+    lam = selection.importance_log_ratios(tc, rc, _DSIR_B)
+    got = {
+        r["doc_id"]: Decimal(r["log_w"])
+        for r in selection.importance_log_weights(rc, lam, "doc_id").collect()
+    }
+    want = _serial_log_weights(raw_rows, tgt_rows)
+    assert got == want

@@ -422,7 +422,23 @@ def _probe_domain_cap(spark, d):
     return domains.domain_cap_ranked(docs, "source", 100)
 
 
+def _probe_dsir_resample(spark, d):
+    from basic_data_pipeline_spark.operators import selection
+
+    # target = the benchmark slice (doc_id % 50 == 0 pre-shift; the
+    # copier shifts doc_id by 1e9 per copy, and 1e9 % 50 == 0, so the
+    # slice stays 2% of every copy). k fixed at 500: output is constant,
+    # wall growth is the fit + weight passes' — both linear shuffles
+    # plus the O(n_buckets) broadcast model.
+    docs = load_table(spark, d, "documents")
+    return selection.importance_resample(
+        docs, docs.filter(F.col("doc_id") % 50 == 0),
+        "doc_id", "text", k=500,
+    )
+
+
 EXTRA_PROBES = {
+    "op_dsir_resample": _probe_dsir_resample,
     "op_domain_cap": _probe_domain_cap,
     "op_quality_profile": _probe_quality_profile,
     "op_quality_checks": _probe_quality_checks,
