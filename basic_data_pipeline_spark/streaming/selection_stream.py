@@ -101,6 +101,49 @@ def read_selected(spark: SparkSession, out_path: str) -> DataFrame:
     )
 
 
+def make_count_update_batch_fn(
+    counts_path: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body that keeps the DSIR raw distribution FRESH as
+    the pool grows: bucket counts are purely additive, so each
+    micro-batch appends its own (bucket, cnt) totals — at most
+    ``n_buckets`` rows per epoch, regardless of batch volume — under an
+    idempotent ``epoch=<id>`` overwrite. No intent markers or swap
+    machinery: partitions are independent and replay rewrites an
+    identical partition (the quality_stream pattern). The model refit
+    reads the SUMMED log (``read_raw_counts``) — O(n_buckets × epochs)
+    rows, driver-trivial forever."""
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        totals = (
+            hashed_ngram_counts(batch_df, id_col, text_col, n_buckets)
+            .groupBy("bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        totals.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(counts_path, f"epoch={epoch_id}")
+        )
+
+    return fn
+
+
+def read_raw_counts(spark: SparkSession, counts_path: str) -> DataFrame:
+    """(bucket, cnt) — the raw pool's bucket distribution summed over
+    every recorded epoch; feed straight into
+    ``operators.selection.importance_log_ratios`` to refit the model."""
+    return (
+        spark.read.option("basePath", counts_path)
+        .parquet(os.path.join(counts_path, "epoch=*"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
 def select_files(
     spark: SparkSession,
     source_dir: str,

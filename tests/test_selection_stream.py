@@ -134,3 +134,44 @@ def test_streaming_engine_end_to_end(spark, tmp_path):
         for r in selection_stream.read_selected(spark, out).collect()
     }
     assert got == {d: w for d, (w, _) in keys.items()}
+
+
+def test_incremental_raw_counts_refit_matches_batch_fit(spark, tmp_path):
+    """The epoch count log summed across batches reproduces the one-shot
+    raw distribution exactly, so a refit model equals the batch model
+    bucket-for-bucket (counts are additive — no approximation)."""
+    raw = spark.createDataFrame(RAW, SCHEMA)
+    tgt = spark.createDataFrame(TARGET, SCHEMA)
+    cpath = str(tmp_path / "counts")
+    fn = selection_stream.make_count_update_batch_fn(
+        cpath, "doc_id", "text", N_BUCKETS
+    )
+    fn(spark.createDataFrame(RAW[:3], SCHEMA), 0)
+    fn(spark.createDataFrame(RAW[3:], SCHEMA), 1)
+    summed = selection_stream.read_raw_counts(spark, cpath)
+    tc = selection.hashed_ngram_counts(tgt, "doc_id", "text", N_BUCKETS)
+    refit = selection.importance_log_ratios(tc, summed, N_BUCKETS)
+    rc = selection.hashed_ngram_counts(raw, "doc_id", "text", N_BUCKETS)
+    batch = selection.importance_log_ratios(tc, rc, N_BUCKETS)
+    as_map = lambda df: {
+        r["bucket"]: Decimal(r["lam"]) for r in df.collect()
+    }
+    assert as_map(refit) == as_map(batch)
+
+
+def test_count_log_replay_is_idempotent(spark, tmp_path):
+    cpath = str(tmp_path / "counts")
+    fn = selection_stream.make_count_update_batch_fn(
+        cpath, "doc_id", "text", N_BUCKETS
+    )
+    fn(spark.createDataFrame(RAW[:4], SCHEMA), 0)
+    before = sorted(
+        (r["bucket"], r["cnt"])
+        for r in selection_stream.read_raw_counts(spark, cpath).collect()
+    )
+    fn(spark.createDataFrame(RAW[:4], SCHEMA), 0)  # replayed epoch
+    after = sorted(
+        (r["bucket"], r["cnt"])
+        for r in selection_stream.read_raw_counts(spark, cpath).collect()
+    )
+    assert after == before
