@@ -112,11 +112,16 @@ def importance_log_ratios(
         p_b = (t_b + alpha) / (T + alpha * n_buckets)
 
     (and likewise q from the raw counts). This is the DSIR "model": an
-    ``n_buckets``-row frame that persists like a centroid table and
+    EXACTLY ``n_buckets``-row frame (one row per bucket id 0..B-1, the
+    full closed hash domain) that persists like a centroid table and
     always broadcasts. ``lam`` is DECIMAL(38,6) so downstream document
-    sums are exact and partitioning-invariant. Buckets unseen in BOTH
-    corpora are omitted — their lam would multiply a zero count in every
-    document that could ever join against them."""
+    sums are exact and partitioning-invariant. Covering the whole domain
+    matters once the model is FROZEN and reused: a bucket unseen during
+    the fit still has a well-defined smoothed ratio
+    ``ln((R + alpha*B) / (T + alpha*B))``, and a novel-vocabulary
+    document scored later must receive it — not a silent 0 (which would
+    reject exactly the out-of-distribution documents the smoothing
+    exists to price)."""
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0 (smoothing), got {alpha}")
     t = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("t_b"))
@@ -125,8 +130,13 @@ def importance_log_ratios(
     # collecting through the driver and keeps the whole fit one plan.
     t_tot = t.agg(F.sum("t_b").alias("t_total"))
     r_tot = r.agg(F.sum("r_b").alias("r_total"))
+    domain = (
+        target_counts.sparkSession.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+    )
     joined = (
-        t.join(r, "bucket", "full_outer")
+        domain.join(t, "bucket", "left")
+        .join(r, "bucket", "left")
         .crossJoin(F.broadcast(t_tot))
         .crossJoin(F.broadcast(r_tot))
         .select(
@@ -153,7 +163,10 @@ def importance_log_weights(
     The log-ratio table is O(n_buckets) and broadcast; the groupBy(id)
     reuses the (id, bucket) exchange ``hashed_ngram_counts`` already
     positioned. ``log_w`` is an exact DECIMAL sum — identical under any
-    partitioning and in the DuckDB oracle."""
+    partitioning and in the DuckDB oracle. Models from
+    ``importance_log_ratios`` cover the full bucket domain, so the
+    lam-missing coalesce below is only a guard for hand-trimmed
+    tables."""
     return (
         doc_counts.join(F.broadcast(log_ratios), "bucket", "left")
         .groupBy(id_col)

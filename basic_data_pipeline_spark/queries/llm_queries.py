@@ -542,9 +542,11 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_counts = tracked_persist(
         selection.hashed_ngram_counts(d, "doc_id", "text", 1024)
     )
-    tgt_counts = selection.hashed_ngram_counts(
-        d.filter(F.col("doc_id") % 50 == 0), "doc_id", "text", 1024
-    )
+    # the target is a SLICE of the raw pool, so its per-doc bucket
+    # counts are a filter of the already-persisted raw features — no
+    # second tokenize/hash pass (and structurally identical to the
+    # oracle's dtgtc-from-dcnt derivation)
+    tgt_counts = raw_counts.filter(F.col("doc_id") % 50 == 0)
     lam = selection.importance_log_ratios(tgt_counts, raw_counts, 1024)
     weights = selection.importance_log_weights(raw_counts, lam, "doc_id")
     keyed = tracked_persist(

@@ -30,7 +30,7 @@ applies that frozen model to every micro-batch:
 from __future__ import annotations
 
 import os
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,10 +49,13 @@ def score_batch(
     text_col: str,
     n_buckets: int = 4096,
     salt: str = "dsir",
+    ns: Sequence[int] = (1, 2),
 ) -> DataFrame:
     """(id, n_grams, log_w, sel_key) for one (micro-)batch against a
-    frozen log-ratio model — the shared batch/stream scoring body."""
-    counts = hashed_ngram_counts(batch_df, id_col, text_col, n_buckets)
+    frozen log-ratio model — the shared batch/stream scoring body.
+    ``n_buckets`` and ``ns`` MUST match the model's fit parameters, or
+    the stream scores a different feature space than the model prices."""
+    counts = hashed_ngram_counts(batch_df, id_col, text_col, n_buckets, ns)
     w = importance_log_weights(counts, model, id_col)
     return w.withColumn(
         "sel_key", gumbel_key(F.col("log_w"), F.col(id_col), salt)
@@ -68,16 +71,18 @@ def make_selection_batch_fn(
     n_buckets: int = 4096,
     salt: str = "dsir",
     gumbel: bool = True,
+    ns: Sequence[int] = (1, 2),
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: keep the micro-batch rows whose selection key
     clears ``min_key`` and persist them (full rows + log_w + sel_key)
-    under ``epoch=<id>``."""
+    under ``epoch=<id>``. ``n_buckets``/``ns`` must match the model's
+    fit parameters."""
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         scored = score_batch(
-            batch_df, model, id_col, text_col, n_buckets, salt
+            batch_df, model, id_col, text_col, n_buckets, salt, ns
         )
         key = F.col("sel_key") if gumbel else F.col("log_w").cast("double")
         kept = batch_df.join(
@@ -106,6 +111,7 @@ def make_count_update_batch_fn(
     id_col: str,
     text_col: str,
     n_buckets: int = 4096,
+    ns: Sequence[int] = (1, 2),
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body that keeps the DSIR raw distribution FRESH as
     the pool grows: bucket counts are purely additive, so each
@@ -121,7 +127,7 @@ def make_count_update_batch_fn(
         if batch_df.isEmpty():
             return
         totals = (
-            hashed_ngram_counts(batch_df, id_col, text_col, n_buckets)
+            hashed_ngram_counts(batch_df, id_col, text_col, n_buckets, ns)
             .groupBy("bucket")
             .agg(F.sum("cnt").alias("cnt"))
         )

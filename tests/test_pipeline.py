@@ -434,16 +434,20 @@ def test_dsir_stage_selects_k_target_matched_docs(spark, docs):
     repartitioning."""
     target = docs.filter(F.col("doc_id") % 50 == 0)
     res = prepare_training_corpus(
-        docs, dsir_target=target, dsir_k=20, dsir_buckets=256, seq_len=256,
+        docs, dsir_target=target, dsir_k=20, dsir_buckets=256,
+        temperature=3.0, seq_len=256,
     )
     led = res.ledger
     assert "dsir" in led and led["dsir"] == 20
     keys = list(led)
-    assert keys.index("dsir") < keys.index("mixed") if "mixed" in led else True
-    assert res.docs.select("doc_id").distinct().count() == 20
+    assert keys.index("near_dedup") < keys.index("dsir") < keys.index("mixed")
+    # mixing runs AFTER selection, so the final corpus is drawn from the
+    # 20 selected docs only
+    assert res.docs.select("doc_id").distinct().count() <= 20
+    assert led["mixed"] <= led["dsir"] * 3  # sane upsample bound
     res2 = prepare_training_corpus(
         docs.repartition(13), dsir_target=target, dsir_k=20,
-        dsir_buckets=256, seq_len=256,
+        dsir_buckets=256, temperature=3.0, seq_len=256,
     )
     ids = lambda r: {x.doc_id for x in r.docs.select("doc_id").collect()}
     assert ids(res2) == ids(res)

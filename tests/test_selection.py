@@ -167,3 +167,42 @@ def test_gumbel_key_properties(spark):
     assert all(math.isfinite(v) for v in vals)
     # Gumbel(0,1): median ~0.3665, and values spread well beyond it
     assert min(vals) < -0.5 and max(vals) > 1.5
+
+
+def test_frozen_model_covers_full_bucket_domain(spark, frames):
+    """The model has exactly one row per bucket id, so a FROZEN model
+    applied to novel vocabulary prices unseen buckets with the smoothed
+    default ln((R+aB)/(T+aB)) — not a silent 0 that would reject
+    exactly the out-of-distribution docs smoothing exists to price."""
+    raw, tgt = frames
+    rc = selection.hashed_ngram_counts(raw, "doc_id", "text", N_BUCKETS)
+    tc = selection.hashed_ngram_counts(tgt, "doc_id", "text", N_BUCKETS)
+    lam_df = selection.importance_log_ratios(tc, rc, N_BUCKETS)
+    lam = {r["bucket"]: Decimal(r["lam"]) for r in lam_df.collect()}
+    assert set(lam) == set(range(N_BUCKETS))
+    # serial default for a bucket unseen in BOTH corpora
+    T = sum(len(_grams(t)) for _, t in TARGET)
+    R = sum(len(_grams(t)) for _, t in RAW)
+    default = Decimal(
+        str(round(math.log((0 + 1) / (T + N_BUCKETS))
+                  - math.log((0 + 1) / (R + N_BUCKETS)), 6))
+    )
+    seen = {_bucket(g) for _, t in RAW + TARGET for g in _grams(t)}
+    unseen = set(range(N_BUCKETS)) - seen
+    assert unseen, "fixture must leave some buckets unseen"
+    for b in unseen:
+        assert lam[b] == default
+    assert default > 0  # raw pool >> target: novelty is priced UP here
+    # end to end: a novel-vocabulary doc's weight is the bucket-wise sum
+    novel = spark.createDataFrame(
+        [(99, "zzz yyy xxx zzz")], "doc_id long, text string"
+    )
+    nc = selection.hashed_ngram_counts(novel, "doc_id", "text", N_BUCKETS)
+    got = Decimal(
+        selection.importance_log_weights(nc, lam_df, "doc_id")
+        .collect()[0]["log_w"]
+    )
+    want = sum(
+        (lam[_bucket(g)] for g in _grams("zzz yyy xxx zzz")), Decimal(0)
+    )
+    assert got == want != 0

@@ -175,3 +175,40 @@ def test_count_log_replay_is_idempotent(spark, tmp_path):
         for r in selection_stream.read_raw_counts(spark, cpath).collect()
     )
     assert after == before
+
+
+def test_ns_parameter_threads_through_streaming(spark, tmp_path):
+    """A model fit on unigrams only must be scored/maintained with
+    ns=(1,) in the streaming bodies — the parameter is plumbed, not
+    hardcoded to the (1,2) default."""
+    raw = spark.createDataFrame(RAW, SCHEMA)
+    tgt = spark.createDataFrame(TARGET, SCHEMA)
+    rc1 = selection.hashed_ngram_counts(raw, "doc_id", "text", N_BUCKETS, ns=(1,))
+    tc1 = selection.hashed_ngram_counts(tgt, "doc_id", "text", N_BUCKETS, ns=(1,))
+    model1 = selection.importance_log_ratios(tc1, rc1, N_BUCKETS)
+    batch = {
+        r["doc_id"]: Decimal(r["log_w"])
+        for r in selection.importance_log_weights(rc1, model1, "doc_id").collect()
+    }
+    streamed = {
+        r["doc_id"]: Decimal(r["log_w"])
+        for r in selection_stream.score_batch(
+            raw, model1, "doc_id", "text", N_BUCKETS, ns=(1,)
+        ).collect()
+    }
+    assert streamed == batch
+    # count maintenance with ns=(1,) reproduces the unigram distribution
+    cpath = str(tmp_path / "counts")
+    fn = selection_stream.make_count_update_batch_fn(
+        cpath, "doc_id", "text", N_BUCKETS, ns=(1,)
+    )
+    fn(raw, 0)
+    summed = {
+        (r["bucket"], r["cnt"])
+        for r in selection_stream.read_raw_counts(spark, cpath).collect()
+    }
+    want = {
+        (r["bucket"], r["cnt"])
+        for r in rc1.groupBy("bucket").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert summed == want
