@@ -7,12 +7,15 @@ sample run as `mapInPandas` stages — Arrow moves columnar batches into
 pandas with zero row-at-a-time serde, the ONLY sanctioned Python hot path
 in this engine. The Spark-side plumbing (schemas, batch shapes, UDF
 signatures, partitioning) is real and tested. Metadata decode is REAL for
-header-borne containers even without a codec library: PNG/GIF/BMP/JPEG/WAV
-parse with stdlib `struct`/`zlib` (r7; JPEG SOF-walk r8); pillow/soundfile
-are picked up by import-try when present; only genuinely codec-bound
-bytes (MP3/video) stay gated behind `RealDecodeUnavailable`, and `decode_media_meta`
-ships a deterministic fake decoder so the full pipeline is exercisable
-and oracle-checkable end to end regardless.
+header-borne containers even without a codec library:
+PNG/GIF/BMP/JPEG/WAV/MP3/MP4 all parse with stdlib `struct`/bit lookups
+(r7; JPEG SOF-walk, MP3 frame-header walk, and the ISO-BMFF box walk
+r8); pillow/soundfile are picked up by import-try when present. The
+`RealDecodeUnavailable` gate now covers only PIXELS/SAMPLES decoding and
+containers outside this set — every shipped modality has a real metadata
+path — and `decode_media_meta` still ships a deterministic fake decoder
+so the full pipeline is exercisable and oracle-checkable end to end
+regardless.
 
 Scale notes (100 TB of media):
 - binary columns ride Parquet like any other column; `maxPartitionBytes`
@@ -54,9 +57,9 @@ MEDIA_META_SCHEMA = T.StructType(
 class RealDecodeUnavailable(NotImplementedError):
     """Raised by the real-codec path when neither a codec library (PIL
     for images, soundfile for audio) nor a pure-stdlib container parser
-    (PNG/GIF/BMP/JPEG for images, WAV for audio — see ``_STDLIB_PARSERS``)
-    can handle the bytes. Video has no in-container codec ever. The
-    deterministic fake keeps the pipeline testable either way."""
+    (PNG/GIF/BMP/JPEG images, WAV/MP3 audio, MP4/MOV video — see
+    ``_STDLIB_PARSERS``) can handle the bytes. The deterministic fake
+    keeps the pipeline testable either way."""
 
 
 def _load_codecs() -> dict:
@@ -107,12 +110,14 @@ _CODECS: dict | None = None
 
 
 # --- pure-stdlib container parsers (no codec library needed) -------------
-# Real header parsing with `struct` only: PNG IHDR, GIF logical screen
-# descriptor + block-walk frame count, BMP info header, JPEG SOF marker
-# walk, WAV fmt/data chunks. These retire the codec gate for the formats
-# whose metadata lives in a documented container header — the gate
-# remains only for formats that genuinely need a decoder (MP3 audio,
-# video containers).
+# Real header parsing with `struct`/bit lookups only: PNG IHDR, GIF
+# logical screen descriptor + block-walk frame count, BMP info header,
+# JPEG SOF marker walk, WAV fmt/data chunks, MP3 frame-header walk
+# (bitrate/samplerate tables give exact frame lengths — no entropy
+# decoding), and the MP4/MOV ISO-BMFF box tree (tkhd dimensions + stsz
+# sample count). Every shipped modality now has a real metadata path;
+# the gate remains only for containers outside this set and for actual
+# pixel/sample decoding.
 
 def _parse_png(data: bytes) -> dict | None:
     import struct
@@ -252,18 +257,161 @@ def _parse_wav(data: bytes) -> dict | None:
     }
 
 
+_MP3_BITRATES = {  # kbps by (version-group, layer); index 1..14
+    ("V1", 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    ("V1", 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    ("V1", 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ("V2", 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    ("V2", 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    ("V2", 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {  # Hz by version bits (byte1 >> 3 & 3): 0=V2.5, 2=V2, 3=V1
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_frame(data: bytes, pos: int):
+    """(frame_length, channels, sample_rate) of the MPEG audio frame at
+    ``pos``, or None if the 4 bytes there are not a valid frame header.
+    Pure table lookup on the documented 32-bit header — no decoding."""
+    if pos + 4 > len(data) or data[pos] != 0xFF or data[pos + 1] & 0xE0 != 0xE0:
+        return None
+    vbits = (data[pos + 1] >> 3) & 0x3
+    lbits = (data[pos + 1] >> 1) & 0x3
+    if vbits == 1 or lbits == 0:  # reserved version / reserved layer
+        return None
+    layer = 4 - lbits  # bits 01→L3, 10→L2, 11→L1
+    group = "V1" if vbits == 3 else "V2"  # V2 and V2.5 share tables
+    bidx = (data[pos + 2] >> 4) & 0xF
+    ridx = (data[pos + 2] >> 2) & 0x3
+    if bidx in (0, 15) or ridx == 3:  # free-format / bad indices
+        return None
+    bitrate = _MP3_BITRATES[(group, layer)][bidx - 1] * 1000
+    rate = _MP3_RATES[vbits][ridx]
+    padding = (data[pos + 2] >> 1) & 0x1
+    channels = 1 if (data[pos + 3] >> 6) & 0x3 == 3 else 2
+    if layer == 1:
+        length = (12 * bitrate // rate + padding) * 4
+    else:
+        samples = 1152 if (layer == 2 or group == "V1") else 576
+        length = samples // 8 * bitrate // rate + padding
+    return length, channels, rate
+
+
+def _parse_mp3(data: bytes) -> dict | None:
+    """Walk MPEG audio frame headers — pure `struct`-free bit lookups
+    (frame sizes derive from the documented bitrate/samplerate tables;
+    no entropy decoding). Skips a leading ID3v2 tag (syncsafe size),
+    requires the first frame header immediately after it, and counts
+    frames until the bytes run out; a mid-stream corrupt header refuses
+    rather than guessing. Schema mapping matches WAV: width=channels,
+    height=sample rate, n_frames=frame count."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = 0
+        for b in data[6:10]:
+            if b & 0x80:
+                return None  # syncsafe bytes must have bit 7 clear
+            size = (size << 7) | b
+        pos = 10 + size
+    first = _mp3_frame(data, pos)
+    if first is None:
+        return None
+    channels, rate = first[1], first[2]
+    n_frames = 0
+    while pos < len(data):
+        if data[pos : pos + 3] == b"TAG" and len(data) - pos == 128:
+            break  # trailing ID3v1 tag
+        frame = _mp3_frame(data, pos)
+        if frame is None or pos + frame[0] > len(data):
+            return None  # corrupt header / truncated final frame
+        n_frames += 1
+        pos += frame[0]
+    return {"width": channels, "height": rate, "n_frames": n_frames}
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for the ISO-BMFF
+    boxes between ``start`` and ``end``; stops (without guessing) at the
+    first malformed size."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        head = 8
+        if size == 1:  # 64-bit largesize follows
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            head = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < head or pos + size > end:
+            return
+        yield btype, pos + head, pos + size
+        pos += size
+
+
+def _parse_mp4(data: bytes) -> dict | None:
+    """Walk the ISO-BMFF (MP4/MOV) box tree — pure `struct`, no codec:
+    ftyp at the top, then moov → trak → tkhd (track width/height,
+    16.16 fixed point) and the same trak's stbl → stsz sample count
+    (frames). Returns the first track with nonzero dimensions — the
+    video track; refuses when ftyp/moov/such a track is absent."""
+    import struct
+
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    containers = {b"trak", b"mdia", b"minf", b"stbl"}
+
+    def walk_trak(s: int, e: int):
+        dims, frames = None, None
+        stack = [(s, e)]
+        while stack:
+            lo, hi = stack.pop()
+            for btype, ps, pe in _mp4_boxes(data, lo, hi):
+                if btype == b"tkhd" and pe - ps >= 12:
+                    w, h = struct.unpack(">II", data[pe - 8 : pe])
+                    dims = (w >> 16, h >> 16)
+                elif btype == b"stsz" and pe - ps >= 12:
+                    (frames,) = struct.unpack(">I", data[ps + 8 : ps + 12])
+                elif btype in containers:
+                    stack.append((ps, pe))
+        return dims, frames
+
+    for btype, ps, pe in _mp4_boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _mp4_boxes(data, ps, pe):
+            if ctype != b"trak":
+                continue
+            dims, frames = walk_trak(cs, ce)
+            if dims and dims[0] and dims[1]:
+                return {
+                    "width": dims[0],
+                    "height": dims[1],
+                    "n_frames": frames if frames else 1,
+                }
+    return None
+
+
 _STDLIB_PARSERS = {
     "image": (_parse_png, _parse_gif, _parse_bmp, _parse_jpeg),
-    "audio": (_parse_wav,),
+    "audio": (_parse_wav, _parse_mp3),
+    "video": (_parse_mp4,),
 }
 
 
 def decode_with_real_codec(data: bytes, modality: str) -> dict:
     """Decode one media item's metadata for real: the codec library for
     its modality when importable, else the pure-stdlib container parsers
-    (PNG/GIF/BMP/JPEG, WAV). Raises RealDecodeUnavailable only when
-    neither path can handle the bytes (MP3/video in a codec-less
-    container)."""
+    (PNG/GIF/BMP/JPEG, WAV/MP3, MP4/MOV). Raises RealDecodeUnavailable
+    only when neither path can handle the bytes (an unrecognized or
+    corrupt container)."""
     global _CODECS
     if _CODECS is None:
         _CODECS = _load_codecs()

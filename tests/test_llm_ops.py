@@ -169,7 +169,8 @@ def test_multimodal_decode_meta_shape(docs, spark):
 def test_multimodal_real_codec_import_try():
     """The real path is an import-try with a stdlib fallback: bytes that
     match no supported container raise RealDecodeUnavailable for every
-    modality; video is always gated (no stdlib video container parse)."""
+    modality (every modality now has a stdlib parser, so only
+    unrecognized/corrupt containers gate)."""
     codecs = multimodal._load_codecs()
     for modality in multimodal.MODALITIES:
         if modality in codecs:  # pragma: no cover - codec lib present
@@ -1373,3 +1374,124 @@ def test_semantic_dedup_high_threshold_keeps_everything(spark):
     )
     assert pairs.count() == 0
     assert survivors.count() == 30
+
+
+def _make_mp3(
+    n_frames: int,
+    stereo: bool = True,
+    v1: bool = True,
+    id3v2: int = 0,
+    id3v1: bool = False,
+) -> bytes:
+    """Valid MPEG audio stream built from the documented header tables:
+    V1 L3 128 kbps @ 44100 (frame 417 B) or V2 L3 64 kbps @ 22050
+    (frame 417 B), stereo/mono, optional ID3v2 prefix / ID3v1 tail."""
+    out = b""
+    if id3v2:
+        out += b"ID3\x03\x00\x00" + bytes(
+            [(id3v2 >> 21) & 0x7F, (id3v2 >> 14) & 0x7F,
+             (id3v2 >> 7) & 0x7F, id3v2 & 0x7F]
+        ) + b"\x00" * id3v2
+    if v1:
+        hdr = bytes([0xFF, 0xFB, 0x90, 0x00 if stereo else 0xC0])
+        length = 144 * 128000 // 44100  # 417
+    else:
+        hdr = bytes([0xFF, 0xF3, 0x80, 0x00 if stereo else 0xC0])
+        length = 72 * 64000 // 22050  # 235
+    for _ in range(n_frames):
+        out += hdr + b"\x01" * (length - 4)
+    if id3v1:
+        out += b"TAG" + b"\x00" * 125
+    return out
+
+
+def test_stdlib_mp3_frame_walk():
+    """MP3 metadata parses for real with stdlib only — the audio gate is
+    retired for MPEG streams."""
+    assert multimodal.decode_with_real_codec(_make_mp3(3), "audio") == {
+        "width": 2, "height": 44100, "n_frames": 3
+    }
+    assert multimodal.decode_with_real_codec(
+        _make_mp3(5, stereo=False, v1=False), "audio"
+    ) == {"width": 1, "height": 22050, "n_frames": 5}
+    # ID3v2 prefix skipped (syncsafe size), ID3v1 tail tolerated
+    assert multimodal.decode_with_real_codec(
+        _make_mp3(2, id3v2=200, id3v1=True), "audio"
+    ) == {"width": 2, "height": 44100, "n_frames": 2}
+    # truncated final frame / garbage refuse rather than guess
+    with pytest.raises(multimodal.RealDecodeUnavailable):
+        multimodal.decode_with_real_codec(_make_mp3(3)[:-10], "audio")
+    with pytest.raises(multimodal.RealDecodeUnavailable):
+        multimodal.decode_with_real_codec(b"\xffnot an mpeg frame", "audio")
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _make_mp4(w: int, h: int, n_frames: int, with_stsz: bool = True) -> bytes:
+    import struct
+
+    tkhd_v = _mp4_box(
+        b"tkhd", b"\x00" * 76 + struct.pack(">II", w << 16, h << 16)
+    )
+    stbl = _mp4_box(
+        b"stbl",
+        _mp4_box(b"stsz", b"\x00" * 4 + struct.pack(">II", 0, n_frames))
+        if with_stsz else b"",
+    )
+    video_trak = _mp4_box(
+        b"trak", tkhd_v + _mp4_box(b"mdia", _mp4_box(b"minf", stbl))
+    )
+    # an audio track (zero dimensions) FIRST — the walk must skip it
+    audio_trak = _mp4_box(
+        b"trak",
+        _mp4_box(b"tkhd", b"\x00" * 76 + struct.pack(">II", 0, 0)),
+    )
+    moov = _mp4_box(b"moov", audio_trak + video_trak)
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov + _mp4_box(b"mdat", b"\x00" * 32)
+
+
+def test_stdlib_mp4_box_walk():
+    """MP4 metadata parses for real with stdlib only — the LAST modality
+    gate (video) is retired for ISO-BMFF containers."""
+    assert multimodal.decode_with_real_codec(
+        _make_mp4(640, 360, 24), "video"
+    ) == {"width": 640, "height": 360, "n_frames": 24}
+    # no stsz → dimensions still parse, frame count defaults to 1
+    assert multimodal.decode_with_real_codec(
+        _make_mp4(1920, 1080, 0, with_stsz=False), "video"
+    ) == {"width": 1920, "height": 1080, "n_frames": 1}
+    # missing moov / non-BMFF bytes refuse rather than guess
+    with pytest.raises(multimodal.RealDecodeUnavailable):
+        multimodal.decode_with_real_codec(
+            _mp4_box(b"ftyp", b"isom") + _mp4_box(b"mdat", b"\x00" * 8),
+            "video",
+        )
+    with pytest.raises(multimodal.RealDecodeUnavailable):
+        multimodal.decode_with_real_codec(b"\x00\x00\x00\x08free", "video")
+
+
+def test_real_decode_all_modalities_through_pipeline(spark):
+    """fake=False end to end for ALL THREE modalities with stdlib-only
+    parsing — no codec library, no gate."""
+    rows = [
+        (1, "image", bytearray(_make_jpeg(320, 200))),
+        (2, "audio", bytearray(_make_mp3(7))),
+        (3, "video", bytearray(_make_mp4(640, 360, 24))),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, data binary"
+    )
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["n_frames"])
+        for r in multimodal.decode_media_meta(media, fake=False).collect()
+    }
+    assert got == {
+        1: (320, 200, 1),
+        2: (2, 44100, 7),
+        3: (640, 360, 24),
+    }
