@@ -58,6 +58,12 @@ from basic_data_pipeline_spark.partitioning import spread
 #: digits and sums of ~1e6-gram documents stay far inside 38 digits.
 _DEC = "decimal(38,6)"
 
+#: Above this k, exact top-k (TakeOrderedAndProject: k rows at the
+#: driver) stops being reasonable — callers that scale k with the corpus
+#: should switch to ``importance_resample_threshold`` (the pipeline
+#: stage does so automatically).
+EXACT_K_CEILING = 1_000_000
+
 
 def _bucket(gram: Column, n_buckets: int) -> Column:
     """Engine-portable hash bucket: value of the first 8 md5 hex chars
@@ -239,3 +245,58 @@ def importance_resample(
         "sel_key", gumbel_key(F.col("log_w"), F.col(id_col), salt)
     )
     return keyed.orderBy(F.desc("sel_key"), F.col(id_col)).limit(k)
+
+
+def importance_resample_threshold(
+    raw_docs: DataFrame,
+    target_docs: Optional[DataFrame],
+    id_col: str,
+    text_col: str,
+    expected_k: int,
+    n_buckets: int = 4096,
+    ns: Sequence[int] = (1, 2),
+    alpha: float = 1.0,
+    salt: str = "dsir",
+    log_ratios: Optional[DataFrame] = None,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """The corpus-scale selection path: ``importance_resample``'s exact
+    top-k plans as TakeOrderedAndProject, which materializes k rows AT
+    THE DRIVER — right for driver-sized k, wrong for "select 200M docs
+    from 10B". This variant never moves documents to the driver: it
+    sketches the Gumbel-key distribution (``approxQuantile`` — a
+    mergeable sketch, one aggregation, one scalar back) to find the
+    ~(1 - k/n) quantile and keeps every document whose key clears it —
+    the SAME threshold rule the streaming selector applies, so batch and
+    stream selection compose. Returns (id, n_grams, log_w, sel_key),
+    ~``expected_k`` rows (the sketch's ``relative_error`` bounds the
+    count deviation); the kept set is exactly the top-|result| by key,
+    because thresholding a total order can never skip a higher key.
+
+    Two scans of the weight frame (sketch + filter), both fully
+    distributed; the weight frame is persisted across them."""
+    raw_counts = hashed_ngram_counts(raw_docs, id_col, text_col, n_buckets, ns)
+    if log_ratios is None:
+        if target_docs is None:
+            raise ValueError("pass target_docs= or a fitted log_ratios=")
+        raw_counts = tracked_persist(raw_counts)
+        target_counts = hashed_ngram_counts(
+            target_docs, id_col, text_col, n_buckets, ns
+        )
+        log_ratios = importance_log_ratios(
+            target_counts, raw_counts, n_buckets, alpha
+        )
+    weights = importance_log_weights(raw_counts, log_ratios, id_col)
+    keyed = tracked_persist(
+        weights.withColumn(
+            "sel_key", gumbel_key(F.col("log_w"), F.col(id_col), salt)
+        )
+    )
+    n = keyed.count()
+    if expected_k >= n:
+        return keyed
+    frac = 1.0 - expected_k / n
+    (threshold,) = keyed.stat.approxQuantile(
+        "sel_key", [frac], relative_error
+    )
+    return keyed.filter(F.col("sel_key") >= threshold)

@@ -397,10 +397,19 @@ def prepare_training_corpus(
         prev = d
 
         def _dsir_stage(prev=prev):
-            sel = selection.importance_resample(
-                prev, dsir_target, id_col, text_col,
-                k=dsir_k, n_buckets=dsir_buckets,
-            )
+            # corpus-scale k switches to the quantile-threshold selector
+            # (no k-row driver materialization; count ~ k within the
+            # sketch error) — exact Gumbel top-k below the ceiling
+            if dsir_k > selection.EXACT_K_CEILING:
+                sel = selection.importance_resample_threshold(
+                    prev, dsir_target, id_col, text_col,
+                    expected_k=dsir_k, n_buckets=dsir_buckets,
+                )
+            else:
+                sel = selection.importance_resample(
+                    prev, dsir_target, id_col, text_col,
+                    k=dsir_k, n_buckets=dsir_buckets,
+                )
             return prev.join(sel.select(id_col), id_col, "left_semi")
 
         d = stage(_dsir_stage, "dsir")

@@ -206,3 +206,31 @@ def test_frozen_model_covers_full_bucket_domain(spark, frames):
         (lam[_bucket(g)] for g in _grams("zzz yyy xxx zzz")), Decimal(0)
     )
     assert got == want != 0
+
+
+def test_threshold_selection_matches_topk_semantics(spark, frames):
+    """The corpus-scale threshold path never moves documents to the
+    driver; its result is exactly the top-|result| by key (thresholding
+    a total order cannot skip a higher key) and lands near expected_k."""
+    raw, tgt = frames
+    sel = selection.importance_resample_threshold(
+        raw, tgt, "doc_id", "text", expected_k=3, n_buckets=N_BUCKETS,
+    )
+    rows = sel.collect()
+    assert 2 <= len(rows) <= 4  # quantile lands between adjacent keys
+    all_keys = {
+        r["doc_id"]: r["sel_key"]
+        for r in selection.importance_resample(
+            raw, tgt, "doc_id", "text", k=len(RAW), n_buckets=N_BUCKETS
+        ).collect()
+    }
+    kept = {r["doc_id"] for r in rows}
+    worst_kept = min(all_keys[d] for d in kept)
+    best_dropped = max(
+        (all_keys[d] for d in all_keys if d not in kept), default=float("-inf")
+    )
+    assert worst_kept >= best_dropped
+    # expected_k >= n keeps everything
+    assert selection.importance_resample_threshold(
+        raw, tgt, "doc_id", "text", expected_k=100, n_buckets=N_BUCKETS,
+    ).count() == len(RAW)
