@@ -31,9 +31,12 @@ Scale design (the 100 TB contract):
   id — the same key family every other per-document aggregation here
   uses, positioned by ``spread`` so explode-heavy stages run at cluster
   parallelism.
-- Selection is ``sort().limit(k)`` — Spark executes a global top-k as
-  per-partition partial top-k + a k-row driver merge (TakeOrderedAndProject),
-  NOT a full sort shuffle.
+- Selection has two paths: exact ``sort().limit(k)`` for driver-sized k
+  (per-partition partial top-k + a k-row driver merge,
+  TakeOrderedAndProject — not a full sort shuffle), and the
+  quantile-threshold path (``importance_resample_threshold``) for
+  corpus-scale k, which sketches the key distribution and filters —
+  zero driver materialization.
 - Everything is deterministic and engine-portable: buckets come from an
   md5 prefix (``conv(substr(md5(gram),1,8),16,10) % n_buckets`` — DuckDB:
   ``('0x' || substr(md5(gram),1,8))::BIGINT``), log-ratios are rounded at
@@ -273,8 +276,9 @@ def importance_resample_threshold(
     count deviation); the kept set is exactly the top-|result| by key,
     because thresholding a total order can never skip a higher key.
 
-    Two scans of the weight frame (sketch + filter), both fully
-    distributed; the weight frame is persisted across them."""
+    Three passes over the weight frame (count, sketch, filter), all
+    fully distributed and over the PERSISTED frame — none re-runs the
+    corpus tokenization."""
     raw_counts = hashed_ngram_counts(raw_docs, id_col, text_col, n_buckets, ns)
     if log_ratios is None:
         if target_docs is None:

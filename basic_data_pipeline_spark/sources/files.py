@@ -52,7 +52,13 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 
 class JdbcUnavailable(RuntimeError):
-    """The JDBC driver jar is not on the classpath in this container."""
+    """No JDBC driver on the classpath responds to the URL.
+
+    Not always the case in-container: Spark ships embedded Derby (the
+    Hive-metastore dependency), so the partitioned read AND the write
+    path below are exercised for real against
+    ``jdbc:derby:<dir>;create=true`` in tests/test_tables.py — the gate
+    applies only to external-server URLs (ClickHouse/MySQL/Postgres)."""
 
 
 def read_jdbc(
@@ -80,5 +86,33 @@ def read_jdbc(
         reader = reader.option(k, v)
     try:
         return reader.load()
-    except Exception as exc:  # pragma: no cover - no jdbc driver in container
+    except Exception as exc:
         raise JdbcUnavailable(f"jdbc read failed for {url}: {exc}") from exc
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    **options: str,
+) -> None:
+    """JDBC sink (the relational-store face of the reference's
+    Kafka→ClickHouse insert path, /root/reference/consumer_to_file.py:
+    204-250 — there one HTTP INSERT per payload; here one batched
+    partition-parallel JDBC write). Each partition opens one connection
+    and batches inserts (spark's `batchsize`, default 1000), so write
+    parallelism == partition count — repartition upstream to match what
+    the target database can absorb."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    try:
+        writer.save()
+    except Exception as exc:
+        raise JdbcUnavailable(f"jdbc write failed for {url}: {exc}") from exc
