@@ -250,6 +250,49 @@ def importance_resample(
     return keyed.orderBy(F.desc("sel_key"), F.col(id_col)).limit(k)
 
 
+def hashed_kl_divergence(
+    p_counts: DataFrame,
+    q_counts: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """One-row (kl_nats) frame: KL(p || q) between two corpora's
+    smoothed hashed-n-gram distributions — the DSIR paper's selection
+    diagnostic (a good selection moves the selected set's distribution
+    toward the target: KL(target || selected) < KL(target || raw)).
+
+    Pure composition of the fit machinery: both distributions are
+    O(n_buckets) bucket tables, the divergence is one B-row sum —
+    driver-trivial at any corpus size. Deterministic up to float
+    summation over exactly B=n_buckets terms (a fixed-size reduce, not
+    data-sized)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (smoothing), got {alpha}")
+    p = p_counts.groupBy("bucket").agg(F.sum("cnt").alias("p_b"))
+    q = q_counts.groupBy("bucket").agg(F.sum("cnt").alias("q_b"))
+    p_tot = p.agg(F.sum("p_b").alias("p_total"))
+    q_tot = q.agg(F.sum("q_b").alias("q_total"))
+    domain = (
+        p_counts.sparkSession.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+    )
+    joined = (
+        domain.join(p, "bucket", "left")
+        .join(q, "bucket", "left")
+        .crossJoin(F.broadcast(p_tot))
+        .crossJoin(F.broadcast(q_tot))
+    )
+    pp = (F.coalesce(F.col("p_b"), F.lit(0)) + alpha) / (
+        F.coalesce(F.col("p_total"), F.lit(0)) + alpha * n_buckets
+    )
+    qq = (F.coalesce(F.col("q_b"), F.lit(0)) + alpha) / (
+        F.coalesce(F.col("q_total"), F.lit(0)) + alpha * n_buckets
+    )
+    return joined.agg(
+        F.sum(pp * (F.log(pp) - F.log(qq))).alias("kl_nats")
+    )
+
+
 def importance_resample_threshold(
     raw_docs: DataFrame,
     target_docs: Optional[DataFrame],

@@ -234,3 +234,50 @@ def test_threshold_selection_matches_topk_semantics(spark, frames):
     assert selection.importance_resample_threshold(
         raw, tgt, "doc_id", "text", expected_k=100, n_buckets=N_BUCKETS,
     ).count() == len(RAW)
+
+
+def test_kl_divergence_matches_serial_and_drops_after_selection(spark, frames):
+    """KL(target||selected) < KL(target||raw) on the fixture — selection
+    moves the pool toward the target — and the value matches a serial
+    reference."""
+    raw, tgt = frames
+    rc = selection.hashed_ngram_counts(raw, "doc_id", "text", N_BUCKETS)
+    tc = selection.hashed_ngram_counts(tgt, "doc_id", "text", N_BUCKETS)
+
+    def serial_kl(p_corpus, q_corpus):
+        pc, qc = {}, {}
+        for _, t in p_corpus:
+            for g in _grams(t):
+                pc[_bucket(g)] = pc.get(_bucket(g), 0) + 1
+        for _, t in q_corpus:
+            for g in _grams(t):
+                qc[_bucket(g)] = qc.get(_bucket(g), 0) + 1
+        P, Q = sum(pc.values()), sum(qc.values())
+        kl = 0.0
+        for b in range(N_BUCKETS):
+            p = (pc.get(b, 0) + 1) / (P + N_BUCKETS)
+            q = (qc.get(b, 0) + 1) / (Q + N_BUCKETS)
+            kl += p * (math.log(p) - math.log(q))
+        return kl
+
+    got_raw = selection.hashed_kl_divergence(tc, rc, N_BUCKETS).first()[
+        "kl_nats"
+    ]
+    assert got_raw == pytest.approx(serial_kl(TARGET, RAW), rel=1e-9)
+    # select the on-target half deterministically, re-measure
+    sel_ids = {
+        r["doc_id"]
+        for r in selection.importance_resample(
+            raw, tgt, "doc_id", "text", k=3, n_buckets=N_BUCKETS
+        ).collect()
+    }
+    sel_rows = [(d, t) for d, t in RAW if d in sel_ids]
+    sc = selection.hashed_ngram_counts(
+        spark.createDataFrame(sel_rows, "doc_id long, text string"),
+        "doc_id", "text", N_BUCKETS,
+    )
+    got_sel = selection.hashed_kl_divergence(tc, sc, N_BUCKETS).first()[
+        "kl_nats"
+    ]
+    assert got_sel == pytest.approx(serial_kl(TARGET, sel_rows), rel=1e-9)
+    assert got_sel < got_raw  # the selection diagnostic
