@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -377,6 +378,7 @@ def apply_cdc_batch(
     sinks: dict[str, SinkTable] | None = None,
     write_dlq: bool = True,
     dedup_replays: bool = False,
+    sink_factory: Callable[[str], SinkTable] | None = None,
 ) -> tuple[dict[str, SinkTable], DataFrame]:
     """One micro-batch end-to-end: decode → per-table schema-sync /
     normalize / validate → apply. Returns (sinks, dlq_df).
@@ -440,7 +442,13 @@ def apply_cdc_batch(
         sub = events.filter(F.col("table") == tbl)
         upserts = sub.filter(is_upsert)
         deletes = sub.filter(F.col("op") == DELETE_OP)
-        sink = sinks.setdefault(tbl, SinkTable(spark, sink_root, tbl))
+        if tbl not in sinks:
+            sinks[tbl] = (
+                sink_factory(tbl)
+                if sink_factory is not None
+                else SinkTable(spark, sink_root, tbl)
+            )
+        sink = sinks[tbl]
 
         has_upserts = stats[tbl]["n_upserts"] > 0
         has_deletes = stats[tbl]["n_deletes"] > 0
@@ -575,15 +583,21 @@ def apply_cdc_batch(
                 last_del = tombstones.groupBy(key).agg(
                     F.max(ver).alias("_del_ver")
                 )
-                target = sink.read()
-                remaining = (
-                    target.join(F.broadcast(last_del), on=key, how="left")
-                    .filter(
-                        F.col("_del_ver").isNull() | (ver > F.col("_del_ver"))
+                if hasattr(sink, "apply_delete_versions"):
+                    # relational sinks delete in place (the reference's
+                    # per-key ALTER TABLE … DELETE) instead of rewriting
+                    # the whole table
+                    sink.apply_delete_versions(last_del, key, ord_cols)
+                else:
+                    target = sink.read()
+                    remaining = (
+                        target.join(F.broadcast(last_del), on=key, how="left")
+                        .filter(
+                            F.col("_del_ver").isNull() | (ver > F.col("_del_ver"))
+                        )
+                        .drop("_del_ver")
                     )
-                    .drop("_del_ver")
-                )
-                sink.overwrite(remaining)
+                    sink.overwrite(remaining)
             # advance the replay watermark only AFTER the append (and
             # delete apply) succeeded: advancing first would make an
             # in-process retry of a failed batch look already-applied and

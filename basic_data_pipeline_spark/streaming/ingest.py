@@ -35,15 +35,18 @@ def make_cdc_batch_fn(
     sink_root: str,
     mode: str = "append",
     dedup_replays: bool = False,
+    sink_factory: Callable[[str], SinkTable] | None = None,
 ) -> tuple[Callable[[DataFrame, int], None], dict[str, SinkTable]]:
     """Build the foreachBatch body + its cross-batch sink registry (the
-    foreachBatch analog of the reference's created_tables set)."""
+    foreachBatch analog of the reference's created_tables set).
+    ``sink_factory`` retargets the sinks (e.g. jdbc_sink.JdbcSinkTable
+    for a relational store) without changing the batch body."""
     sinks: dict[str, SinkTable] = {}
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         apply_cdc_batch(
             spark, batch_df, sink_root, mode=mode, sinks=sinks,
-            dedup_replays=dedup_replays,
+            dedup_replays=dedup_replays, sink_factory=sink_factory,
         )
 
     return fn, sinks
@@ -113,10 +116,12 @@ def run_batches(
     sink_root: str,
     mode: str = "append",
     dedup_replays: bool = False,
+    sink_factory: Callable[[str], SinkTable] | None = None,
 ) -> dict[str, SinkTable]:
     """Drive the foreachBatch body over explicit micro-batches — for tests
     that need precise batch boundaries (schema drift mid-stream, replay)."""
-    fn, sinks = make_cdc_batch_fn(spark, sink_root, mode, dedup_replays)
+    fn, sinks = make_cdc_batch_fn(spark, sink_root, mode, dedup_replays,
+                                  sink_factory=sink_factory)
     for epoch, b in enumerate(batches):
         fn(b, epoch)
     return sinks
