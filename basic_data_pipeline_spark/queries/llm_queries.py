@@ -25,6 +25,7 @@ from basic_data_pipeline_spark.operators import (
     multimodal,
     packing,
     quality,
+    retrieval,
     selection,
     similarity,
     substring,
@@ -952,30 +953,109 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cos DESC, neighbor_id) AS rank
         FROM bp)
-      WHERE rank <= 3)
+      WHERE rank <= 3),
+    dtoks AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 t -> len(t) > 0) AS w
+              FROM documents),
+    bstat AS (SELECT count(*) AS n_docs, sum(len(w)) AS sum_dl FROM dtoks),
+    bpost AS (SELECT doc_id AS neighbor_id, len(w) AS dl, t AS term,
+                     count(*) AS tf
+              FROM dtoks, UNNEST(w) AS u(t) GROUP BY 1, 2, 3),
+    bdf AS (SELECT term, count(*) AS df FROM bpost GROUP BY 1),
+    bdf2 AS (SELECT term, df FROM bdf, bstat
+             WHERE df <= n_docs * CAST(0.5 AS DOUBLE)),
+    qt AS (SELECT DISTINCT doc_id AS query_id, t AS term
+           FROM dtoks, UNNEST(w) AS u(t) WHERE doc_id < 5),
+    bcon AS (SELECT query_id, neighbor_id,
+             CAST(round(
+               ln(1.0 + (n_docs - df + CAST(0.5 AS DOUBLE))
+                        / (df + CAST(0.5 AS DOUBLE)))
+               * ((tf * (CAST(1.2 AS DOUBLE) + 1.0))
+                  / (tf + CAST(1.2 AS DOUBLE)
+                          * ((1.0 - CAST(0.75 AS DOUBLE))
+                             + ((CAST(0.75 AS DOUBLE) * dl)
+                                / (CAST(sum_dl AS DOUBLE) / n_docs))))),
+               6) AS DECIMAL(18,6)) AS c
+             FROM bpost JOIN qt USING (term) JOIN bdf2 USING (term), bstat
+             WHERE query_id <> neighbor_id),
+    bscore AS (SELECT query_id, neighbor_id, SUM(c) AS s
+               FROM bcon GROUP BY 1, 2),
+    bm25 AS (SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, neighbor_id) AS rank
+        FROM bscore)
+      WHERE rank <= 5),
+    rrfc AS (SELECT query_id, neighbor_id,
+                    CAST(round(CAST(1.0 AS DOUBLE) / (60 + rank), 6)
+                         AS DECIMAL(18,6)) AS c
+             FROM brute
+             UNION ALL
+             SELECT query_id, neighbor_id,
+                    CAST(round(CAST(1.0 AS DOUBLE) / (60 + rank), 6)
+                         AS DECIMAL(18,6)) AS c
+             FROM bm25),
+    rrfs AS (SELECT query_id, neighbor_id, SUM(c) AS s
+             FROM rrfc GROUP BY 1, 2),
+    rrf AS (SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, neighbor_id) AS rank
+        FROM rrfs)
+      WHERE rank <= 5)
     SELECT 'brute' AS method, query_id, neighbor_id, rank FROM brute
     UNION ALL
     SELECT 'blocked', query_id, neighbor_id, rank FROM blocked
+    UNION ALL
+    SELECT 'bm25', query_id, neighbor_id, rank FROM bm25
+    UNION ALL
+    SELECT 'rrf', query_id, neighbor_id, rank FROM rrf
     """,
     headline=True,
 )
 def sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Similarity top-k, both strategies tag-unioned (merges r1's
-    sim_topk_bruteforce / sim_topk_blocked — one §2 line). Brute branch:
-    exact top-5 cosine against the whole corpus (broadcast cross join +
-    windowed top-k) — the correctness baseline every ANN path is measured
-    against, viable only for broadcast-sized query sets. Blocked branch:
-    IVF-style candidates restricted to the query's coarse cell (the
-    fixture's `label`), turning the cross join into an equi-join that
-    partitions by block — the shape that scales to billions of vectors."""
+    """Similarity top-k, four strategies tag-unioned (merges r1's
+    sim_topk_bruteforce / sim_topk_blocked — one §2 line; r8 adds the
+    sparse and hybrid retrieval arms). Brute branch: exact top-5 cosine
+    against the whole corpus (broadcast cross join + windowed top-k) —
+    the correctness baseline every ANN path is measured against, viable
+    only for broadcast-sized query sets. Blocked branch: IVF-style
+    candidates restricted to the query's coarse cell (the fixture's
+    `label`), turning the cross join into an equi-join that partitions
+    by block — the shape that scales to billions of vectors. bm25
+    branch (r8): lexical top-5 over `documents` via the inverted-index
+    relational plan (retrieval.bm25_topk), querying docs 0-4 by their
+    own text with self excluded and a 0.5 maxdf stopword cut — the
+    oracle replays the whole scoring pipeline (postings, df, Lucene
+    idf, round-6 DECIMAL sums) in SQL. rrf branch (r8): hybrid
+    retrieval — reciprocal-rank fusion (k=60) of the dense brute ranks
+    (vec_id space) with the sparse bm25 ranks (doc_id space; the
+    fixture's ids align), the calibration-free way production search
+    stacks combine the two."""
     e = _t(spark, sf_dir, "embeddings")
-    brute = similarity.topk_neighbors(e.filter(F.col("vec_id") < 5), e, 5).select(
+    d = _docs_spread(spark, sf_dir)
+    brute_ranks = similarity.topk_neighbors(e.filter(F.col("vec_id") < 5), e, 5)
+    brute = brute_ranks.select(
         F.lit("brute").alias("method"), "query_id", "neighbor_id", "rank"
     )
     blocked = similarity.topk_neighbors(
         e.filter(F.col("vec_id") < 20), e, 3, block_col="label"
     ).select(F.lit("blocked").alias("method"), "query_id", "neighbor_id", "rank")
-    return brute.unionByName(blocked)
+    qdocs = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    bm25_ranks = retrieval.bm25_topk(
+        d, qdocs, 5, exclude_self=True, max_df_frac=0.5
+    )
+    bm25 = bm25_ranks.select(
+        F.lit("bm25").alias("method"), "query_id", "neighbor_id", "rank"
+    )
+    rrf = retrieval.rrf_fuse(
+        {"dense": brute_ranks, "sparse": bm25_ranks.select("query_id", "neighbor_id", "rank")},
+        5,
+    ).select(F.lit("rrf").alias("method"), "query_id", "neighbor_id", "rank")
+    return brute.unionByName(blocked).unionByName(bm25).unionByName(rrf)
 
 
 @query(

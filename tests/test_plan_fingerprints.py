@@ -56,7 +56,15 @@ EXPECTED = {
     "dedup_exact_fp": (12, 5, 0, 0),
     # the nested-loop is the sanctioned brute-force baseline branch
     # (5 query vectors crossed against the corpus)
-    "sim_topk_methods": (4, 2, 0, 1),
+    # r8: + bm25 and rrf branches. The nested-loops are (a) the
+    # sanctioned 5-query brute-force cross join, printed twice because
+    # brute_ranks also feeds the rrf fusion, and (b) the 1-row corpus-
+    # stats broadcast cross joins inside bm25 (maxdf prune + scoring),
+    # likewise printed twice (bm25 branch + rrf input) — every build
+    # side is ≤ 1 row or ≤ |queries| by construction. Shuffles are the
+    # postings/df/score keyed aggs + per-branch top-k windows across
+    # the four branches' print sites. Python evals stay 0.
+    "sim_topk_methods": (28, 13, 0, 6),
     "sim_ann_lsh": (4, 3, 0, 0),
     "corpus_pack_contam": (4, 3, 0, 0),
 }
