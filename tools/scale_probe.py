@@ -437,7 +437,24 @@ def _probe_dsir_resample(spark, d):
     )
 
 
+def _probe_bm25_topk(spark, d):
+    from basic_data_pipeline_spark.operators import retrieval
+
+    # 100 copy-0 query docs at every scale (fixed query batch, constant
+    # output), corpus = the whole replica. Content is NOT perturbed, so
+    # the vocabulary stays fixed and every query term's postings list
+    # grows 16× — candidates ∝ n for a fixed query set, the honest
+    # retrieval workload. Wall growth isolates the corpus-side stages:
+    # postings build, df agg, and the pruned scoring join.
+    docs = load_table(spark, d, "documents")
+    qs = docs.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    return retrieval.bm25_topk(docs, qs, 10, max_df_frac=0.5)
+
+
 EXTRA_PROBES = {
+    "op_bm25_topk": _probe_bm25_topk,
     "op_dsir_resample": _probe_dsir_resample,
     "op_domain_cap": _probe_domain_cap,
     "op_quality_profile": _probe_quality_profile,
