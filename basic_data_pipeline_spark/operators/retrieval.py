@@ -123,6 +123,33 @@ def bm25_topk(
         ).alias("term"),
     )
 
+    contrib = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq.join(F.broadcast(qterms.select("term").distinct()), "term")), "term")
+        .join(F.broadcast(stats), how="cross")
+        .select(
+            "query_id",
+            "neighbor_id",
+            bm25_contribution(k1, b).alias("c"),
+        )
+    )
+    if exclude_self:
+        contrib = contrib.filter(F.col("query_id") != F.col("neighbor_id"))
+
+    scored = contrib.groupBy("query_id", "neighbor_id").agg(
+        F.sum("c").alias("score")
+    )
+    return ranked_topk(scored, k)
+
+
+def bm25_contribution(k1: float, b: float) -> Column:
+    """The per-(query term, posting) BM25 contribution — Lucene idf ×
+    saturated tf, rounded at 6 places and cast to DECIMAL(18,6) — over
+    input columns (tf, dl, df, n_docs, sum_dl). ONE expression tree
+    shared by the one-shot operator above and the persisted-index search
+    (operators/incremental_retrieval.py): byte-identical expressions are
+    what make index-backed scores exactly equal to one-shot scores (and
+    keep the pinned one-shot plan fingerprint stable)."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5))
@@ -137,23 +164,12 @@ def bm25_topk(
             * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
         )
     )
+    return F.round(idf * tf_part, 6).cast(_DEC)
 
-    contrib = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq.join(F.broadcast(qterms.select("term").distinct()), "term")), "term")
-        .join(F.broadcast(stats), how="cross")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(idf * tf_part, 6).cast(_DEC).alias("c"),
-        )
-    )
-    if exclude_self:
-        contrib = contrib.filter(F.col("query_id") != F.col("neighbor_id"))
 
-    scored = contrib.groupBy("query_id", "neighbor_id").agg(
-        F.sum("c").alias("score")
-    )
+def ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, rank, score) top-k per query from scored
+    pairs — score desc, neighbor id as the deterministic tiebreak."""
     w = W.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )

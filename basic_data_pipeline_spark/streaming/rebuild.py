@@ -36,6 +36,12 @@ Per family:
   (_epoch column) and rows from epochs after the last completed one are
   dropped (legacy logs without the column can't identify them — warned,
   and harmless duplicates would only re-append on replay).
+* **retrieval** (operators/incremental_retrieval.py): filter
+  ``postings`` on ``neighbor_id``; ``dfreq`` and ``stats`` rows carry
+  the writing batch's max id as ``_wm`` — filter on that. All three
+  cuts use the same watermark, so a crash at ANY point of the
+  three-table append converges to the last completed epoch's exact
+  index content.
 
 Each rewrite lands in ``<table>.rebuild`` first (parquet _SUCCESS marks
 completeness) and is swapped in with the same rmtree→rename pattern as
@@ -60,6 +66,7 @@ from pyspark.sql import functions as F
 from basic_data_pipeline_spark.operators import (
     incremental,
     incremental_entity,
+    incremental_retrieval,
     incremental_substring,
 )
 from basic_data_pipeline_spark.sources import tables
@@ -71,6 +78,7 @@ from basic_data_pipeline_spark.streaming.dedup_stream import (
 __all__ = [
     "rebuild_dedup_index",
     "rebuild_entity_index",
+    "rebuild_retrieval_index",
     "rebuild_substring_index",
 ]
 
@@ -311,6 +319,62 @@ def rebuild_entity_index(
     report["tables"]["aliases"] = {
         "rows_before": before,
         "rows_after": spark.read.parquet(al_src).count(),
+    }
+    report["last_epoch"], report["stale_outputs_removed"] = _finish(
+        index_path, out_root, tag
+    )
+    return report
+
+
+def rebuild_retrieval_index(
+    spark: SparkSession,
+    index_path: str,
+    out_root: str | None = None,
+    tag: str = "stream",
+    cutoff=None,
+) -> dict:
+    """Recover the BM25 inverted index from a mid-append crash: drop
+    postings rows above the completed-epoch id watermark and
+    dfreq/stats delta rows whose ``_wm`` sits above it (each delta row
+    carries its writing batch's max id), swap, clear the marker. One
+    watermark cuts all three tables, so a crash at any point of the
+    three-table append converges. Report as in rebuild_dedup_index."""
+    meta = incremental_retrieval._meta_rw(index_path)
+    state = _read_ledger(index_path).get(
+        tag, {"last_epoch": -1, "intent": None}
+    )
+    cut = _resolve_cutoff(state, meta, cutoff)
+    postings_t, dfreq_t = incremental_retrieval._table_names(index_path)
+    report: dict = {"cutoff": cut, "tables": {}}
+    for name, table, keep in (
+        ("postings", postings_t,
+         lambda df: F.col("neighbor_id") <= F.lit(cut)),
+        ("dfreq", dfreq_t, lambda df: F.col("_wm") <= F.lit(cut)),
+    ):
+        report["tables"][name] = _rewrite_filtered(
+            spark,
+            os.path.join(index_path, name),
+            table + "_rb",
+            keep,
+            ["term"],
+            meta["n_buckets"],
+            sort_cols=["term"],
+        )
+        _refresh(spark, table)
+
+    st_src = os.path.join(index_path, "stats")
+    _recover_swap(st_src)
+    st = spark.read.parquet(st_src)
+    before = st.count()
+    tmp = st_src + ".rebuild"
+    shutil.rmtree(tmp, ignore_errors=True)
+    st.filter(F.col("_wm") <= F.lit(cut)).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(st_src)
+    os.rename(tmp, st_src)
+    spark.catalog.refreshByPath(st_src)
+    report["tables"]["stats"] = {
+        "rows_before": before,
+        "rows_after": spark.read.parquet(st_src).count(),
     }
     report["last_epoch"], report["stale_outputs_removed"] = _finish(
         index_path, out_root, tag
