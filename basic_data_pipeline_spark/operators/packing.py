@@ -22,6 +22,16 @@ ingest, /root/reference/consumer_to_file.py) and from round-4's surface:
   shingle set, which is small by construction (eval suites are ~10^3-10^6
   docs even when the corpus is 100 TB). The benchmark side is aggregated
   to distinct shingles and broadcast when small.
+
+* ``contamination_hits_bloom`` — the same check behind a Bloom PREFILTER
+  built distributed over the benchmark shingles and applied to the corpus
+  side as a pure codegen expression (k xxhash64 probes into a bigint-array
+  literal; no UDF, no join, no shuffle). Identical results — the exact
+  join still verifies every candidate and the filter has no false
+  negatives — but the corpus-side row volume entering the join drops by
+  ~(1 − fpp): the difference between shuffling the CORPUS's shingles and
+  shuffling roughly the BENCHMARK's volume when the bench side outgrows a
+  broadcast.
 """
 
 from __future__ import annotations
@@ -303,14 +313,22 @@ def contamination_hits(
     column is wanted.
     """
     corpus_sh = word_shingles(docs, id_col, text_col, n)
-    # Aggregate the benchmark side to DISTINCT shingles before the
-    # (optional) broadcast — benchmark suites repeat boilerplate across
-    # docs, and broadcasting the raw (shingle, bench_id) pairs inflates
-    # the broadcast by exactly that repetition. The ≠-id exclusion only
-    # needs, per shingle, whether it occurs under >1 bench id and one
-    # witness id: a shingle is a hit for corpus doc X iff it occurs in
-    # bench under some id != X ⇔ n_bench_ids > 1 OR witness_id != X.
-    bench_sh = (
+    bench_sh = _bench_shingle_stats(bench, id_col, text_col, n)
+    return _verify_hits(corpus_sh, bench_sh, id_col, broadcast_bench)
+
+
+def _bench_shingle_stats(
+    bench: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(shingle, _n_bench_ids, _bench_witness) — the benchmark side
+    aggregated to DISTINCT shingles before the (optional) broadcast:
+    benchmark suites repeat boilerplate across docs, and broadcasting
+    the raw (shingle, bench_id) pairs inflates the broadcast by exactly
+    that repetition. The ≠-id exclusion only needs, per shingle, whether
+    it occurs under >1 bench id and one witness id: a shingle is a hit
+    for corpus doc X iff it occurs in bench under some id != X ⇔
+    n_bench_ids > 1 OR witness_id != X."""
+    return (
         word_shingles(bench, id_col, text_col, n)
         .groupBy("shingle")
         .agg(
@@ -318,6 +336,14 @@ def contamination_hits(
             F.min(id_col).alias("_bench_witness"),
         )
     )
+
+
+def _verify_hits(
+    corpus_sh: DataFrame,
+    bench_sh: DataFrame,
+    id_col: str,
+    broadcast_bench: bool,
+) -> DataFrame:
     if broadcast_bench:
         bench_sh = F.broadcast(bench_sh)
     return (
@@ -329,3 +355,107 @@ def contamination_hits(
         .groupBy(id_col)
         .agg(F.countDistinct("shingle").alias("contam_hits"))
     )
+
+
+# Bloom prefilter sizing caps: the filter rides in the plan as a literal
+# bigint array, so its size is bounded hard — 2^28 bits = 32 MiB covers
+# ~26M benchmark shingles at 10 bits/element before the exact join is
+# the better plan anyway.
+BLOOM_MAX_BITS = 1 << 28
+
+
+def bloom_build(
+    shingles: DataFrame,
+    col: str = "shingle",
+    bits_per_element: int = 10,
+    k_hashes: int = 4,
+) -> tuple[list[int], int, int]:
+    """(words, m_bits, k_hashes): a Bloom filter over ``shingles[col]``
+    as a list of m_bits/64 bigint words — built DISTRIBUTED (each value
+    maps to k xxhash64 bit positions; one groupBy(word) bit_or collapses
+    them) and collected as bounded control-plane data (m_bits/64 rows,
+    never element-count rows). m_bits is the next power of two above
+    n·bits_per_element (10 bits/element ≈ 1% false-positive rate at
+    k=4)."""
+    n = shingles.select(col).distinct().count()
+    m_bits = 1024
+    while m_bits < n * bits_per_element:
+        m_bits <<= 1
+    if m_bits > BLOOM_MAX_BITS:
+        raise ValueError(
+            f"bloom over {n} elements needs {m_bits} bits > cap "
+            f"{BLOOM_MAX_BITS}; at that benchmark size skip the "
+            "prefilter and use the exact join (contamination_hits)"
+        )
+    jarr = F.array([F.lit(j) for j in range(k_hashes)])
+    pos = F.pmod(F.xxhash64("j", "s"), F.lit(m_bits))
+    rows = (
+        shingles.select(F.col(col).alias("s"))
+        .select(F.explode(jarr).alias("j"), "s")
+        .select(pos.alias("pos"))
+        .groupBy(F.shiftright(F.col("pos"), 6).alias("widx"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(pos % 64 AS INT)))"
+            ).alias("w")
+        )
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["widx"]] = r["w"]
+    return words, m_bits, k_hashes
+
+
+def bloom_might_contain(
+    col: Column, words: list[int], m_bits: int, k_hashes: int
+) -> Column:
+    """Membership test against a bloom_build filter as a PURE codegen
+    expression — k xxhash64 probes, an array-literal lookup, and a
+    bit_get each; no UDF, no join, no shuffle. False positives at the
+    designed rate, never false negatives."""
+    arr = F.lit(words)
+    cond = None
+    for j in range(k_hashes):
+        pos = F.pmod(F.xxhash64(F.lit(j), col), F.lit(m_bits))
+        word = F.element_at(
+            arr, (F.shiftright(pos, 6) + F.lit(1)).cast("int")
+        )
+        hit = F.bit_get(word, pos.bitwiseAND(F.lit(63)).cast("int")) == 1
+        cond = hit if cond is None else cond & hit
+    return cond
+
+
+def contamination_hits_bloom(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    broadcast_bench: bool = True,
+    bits_per_element: int = 10,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """contamination_hits with a Bloom PREFILTER on the corpus side —
+    identical output (the exact join still verifies every candidate;
+    the filter has no false negatives), different scaling shape.
+
+    This is the decontamination plan for when the benchmark side
+    outgrows a cheap broadcast (many suites × many versions): without
+    it, a shuffle join moves EVERY corpus shingle — ~doc_len rows per
+    document at 100 TB — to find the ~0.1% that match. The Bloom filter
+    (m_bits/8 bytes riding in the plan as a literal) drops ~99% of
+    corpus shingles AT THE SCAN, before any exchange, so the join —
+    broadcast or shuffle — only ever sees benchmark-sized row volumes.
+    Build cost is one pass over the benchmark shingles plus an
+    m_bits/64-row control-plane collect."""
+    corpus_sh = word_shingles(docs, id_col, text_col, n)
+    bench_sh = _bench_shingle_stats(bench, id_col, text_col, n)
+    words, m_bits, k = bloom_build(
+        bench_sh, "shingle", bits_per_element, k_hashes
+    )
+    cand = corpus_sh.filter(
+        bloom_might_contain(F.col("shingle"), words, m_bits, k)
+    )
+    return _verify_hits(cand, bench_sh, id_col, broadcast_bench)

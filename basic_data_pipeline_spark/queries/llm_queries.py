@@ -1226,6 +1226,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(c.cum_before % 256 AS BIGINT) AS bin_pos,
            CAST(c.doc_id % 50 = 0 AS INT) AS is_benchmark,
            COALESCE(h.contam_hits, 0) AS contam_hits,
+           COALESCE(h.contam_hits, 0) AS contam_hits_bloom,
            CAST(COALESCE(h.contam_hits, 0) > 0 AS INT) AS contaminated
     FROM cum c LEFT JOIN hits h ON h.doc_id = c.doc_id
     """,
@@ -1243,22 +1244,36 @@ def corpus_pack_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus through one partition. Contamination branch: distinct shared
     8-grams against the synthetic benchmark set (doc_id % 50 = 0),
     shingle-join + countDistinct — linear in shingle volume, the
-    benchmark side broadcast. The oracle reproduces both branches
-    exactly, including the window arithmetic."""
+    benchmark side broadcast. ``contam_hits_bloom`` (r8) recomputes the
+    SAME counts behind the Bloom prefilter
+    (packing.contamination_hits_bloom, codegen bit probes at the corpus
+    scan) while the oracle emits the exact counts twice — the hash gate
+    is the losslessness proof of the prefilter. The oracle reproduces
+    every branch exactly, including the window arithmetic."""
     d = _t(spark, sf_dir, "documents")
     ntok = text.n_tokens(F.col("text"))
     packed = packing.pack_sequences(d, "doc_id", ntok, 256)
     bench = d.filter(F.col("doc_id") % 50 == 0)
     hits = packing.contamination_hits(d, bench, "doc_id", "text", 8)
+    hits_b = packing.contamination_hits_bloom(
+        d, bench, "doc_id", "text", 8
+    ).withColumnRenamed("contam_hits", "_bloom_hits")
     contam = F.coalesce(F.col("contam_hits"), F.lit(0))
-    return packed.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_tok",
-        "seq_bin",
-        "bin_pos",
-        (F.col("doc_id") % 50 == 0).cast("int").alias("is_benchmark"),
-        contam.alias("contam_hits"),
-        (contam > 0).cast("int").alias("contaminated"),
+    return (
+        packed.join(hits, "doc_id", "left")
+        .join(hits_b, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            "seq_bin",
+            "bin_pos",
+            (F.col("doc_id") % 50 == 0).cast("int").alias("is_benchmark"),
+            contam.alias("contam_hits"),
+            F.coalesce(F.col("_bloom_hits"), F.lit(0)).alias(
+                "contam_hits_bloom"
+            ),
+            (contam > 0).cast("int").alias("contaminated"),
+        )
     )
 
 

@@ -854,6 +854,61 @@ def test_contamination_flags_planted_duplicates(docs, spark):
     assert expected, "fixture's planted dups should contaminate something"
 
 
+def test_bloom_prefilter_matches_exact_contamination(docs, spark):
+    """contamination_hits_bloom must equal contamination_hits exactly —
+    the Bloom filter prefilters, the join verifies, so false positives
+    vanish and false negatives are impossible by construction."""
+    from basic_data_pipeline_spark.operators import packing
+
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    exact = {
+        (r["doc_id"], r["contam_hits"])
+        for r in packing.contamination_hits(
+            docs, bench, "doc_id", "text", 8
+        ).collect()
+    }
+    for broadcast in (True, False):
+        bloom = {
+            (r["doc_id"], r["contam_hits"])
+            for r in packing.contamination_hits_bloom(
+                docs, bench, "doc_id", "text", 8, broadcast_bench=broadcast
+            ).collect()
+        }
+        assert bloom == exact and exact, broadcast
+
+
+def test_bloom_membership_complete_and_selective(docs, spark):
+    """Every inserted value tests positive (no false negatives — the
+    lossless-prefilter precondition); fresh values pass at roughly the
+    designed ~1% rate, not en masse (the filter actually filters)."""
+    from basic_data_pipeline_spark.operators import packing
+
+    vals = spark.range(500).select(
+        F.concat(F.lit("member-"), F.col("id")).alias("s")
+    )
+    words, m, k = packing.bloom_build(vals, "s")
+    hit = packing.bloom_might_contain(F.col("s"), words, m, k)
+    assert vals.filter(~hit).count() == 0
+
+    fresh = spark.range(2000).select(
+        F.concat(F.lit("other-"), F.col("id")).alias("s")
+    )
+    fp = fresh.filter(hit).count()
+    assert fp < 2000 * 0.05, fp
+    # and the plan is pure codegen: no Python eval, no join
+    plan = fresh.filter(hit)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Join" not in plan, plan
+
+
+def test_bloom_size_cap_raises(docs, spark, monkeypatch):
+    from basic_data_pipeline_spark.operators import packing
+
+    vals = spark.range(300).select(F.col("id").cast("string").alias("s"))
+    monkeypatch.setattr(packing, "BLOOM_MAX_BITS", 1024)
+    with pytest.raises(ValueError, match="contamination_hits"):
+        packing.bloom_build(vals, "s")
+
+
 def test_pack_token_windows_reconstructs_stream(docs):
     """Concatenating the windows in bin order must reproduce the exact
     token stream of the corpus in doc_id order; every window except the
