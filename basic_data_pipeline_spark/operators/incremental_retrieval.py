@@ -138,7 +138,7 @@ def _postings_of(
 
 
 def _stats_row(
-    docs: DataFrame, id_col: str, text_col: str, wm
+    docs: DataFrame, text_col: str, wm_col
 ) -> DataFrame:
     """One additive (n_docs, sum_dl, _wm) row. Computed from the DOC
     side, not the postings: token-less documents count toward N exactly
@@ -151,7 +151,7 @@ def _stats_row(
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
         )
-        .select("n_docs", "sum_dl", F.lit(wm).alias("_wm"))
+        .select("n_docs", "sum_dl", wm_col.alias("_wm"))
     )
 
 
@@ -168,6 +168,11 @@ def _write_increment(
     order (all three are watermark-cut on rebuild, so partial-write
     order doesn't matter). Returns (persisted postings, watermark)."""
     wm = docs.agg(F.max(id_col)).first()[0]
+    # _wm always carries the id column's OWN type: a base corpus whose
+    # max id happens to fit an int32 must not freeze the column as INT
+    # and overflow when a later batch's BIGINT watermark appends (found
+    # by the 16x probe, whose increment ids sit above 10^10)
+    wm_col = F.lit(wm).cast(docs.schema[id_col].dataType)
     postings_t, dfreq_t = _table_names(index_path)
     if mode == "append":
         # a fresh session appending to an on-disk index: re-register the
@@ -188,7 +193,7 @@ def _write_increment(
     tables.write_bucketed(
         postings.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
-        .select("term", "df", F.lit(wm).alias("_wm")),
+        .select("term", "df", wm_col.alias("_wm")),
         dfreq_t,
         ["term"],
         n_buckets,
@@ -196,7 +201,7 @@ def _write_increment(
         mode=mode,
         path=_p(index_path, "dfreq"),
     )
-    _stats_row(docs, id_col, text_col, wm).write.mode(
+    _stats_row(docs, text_col, wm_col).write.mode(
         "overwrite" if mode == "overwrite" else "append"
     ).parquet(_p(index_path, "stats"))
     return postings, wm

@@ -71,6 +71,7 @@ def prepare_training_corpus(
     min_model_quality: float = 0.5,
     benchmark: DataFrame | None = None,
     contamination_ngram: int = 8,
+    contamination_bloom: bool = False,
     dsir_target: DataFrame | None = None,
     dsir_k: int | None = None,
     dsir_buckets: int = 4096,
@@ -107,6 +108,11 @@ def prepare_training_corpus(
     `classifier.QualityModel` scores every survivor (zero-shuffle
     codegen projection) and docs below `min_model_quality` drop —
     the learned CCNet-style layer on top of the heuristic flags.
+    `contamination_bloom` routes the decontamination stage through the
+    Bloom-prefiltered variant (packing.contamination_hits_bloom) — the
+    same survivors by construction, the right plan when the benchmark
+    side outgrows a broadcast; it is excluded from the workdir
+    fingerprint because either path yields identical stage output.
     `dsir_target`/`dsir_k` (when set, together) append the DSIR
     IMPORTANCE RESAMPLING stage after decontamination: the `dsir_k`
     survivors whose hashed-n-gram distribution best matches
@@ -373,12 +379,22 @@ def prepare_training_corpus(
         d = stage(_rep_stage, "repetition")
         ledger["repetition"] = d.count()
 
-    # 4. benchmark decontamination (drop docs sharing an n-gram)
+    # 4. benchmark decontamination (drop docs sharing an n-gram).
+    # contamination_bloom swaps in the Bloom-prefiltered variant — same
+    # survivors (the prefilter is lossless, oracle-proven), corpus-side
+    # join volume cut by ~(1-fpp) for benchmarks too big to broadcast.
+    # Deliberately NOT part of the workdir fingerprint: both paths
+    # produce identical stage output, so resuming under either is safe.
     if benchmark is not None:
         prev = d
+        _hits_fn = (
+            packing.contamination_hits_bloom
+            if contamination_bloom
+            else packing.contamination_hits
+        )
 
         def _decon_stage(prev=prev):
-            hits = packing.contamination_hits(
+            hits = _hits_fn(
                 prev, benchmark, id_col, text_col, contamination_ngram
             )
             return prev.join(hits.select(id_col), id_col, "left_anti")

@@ -1,7 +1,7 @@
 """Property-based fuzz of the guarded-stream ledger machinery
 (streaming/dedup_stream.make_guarded_batch_fn + streaming/rebuild.py)
-across ALL THREE index streams — dedup, entity resolution, substring
-dedup.
+across ALL FOUR index streams — dedup, entity resolution, substring
+dedup, and BM25 retrieval.
 
 Hypothesis draws a random document/record sequence, a random split into
 micro-batches, and a random crash injection point (which epoch, which
@@ -28,14 +28,16 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from basic_data_pipeline_spark.operators import incremental
+from basic_data_pipeline_spark.operators import incremental, retrieval
 from basic_data_pipeline_spark.operators import incremental_entity as IE
+from basic_data_pipeline_spark.operators import incremental_retrieval as IR
 from basic_data_pipeline_spark.operators import incremental_substring as IS
 from basic_data_pipeline_spark.sources import tables
 from basic_data_pipeline_spark.streaming import (
     dedup_stream,
     entity_stream,
     rebuild,
+    retrieval_stream,
     substring_stream,
 )
 
@@ -298,4 +300,70 @@ def test_fuzz_entity_stream_crash_recovery(spark, picks, cuts, crash):
     a = sorted(map(tuple, IE.current_entities(spark, i1).collect()))
     b = sorted(map(tuple, IE.current_entities(spark, i2).collect()))
     assert a == b
+    _cleanup([os.path.dirname(i1), os.path.dirname(i2)])
+
+
+# --- retrieval -----------------------------------------------------------
+
+_RETR_POOL = [
+    "spark shuffle join broadcast join window",
+    "shuffle shuffle skew salt repartition",
+    "broadcast dim table join spark catalyst",
+    "the quick brown fox over the lazy dog",
+    "entirely novel vocabulary about telescopes",
+    "maritime navigation charts and sextants",
+]
+
+
+@given(
+    picks=st.lists(
+        st.integers(min_value=0, max_value=len(_RETR_POOL) - 1),
+        min_size=4, max_size=8,
+    ),
+    cuts=_splits(4),
+    crash=_CRASH,
+)
+@settings(**_SET)
+def test_fuzz_retrieval_stream_crash_recovery(spark, picks, cuts, crash):
+    """Beyond never-silent-divergence of the epoch outputs, the
+    recovered index must answer EXACTLY like the one-shot operator over
+    base + all streamed batches — a crash that survived into df counts
+    or corpus stats would corrupt every future score, so the equality
+    check covers all three appended tables at once."""
+    cuts = [c for c in cuts if c < len(picks)]
+    rows = [(100 + i, _RETR_POOL[p]) for i, p in enumerate(picks)]
+    batches = _batchify(
+        rows, cuts,
+        lambda rs: spark.createDataFrame(rs, "doc_id long, text string"),
+    )
+    base_rows = [(0, "spark join baseline document"),
+                 (1, "unrelated base filler text")]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    gen = _drive(
+        spark, batches,
+        retrieval_stream.make_retrieval_batch_fn,
+        lambda idx: IR.build_retrieval_index(spark, base, idx),
+        rebuild.rebuild_retrieval_index,
+        crash,
+    )
+    (crashed_rows, i1), (clean_rows, i2) = gen
+    assert crashed_rows == clean_rows
+    q = spark.createDataFrame(
+        [(900, "spark join shuffle"), (901, "fox charts")],
+        "query_id long, query_text string",
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"], str(r["score"]))
+        for r in IR.search_retrieval_index(spark, q, i1, 4).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"], str(r["score"]))
+        for r in retrieval.bm25_topk(
+            spark.createDataFrame(
+                base_rows + rows, "doc_id long, text string"
+            ),
+            q, 4,
+        ).collect()
+    }
+    assert got == want
     _cleanup([os.path.dirname(i1), os.path.dirname(i2)])

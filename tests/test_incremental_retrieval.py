@@ -149,6 +149,20 @@ def test_append_does_not_read_index(spark, tmp_path, monkeypatch):
     assert not [p for p in seen if "postings" in p or "dfreq" in p], seen
 
 
+def test_append_watermark_survives_int_range_jump(spark, tmp_path):
+    """Regression (16x probe): a base corpus whose max id fits int32
+    must not freeze _wm as INT — a later batch with an id beyond int32
+    would overflow on insert. _wm always carries the id column's own
+    type."""
+    idx = str(tmp_path / "idx")
+    IR.build_retrieval_index(spark, _df(spark, B0), idx)
+    big = [(10_000_000_000, "spark join giant id")]
+    IR.incremental_retrieval_append(spark, _df(spark, big), idx)
+    q = _qdf(spark)
+    got = _rows(IR.search_retrieval_index(spark, q, idx, 4))
+    assert got == _rows(_one_shot(spark, B0 + big, q))
+
+
 def test_compact_dfreq_preserves_results(spark, tmp_path):
     idx = str(tmp_path / "idx")
     IR.build_retrieval_index(spark, _df(spark, B0), idx)

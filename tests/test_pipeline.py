@@ -69,6 +69,21 @@ def test_prepare_training_corpus_end_to_end(spark, docs):
     } == out_ids
 
 
+def test_bloom_decontamination_same_survivors(spark, docs):
+    """contamination_bloom must not change WHICH documents survive —
+    the prefilter is lossless (and therefore safely outside the workdir
+    fingerprint)."""
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    kw = dict(min_quality=0.5, benchmark=bench, seq_len=256)
+    exact = prepare_training_corpus(docs, **kw)
+    bloom = prepare_training_corpus(docs, contamination_bloom=True, **kw)
+    ids = lambda r: sorted(
+        x["doc_id"] for x in r.docs.select("doc_id").collect()
+    )
+    assert ids(bloom) == ids(exact)
+    assert bloom.ledger == exact.ledger
+
+
 def test_prepare_training_corpus_rejects_conflicting_mixing(spark, docs):
     with pytest.raises(ValueError):
         prepare_training_corpus(docs, mix={"web": 1.0}, temperature=2.0)
