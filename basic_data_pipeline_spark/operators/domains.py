@@ -188,3 +188,108 @@ def domains_from_values(
     return spark.createDataFrame(
         [(v,) for v in values], f"{list_col} string"
     )
+
+
+def _norm_phrases(phrases: DataFrame, phrase_col: str) -> DataFrame:
+    """(phrase, n): whitespace-normalized lower-cased phrases with their
+    token counts, deduplicated. The normalized form is the match key AND
+    the reported phrase."""
+    w = F.filter(
+        F.split(F.lower(F.col(phrase_col)), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+    return (
+        phrases.select(
+            F.array_join(w, " ").alias("phrase"),
+            F.size(w).alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .distinct()
+    )
+
+
+def phrase_blocklist_hits(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_col: str = "phrase",
+    use_bloom: bool = False,
+) -> DataFrame:
+    """(id, phrase, n_hits): token-boundary occurrence counts of every
+    blocklist phrase in every document — the C4/CCNet banned-phrase
+    content gate, multi-word aware (a "bad word" list only needs n=1; a
+    phrase list needs windows). Only (doc, phrase) pairs with ≥1 hit
+    appear. ``phrase`` in the output is the whitespace-normalized,
+    lower-cased form.
+
+    Plan shape: one pass per DISTINCT phrase length n — position
+    n-grams of the documents' token arrays (multiset, so counts are
+    true occurrence counts) joined against the broadcast length-n
+    phrase slice, then one (id, phrase) count. Phrase lists are
+    control-plane small (the distinct lengths are collected, typically
+    1-8), so the corpus side never shuffles before the candidate-only
+    count. ``use_bloom`` additionally prefilters each gram stream with
+    a Bloom filter over the WHOLE normalized phrase set
+    (packing.bloom_build — codegen bit probes at the scan) before the
+    join: the right shape when the phrase list is large enough that
+    probing the broadcast hash map per gram dominates; results are
+    identical (the join verifies every candidate)."""
+    from basic_data_pipeline_spark.operators import packing
+
+    norm = _norm_phrases(phrases, phrase_col)
+    lengths = sorted(r["n"] for r in norm.select("n").distinct().collect())
+    if not lengths:
+        raise ValueError("phrase blocklist is empty after normalization")
+    bloom = None
+    if use_bloom:
+        bloom = packing.bloom_build(norm, "phrase")
+
+    toks = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda t: F.length(t) > 0,
+        ).alias("w"),
+    )
+    out = None
+    for n in lengths:
+        grams = toks.filter(F.size("w") >= n).select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - F.lit(n)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("w"), i + F.lit(1), n)
+                    ),
+                )
+            ).alias("phrase"),
+        )
+        if bloom is not None:
+            grams = grams.filter(
+                packing.bloom_might_contain(F.col("phrase"), *bloom)
+            )
+        part = grams.join(
+            F.broadcast(norm.filter(F.col("n") == n).select("phrase")),
+            "phrase",
+        ).groupBy(id_col, "phrase").agg(F.count(F.lit(1)).alias("n_hits"))
+        out = part if out is None else out.unionByName(part)
+    return out.select(id_col, "phrase", "n_hits")
+
+
+def phrase_blocklist_filter(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_col: str = "phrase",
+    use_bloom: bool = False,
+) -> DataFrame:
+    """Documents containing NO blocklist phrase — the filter face of
+    ``phrase_blocklist_hits`` (one anti-join on the hit ids)."""
+    hits = phrase_blocklist_hits(
+        docs, phrases, id_col, text_col, phrase_col, use_bloom
+    )
+    return docs.join(
+        hits.select(id_col).distinct(), id_col, "left_anti"
+    )

@@ -315,7 +315,24 @@ _LR_SELECT = "\n    UNION ALL\n".join(
                               CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                             + 0.5) / 4294967296.0)) AS g
            FROM dw),
-    dsel AS (SELECT doc_id FROM dk ORDER BY g DESC, doc_id LIMIT 150)
+    dsel AS (SELECT doc_id FROM dk ORDER BY g DESC, doc_id LIMIT 150),
+    bph AS (SELECT DISTINCT array_to_string(w[1:3], ' ') AS phrase
+            FROM rtoks WHERE doc_id % 97 = 0
+            UNION
+            SELECT DISTINCT array_to_string(w[1:1], ' ')
+            FROM rtoks WHERE doc_id % 89 = 0),
+    bp1 AS (SELECT t.doc_id, b.phrase, count(*) AS c
+            FROM rtoks t
+            CROSS JOIN UNNEST(range(0, len(w))) AS u(i)
+            JOIN bph b ON len(string_split_regex(b.phrase, ' ')) = 1
+                      AND b.phrase = array_to_string(w[i+1:i+1], ' ')
+            GROUP BY 1, 2),
+    bp3 AS (SELECT t.doc_id, b.phrase, count(*) AS c
+            FROM rtoks t
+            CROSS JOIN UNNEST(range(0, len(w) - 2)) AS u(i)
+            JOIN bph b ON len(string_split_regex(b.phrase, ' ')) = 3
+                      AND b.phrase = array_to_string(w[i+1:i+3], ' ')
+            GROUP BY 1, 2)
     SELECT 'lang' AS grp, lang AS k1,
            CASE WHEN cjk * 3 >= n THEN 'zh'
                 WHEN en >= greatest(en, de, es, fr) THEN 'en'
@@ -375,6 +392,11 @@ _LR_SELECT = "\n    UNION ALL\n".join(
            CAST(doc_id IN (SELECT doc_id FROM dsel) AS BIGINT),
            CAST(log_w AS DOUBLE), round(g, 6)
     FROM dk
+    UNION ALL
+    SELECT 'blockphrase', CAST(doc_id AS VARCHAR), phrase,
+           CAST(c AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM (SELECT * FROM bp1 UNION ALL SELECT * FROM bp3)
     UNION ALL
 {_LR_SELECT}
     """,
@@ -571,6 +593,32 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("log_w").cast("double").alias("d1"),
         F.round("sel_key", 6).alias("d2"),
     )
+    # blockphrase branch (r8, operators/domains.py): the C4/CCNet
+    # banned-phrase content gate — multi-word, token-boundary,
+    # OVERLAPPING occurrence counts against a corpus-derived blocklist
+    # (first 3 tokens of every doc_id % 97 == 0 doc + first token of
+    # every doc_id % 89 == 0 doc: two distinct phrase lengths exercise
+    # the per-length pass union, and DuckDB derives the identical list).
+    wtok = F.filter(F.split(F.lower(t), r"\s+"), lambda x: F.length(x) > 0)
+    ph = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.concat_ws(" ", F.slice(wtok, 1, 3)).alias("phrase"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 89 == 0)
+            .select(F.concat_ws(" ", F.slice(wtok, 1, 1)).alias("phrase"))
+        )
+    )
+    blockphrase = domains.phrase_blocklist_hits(
+        d, ph, "doc_id", "text"
+    ).select(
+        F.lit("blockphrase").alias("grp"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.col("phrase").alias("k2"),
+        F.col("n_hits").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        null_d.alias("d1"),
+        null_d.alias("d2"),
+    )
     return (
         lang.unionByName(tokens)
         .unionByName(rep)
@@ -580,6 +628,7 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(domfilter)
         .unionByName(lr)
         .unionByName(dsir)
+        .unionByName(blockphrase)
     )
 
 

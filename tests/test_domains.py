@@ -164,3 +164,84 @@ def test_domain_filter_broadcasts(spark, docs):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- phrase blocklist ------------------------------------------------------
+
+_PB_DOCS = [
+    (1, "buy cheap pills now buy cheap pills"),
+    (2, "a a a b"),
+    (3, "perfectly clean document about gardening"),
+    (4, "Buy   CHEAP pills and more"),
+    (5, ""),
+    (6, "cheap"),
+]
+_PB_PHRASES = ["buy cheap pills", "a a", "cheap"]
+
+
+def _pb_frames(spark):
+    d = spark.createDataFrame(_PB_DOCS, "doc_id long, text string")
+    p = spark.createDataFrame([(x,) for x in _PB_PHRASES], "phrase string")
+    return d, p
+
+
+def _brute_hits():
+    out = {}
+    for did, t in _PB_DOCS:
+        w = [x for x in t.lower().split() if x]
+        for ph in _PB_PHRASES:
+            pw = ph.lower().split()
+            n = sum(
+                1
+                for i in range(len(w) - len(pw) + 1)
+                if w[i : i + len(pw)] == pw
+            )
+            if n:
+                out[(did, " ".join(pw))] = n
+    return out
+
+
+@pytest.mark.parametrize("use_bloom", [False, True])
+def test_phrase_hits_match_brute_force(spark, use_bloom):
+    """Multi-length phrases, overlapping occurrences ('a a a' holds
+    'a a' twice), whitespace/case normalization, empty docs — counts
+    must equal the sliding-window reference, with and without the Bloom
+    prefilter (identical by construction)."""
+    d, p = _pb_frames(spark)
+    got = {
+        (r["doc_id"], r["phrase"]): r["n_hits"]
+        for r in domains.phrase_blocklist_hits(
+            d, p, use_bloom=use_bloom
+        ).collect()
+    }
+    assert got == _brute_hits() and got
+
+
+def test_phrase_filter_drops_exactly_hit_docs(spark):
+    d, p = _pb_frames(spark)
+    kept = {
+        r["doc_id"]
+        for r in domains.phrase_blocklist_filter(d, p).collect()
+    }
+    hit_ids = {did for (did, _) in _brute_hits()}
+    assert kept == {did for did, _ in _PB_DOCS} - hit_ids
+    assert 3 in kept and 5 in kept
+
+
+def test_phrase_empty_blocklist_raises(spark):
+    d, _ = _pb_frames(spark)
+    p = spark.createDataFrame([("   ",)], "phrase string")
+    with pytest.raises(ValueError, match="empty"):
+        domains.phrase_blocklist_hits(d, p)
+
+
+def test_phrase_join_broadcasts_list_side(spark):
+    d, p = _pb_frames(spark)
+    plan = (
+        domains.phrase_blocklist_hits(d, p)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
