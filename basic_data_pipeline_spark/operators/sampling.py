@@ -232,6 +232,69 @@ def hash_split(
     return out
 
 
+def leakage_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> dict[str, DataFrame]:
+    """hash_split with near-duplicate GROUP atomicity: every document in
+    a duplicate cluster takes its CLUSTER's split, so near-dups never
+    straddle train/val/test — the leakage per-doc hashing cannot
+    prevent (a near-copy of a train document landing in test silently
+    inflates eval). ``pairs`` is any (id_a, id_b) near-dup pair frame
+    (LSH-verified at scale — dedup.lsh_candidate_pairs → jaccard_verify);
+    the group label is the connected component's minimum id
+    (dedup.duplicate_clusters), unpaired documents are their own group.
+
+    Membership depends only on (salt, group label) via the
+    engine-portable md5-prefix bucket (the selection.py convention —
+    xxhash64 would work but could not be replayed by the DuckDB oracle),
+    so it is stable under partitioning and corpus growth — EXCEPT when
+    growth merges two clusters, in which case the merged group moves
+    TOGETHER: atomicity wins over per-doc stability, by design.
+
+    Scale shape: the cluster frame is bounded by documents that appear
+    in a pair (not corpus-sized), one id-keyed left join attaches
+    labels, and each split is a codegen filter — no extra shuffle beyond
+    the label join."""
+    from basic_data_pipeline_spark.operators.dedup import duplicate_clusters
+
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    clusters = duplicate_clusters(pairs).withColumnRenamed("doc_id", id_col)
+    lab = docs.join(clusters, id_col, "left").withColumn(
+        "_grp", F.coalesce(F.col("cluster"), F.col(id_col))
+    )
+    n = 1_000_000
+    b = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt + ":"), F.col("_grp").cast("string"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n),
+    )
+    out: dict[str, DataFrame] = {}
+    lo = 0.0
+    items = list(weights.items())
+    for i, (name, w) in enumerate(items):
+        hi = 1.0 if i == len(items) - 1 else lo + w
+        out[name] = lab.filter(
+            (b >= F.lit(lo * n)) & (b < F.lit(hi * n))
+        ).drop("cluster", "_grp")
+        lo = hi
+    return out
+
+
 def negative_samples(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -26,6 +26,7 @@ from basic_data_pipeline_spark.operators import (
     packing,
     quality,
     retrieval,
+    sampling,
     selection,
     similarity,
     substring,
@@ -788,7 +789,7 @@ def dedup_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_jaccard_truth",
     oracle=f"""
-    WITH {_DUCK_SHINGLES},
+    WITH RECURSIVE {_DUCK_SHINGLES},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
               FROM sh a JOIN sh b ON a.shingle = b.shingle
@@ -800,12 +801,29 @@ def dedup_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b)
-      WHERE jaccard >= 0.5)
+      WHERE jaccard >= 0.5),
+    edges AS (SELECT id_a, id_b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (SELECT id_a AS a, id_b AS b FROM edges
+              UNION
+              SELECT r.a, e.id_b FROM reach r JOIN edges e ON r.b = e.id_a),
+    cc AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+           FROM reach GROUP BY a),
+    spl AS (SELECT d.doc_id,
+                   ('0x' || substr(md5('split:' ||
+                      CAST(COALESCE(c.cluster, d.doc_id) AS VARCHAR)),
+                      1, 8))::BIGINT % 1000000 AS bkt
+            FROM documents d LEFT JOIN cc c ON c.doc_id = d.doc_id)
     SELECT 'pair' AS kind, id_a AS a, id_b AS b, jaccard FROM pairs
     UNION ALL
     SELECT 'survivor', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
     FROM documents
     WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+    UNION ALL
+    SELECT 'split', doc_id,
+           CAST(CASE WHEN bkt < 800000 THEN 0 ELSE 1 END AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM spl
     """,
 )
 def dedup_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -817,11 +835,17 @@ def dedup_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     must NEVER be the production path (that is dedup_lsh_verified).
     Survivor branch: greedy keep-lowest-id — every doc appearing as the
     higher id of a dup pair is dropped; transitive chains collapse onto
-    their minimum element without iterative connected components."""
+    their minimum element without iterative connected components.
+    Split branch (r8, operators/sampling.py leakage_safe_splits):
+    cluster-atomic train/test assignment — every member of a duplicate
+    component takes its component's split, so near-dups never straddle
+    the boundary; the oracle recomputes the components with a RECURSIVE
+    transitive closure (robust to any chain length, not a fixed
+    iteration count) and replays the md5-prefix bucket exactly."""
     d = _t(spark, sf_dir, "documents")
     sh = dedup.word_shingles(d, "doc_id", "text", 3)
     pairs = dedup.jaccard_pairs(sh, "doc_id", 0.5)
-    # Pairs feed both branches — persist so the shingle+join pipeline
+    # Pairs feed all branches — persist so the shingle+join pipeline
     # computes once (released by the caller's action completing; see
     # operators/dedup.py persist policy).
     pairs = tracked_persist(pairs)
@@ -838,7 +862,21 @@ def dedup_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return pair_rows.unionByName(survivors)
+    splits = sampling.leakage_safe_splits(
+        d, pairs, {"train": 0.8, "test": 0.2}
+    )
+    split_rows = None
+    for idx, frame in enumerate(splits.values()):
+        rows = frame.select(
+            F.lit("split").alias("kind"),
+            F.col("doc_id").alias("a"),
+            F.lit(idx).cast("long").alias("b"),
+            F.lit(None).cast("double").alias("jaccard"),
+        )
+        split_rows = (
+            rows if split_rows is None else split_rows.unionByName(rows)
+        )
+    return pair_rows.unionByName(survivors).unionByName(split_rows)
 
 
 @query(

@@ -283,3 +283,56 @@ def test_cluster_balanced_mix_default_n_clusters_without_count(spark):
     assert sorted((r["doc_id"], r["replica"]) for r in out.collect()) == (
         sorted((r["doc_id"], r["replica"]) for r in explicit.collect())
     )
+
+
+def test_leakage_safe_splits_cluster_atomic(spark):
+    """Every near-dup pair's two members land in the SAME split —
+    including transitive chains — while the result stays disjoint and
+    exhaustive; unpaired docs split like hash_split would (group = own
+    id)."""
+    from basic_data_pipeline_spark.operators import dedup
+    from basic_data_pipeline_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sh = dedup.word_shingles(docs, "doc_id", "text", 3)
+    pairs = dedup.jaccard_pairs(sh, "doc_id", 0.5).localCheckpoint(
+        eager=True
+    )
+    assert pairs.count() > 0, "fixture must contain near-dups"
+    splits = leakage_safe_splits(docs, pairs, {"train": 0.8, "test": 0.2})
+    ids = {k: _ids(v) for k, v in splits.items()}
+    assert ids["train"] | ids["test"] == _ids(docs)
+    assert not (ids["train"] & ids["test"])
+
+    side = {i: k for k, v in ids.items() for i in v}
+    for r in pairs.collect():
+        assert side[r["id_a"]] == side[r["id_b"]], (r["id_a"], r["id_b"])
+
+    # chain atomicity: a~b, b~c (a≁c) must all share one split
+    chain = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9)], "id_a long, id_b long, jaccard double"
+    )
+    three = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4)], "doc_id long, text string"
+    )
+    csplits = leakage_safe_splits(three, chain, {"a": 0.5, "b": 0.5})
+    cids = {k: _ids(v) for k, v in csplits.items()}
+    chain_side = {k for k, v in cids.items() if {1, 2, 3} & v}
+    assert len(chain_side) == 1, cids
+
+
+def test_leakage_safe_splits_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from basic_data_pipeline_spark.operators.sampling import (
+        leakage_safe_splits,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9)], "id_a long, id_b long, jaccard double"
+    )
+    with _pytest.raises(ValueError):
+        leakage_safe_splits(docs, pairs, {"train": 0.7})
