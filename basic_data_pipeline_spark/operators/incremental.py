@@ -383,3 +383,30 @@ def incremental_dedup(
             path=_p(index_path, "shingles"),
         )
     return survivors
+
+
+def compact_index(spark: SparkSession, index_path: str) -> dict:
+    """Fold the bands/shingles tables back to one file per bucket —
+    every epoch append lays down n_buckets more files, so a long-lived
+    stream accretes files linearly (maintenance.compact_bucketed; plain
+    compact_parquet would break the bucket-file naming the zero-exchange
+    membership joins rely on). Refuses while a crashed epoch's intent
+    marker is pending. Returns {table: {rows, files_before,
+    files_after}}."""
+    from basic_data_pipeline_spark.operators import maintenance
+
+    maintenance.assert_clean_stream_ledger(index_path)
+    meta = _read_meta(index_path)
+    bands_t, sh_t = _table_names(index_path)
+    id_col = meta["id_col"]
+    return {
+        "bands": maintenance.compact_bucketed(
+            spark, _p(index_path, "bands"), bands_t,
+            ["band", "bandkey"], meta["n_buckets"],
+            sort_cols=["band", "bandkey"],
+        ),
+        "shingles": maintenance.compact_bucketed(
+            spark, _p(index_path, "shingles"), sh_t,
+            [id_col], meta["n_buckets"], sort_cols=[id_col],
+        ),
+    }

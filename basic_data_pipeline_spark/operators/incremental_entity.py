@@ -353,3 +353,26 @@ def current_entities(spark: SparkSession, index_path: str) -> DataFrame:
         F.col("id").alias(meta["id_col"]), F.col("entity").alias("entity_id")
     )
     return _resolve_aliases(out, aliases, "entity_id")
+
+
+def compact_index(spark: SparkSession, index_path: str) -> dict:
+    """Fold the grams/strings tables back to one file per bucket (see
+    incremental.compact_index — same epoch-accretion rationale, same
+    intent guard). The frozen freq table and the alias log are left
+    alone: freq is write-once, and the alias log is a plain (epoch-
+    tagged) parquet dir — compact_parquet applies to it directly."""
+    from basic_data_pipeline_spark.operators import maintenance
+
+    maintenance.assert_clean_stream_ledger(index_path)
+    meta = _meta_rw(index_path)
+    grams_t, strings_t = _tnames(index_path)
+    return {
+        "grams": maintenance.compact_bucketed(
+            spark, _p(index_path, "grams"), grams_t,
+            ["gram"], meta["n_buckets"],
+        ),
+        "strings": maintenance.compact_bucketed(
+            spark, _p(index_path, "strings"), strings_t,
+            ["id"], meta["n_buckets"],
+        ),
+    }

@@ -66,7 +66,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -360,36 +359,38 @@ def compact_dfreq(spark: SparkSession, index_path: str) -> dict:
     crashed epoch's partial rows would make them unrecoverable — run
     streaming.rebuild.rebuild_retrieval_index first). Returns
     {rows_before, rows_after}."""
-    ledger_path = _p(index_path, "_stream_ledger.json")
-    if os.path.exists(ledger_path):
-        with open(ledger_path) as f:
-            for tag, state in json.load(f).items():
-                if isinstance(state, dict) and state.get("intent") is not None:
-                    raise RuntimeError(
-                        f"stream {tag!r} crashed mid-append (intent epoch "
-                        f"{state['intent']}); run rebuild_retrieval_index "
-                        "before compacting the df delta log"
-                    )
+    from basic_data_pipeline_spark.operators import maintenance
+
+    maintenance.assert_clean_stream_ledger(index_path)
     meta = _meta_rw(index_path)
     _, dfreq_t = _table_names(index_path)
     src = _p(index_path, "dfreq")
-    df = spark.read.parquet(src)
-    before = df.count()
-    folded = df.groupBy("term").agg(
-        F.sum("df").alias("df"), F.max("_wm").alias("_wm")
-    ).select("term", "df", "_wm")
-    tmp_table, tmp_path = dfreq_t + "_cp", src + ".rebuild"
-    shutil.rmtree(tmp_path, ignore_errors=True)
-    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
-    tables.write_bucketed(
-        folded, tmp_table, ["term"], meta["n_buckets"],
-        sort_cols=["term"], path=tmp_path,
+    before = spark.read.parquet(src).count()
+    rep = maintenance.compact_bucketed(
+        spark, src, dfreq_t, ["term"], meta["n_buckets"],
+        sort_cols=["term"],
+        fold=lambda df: df.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.max("_wm").alias("_wm"))
+        .select("term", "df", "_wm"),
     )
-    shutil.rmtree(src)
-    os.rename(tmp_path, src)
-    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
-    spark.catalog.refreshByPath(src)
-    if spark.catalog.tableExists(dfreq_t):
-        spark.sql(f"REFRESH TABLE {dfreq_t}")
-    after = spark.read.parquet(src).count()
-    return {"rows_before": before, "rows_after": after}
+    return {"rows_before": before, "rows_after": rep["rows"]}
+
+
+def compact_index(spark: SparkSession, index_path: str) -> dict:
+    """Full index maintenance: fold the df delta log (compact_dfreq)
+    AND rewrite the postings table back to one file per bucket — every
+    epoch append lays down n_buckets more postings files, so a
+    long-lived stream accretes files linearly. Same intent guard as
+    every compaction here."""
+    from basic_data_pipeline_spark.operators import maintenance
+
+    maintenance.assert_clean_stream_ledger(index_path)
+    meta = _meta_rw(index_path)
+    postings_t, _ = _table_names(index_path)
+    return {
+        "postings": maintenance.compact_bucketed(
+            spark, _p(index_path, "postings"), postings_t,
+            ["term"], meta["n_buckets"], sort_cols=["term"],
+        ),
+        "dfreq": compact_dfreq(spark, index_path),
+    }

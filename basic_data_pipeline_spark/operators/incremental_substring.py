@@ -225,3 +225,19 @@ def incremental_substring_dedup(
     # (batch callers keep out alive until they drop the frame)
     free_local_checkpoint(firsts)
     return out
+
+
+def compact_index(spark: SparkSession, index_path: str) -> dict:
+    """Fold the gram table back to one file per bucket (see
+    incremental.compact_index — same epoch-accretion rationale, same
+    intent guard)."""
+    from basic_data_pipeline_spark.operators import maintenance
+
+    maintenance.assert_clean_stream_ledger(index_path)
+    meta = _meta_rw(index_path)
+    return {
+        "grams": maintenance.compact_bucketed(
+            spark, _p(index_path, "grams"), _table_name(index_path),
+            ["gram"], meta["n_buckets"], sort_cols=["gram"],
+        )
+    }

@@ -82,6 +82,87 @@ def compact_parquet(
     return parquet_layout(path)
 
 
+def assert_clean_stream_ledger(index_path: str) -> None:
+    """Refuse maintenance while a guarded stream's intent marker is
+    pending: the index may hold a crashed epoch's PARTIAL append, and a
+    rewrite would fold those rows in beyond the reach of the watermark
+    rebuild (run the matching streaming.rebuild helper first)."""
+    ledger_path = os.path.join(index_path, "_stream_ledger.json")
+    if not os.path.exists(ledger_path):
+        return
+    import json
+
+    with open(ledger_path) as f:
+        for tag, state in json.load(f).items():
+            if isinstance(state, dict) and state.get("intent") is not None:
+                raise RuntimeError(
+                    f"stream {tag!r} crashed mid-append (intent epoch "
+                    f"{state['intent']}) — run the matching "
+                    "streaming.rebuild helper before compacting"
+                )
+
+
+def compact_bucketed(
+    spark: SparkSession,
+    src_path: str,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    fold=None,
+) -> dict:
+    """Rewrite one BUCKETED index table into exactly ``n_buckets`` files
+    and atomically swap it in. Every incremental index here appends
+    ``n_buckets`` files per epoch (bucketed writes emit one file per
+    bucket per task), so a long-lived stream accretes files linearly in
+    epochs — this is the scheduled maintenance that undoes it.
+
+    ``compact_parquet`` must NEVER run on these directories: Spark
+    derives each file's bucket id from its NAME, so a plain rewrite
+    keeps reading fine but silently breaks the zero-exchange bucketed
+    joins' co-location assumption — the rewrite has to go back through
+    a bucketed writer, which is exactly what this does (repartitioned
+    to ``n_buckets`` on the bucket key first, so each task owns one
+    bucket and writes ONE file). ``fold`` optionally transforms the
+    frame before the rewrite (the df delta log folds to one row per
+    term). A leftover ``.rebuild`` temp from a crashed compaction is
+    finished or discarded on entry (the rebuild-swap contract).
+    Returns {rows, files_before, files_after}."""
+    from pyspark.sql import functions as F
+
+    from basic_data_pipeline_spark.sources import tables as _tables
+
+    tmp_path = src_path + ".rebuild"
+    if os.path.exists(tmp_path):
+        if not os.path.exists(src_path) and os.path.exists(
+            os.path.join(tmp_path, "_SUCCESS")
+        ):
+            os.rename(tmp_path, src_path)
+        else:
+            shutil.rmtree(tmp_path)
+    files_before = parquet_layout(src_path)["n_files"]
+    df = spark.read.parquet(src_path)
+    out = fold(df) if fold is not None else df
+    out = out.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+    tmp_table = table + "_cp"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    _tables.write_bucketed(
+        out, tmp_table, bucket_cols, n_buckets,
+        sort_cols=sort_cols, path=tmp_path,
+    )
+    shutil.rmtree(src_path)
+    os.rename(tmp_path, src_path)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    spark.catalog.refreshByPath(src_path)
+    if spark.catalog.tableExists(table):
+        spark.sql(f"REFRESH TABLE {table}")
+    return {
+        "rows": spark.read.parquet(src_path).count(),
+        "files_before": files_before,
+        "files_after": parquet_layout(src_path)["n_files"],
+    }
+
+
 # ---------------------------------------------------------------------------
 # Z-order layout: multi-dimensional clustering for min/max pruning
 # ---------------------------------------------------------------------------

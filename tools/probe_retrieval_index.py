@@ -56,7 +56,7 @@ def main() -> None:
         .localCheckpoint(eager=True)
     )
 
-    for label, src in (("sf0.1", sp.BASE), ("16x", sp.PROBE_DIR)):
+    for label, src in (("sf0.1", sp.BASE), (f"{sp.COPIES}x", sp.PROBE_DIR)):
         docs = load_table(spark, src, "documents").select("doc_id", "text")
         idx = os.path.join(tempfile.mkdtemp(), "ridx")
 
