@@ -44,7 +44,8 @@ _PARAMS_FILE = "_prep_params.json"
 # bump when the fingerprint payload shape or digest rules change: a
 # version mismatch reads as "recreate the workdir (format changed)",
 # not the misleading "DIFFERENT parameters"
-_FP_VERSION = 4
+# v5: + blocklist_input (the r8 phrase-blocklist stage)
+_FP_VERSION = 5
 
 
 @dataclass
@@ -62,6 +63,7 @@ def prepare_training_corpus(
     text_col: str = "text",
     domain_col: str | None = None,
     max_per_domain: int | None = None,
+    blocklist_phrases: DataFrame | None = None,
     near_dup_threshold: float = 0.5,
     substring_k: int | None = None,
     min_quality: float = 0.5,
@@ -108,6 +110,11 @@ def prepare_training_corpus(
     `classifier.QualityModel` scores every survivor (zero-shuffle
     codegen projection) and docs below `min_model_quality` drop —
     the learned CCNet-style layer on top of the heuristic flags.
+    `blocklist_phrases` (when set, a 1-column ``phrase`` frame) prepends
+    the PHRASE BLOCKLIST stage right after the domain cap: documents
+    containing any banned phrase (multi-word, token-boundary —
+    operators/domains.py) drop before dedup, so blocked content never
+    pays for a single downstream shuffle.
     `contamination_bloom` routes the decontamination stage through the
     Bloom-prefiltered variant (packing.contamination_hits_bloom) — the
     same survivors by construction, the right plan when the benchmark
@@ -205,6 +212,7 @@ def prepare_training_corpus(
                     ),
                     "min_model_quality": min_model_quality,
                     "docs_input": _input_identity(docs),
+                    "blocklist_input": _input_identity(blocklist_phrases),
                     "benchmark_input": _input_identity(benchmark),
                     "contamination_ngram": contamination_ngram,
                     "dsir_target_input": _input_identity(dsir_target),
@@ -286,6 +294,22 @@ def prepare_training_corpus(
             "domain_cap",
         )
         ledger["domain_cap"] = d0.count()
+
+    # 0b. phrase blocklist (optional): drop documents containing any
+    # banned phrase (operators/domains.py phrase_blocklist_filter —
+    # multi-word, token-boundary). Runs BEFORE dedup: the content-policy
+    # gate is per-length gram joins against a broadcast list, far
+    # cheaper than dedup's shuffles, so blocked docs never pay for any
+    # downstream stage.
+    if blocklist_phrases is not None:
+        prev0 = d0
+        d0 = stage(
+            lambda: domains.phrase_blocklist_filter(
+                prev0, blocklist_phrases, id_col, text_col
+            ),
+            "blocklist",
+        )
+        ledger["blocklist"] = d0.count()
 
     # 1. exact dedup under the canonical fingerprint (formatting-proof)
     survivors = dedup.exact_dedup_survivors(

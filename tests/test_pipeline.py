@@ -69,6 +69,35 @@ def test_prepare_training_corpus_end_to_end(spark, docs):
     } == out_ids
 
 
+def test_blocklist_stage_drops_phrase_carriers(spark, docs, tmp_path):
+    """Docs containing a banned phrase drop before dedup; the blocklist
+    identity rides in the workdir fingerprint (a different list against
+    a populated workdir raises)."""
+    sample = docs.orderBy("doc_id").limit(1).collect()[0]
+    phrase = " ".join(sample["text"].split()[:4])
+    bl = spark.createDataFrame([(phrase,)], "phrase string")
+    res = prepare_training_corpus(
+        docs, min_quality=0.0, seq_len=256, blocklist_phrases=bl
+    )
+    assert res.ledger["blocklist"] < res.ledger["input"]
+    kept = {r["doc_id"] for r in res.docs.select("doc_id").collect()}
+    assert sample["doc_id"] not in kept
+
+    wd = str(tmp_path / "wd")
+    prepare_training_corpus(
+        docs, min_quality=0.0, seq_len=256, blocklist_phrases=bl,
+        workdir=wd,
+    )
+    other = spark.createDataFrame(
+        [("completely different banned phrase",)], "phrase string"
+    )
+    with pytest.raises(ValueError, match="DIFFERENT parameters"):
+        prepare_training_corpus(
+            docs, min_quality=0.0, seq_len=256, blocklist_phrases=other,
+            workdir=wd,
+        )
+
+
 def test_bloom_decontamination_same_survivors(spark, docs):
     """contamination_bloom must not change WHICH documents survive —
     the prefilter is lossless (and therefore safely outside the workdir
