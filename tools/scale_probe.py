@@ -453,7 +453,55 @@ def _probe_bm25_topk(spark, d):
     return retrieval.bm25_topk(docs, qs, 10, max_df_frac=0.5)
 
 
+def _probe_phrase_blocklist(spark, d):
+    from basic_data_pipeline_spark.operators import domains
+
+    # blocklist derived from copy-0 docs (first 3 tokens of every
+    # doc_id % 97 == 0 doc + first token of every % 89 == 0 doc — the
+    # text_lang_token[blockphrase] recipe), so the list is IDENTICAL at
+    # both scales while the corpus side grows: wall growth isolates the
+    # per-length gram explode + broadcast join + candidate-only count.
+    docs = load_table(spark, d, "documents")
+    base = load_table(spark, BASE, "documents")
+    w = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    ph = (
+        base.filter(F.col("doc_id") % 97 == 0)
+        .select(F.concat_ws(" ", F.slice(w, 1, 3)).alias("phrase"))
+        .unionByName(
+            base.filter(F.col("doc_id") % 89 == 0)
+            .select(F.concat_ws(" ", F.slice(w, 1, 1)).alias("phrase"))
+        )
+    )
+    return domains.phrase_blocklist_hits(docs, ph, "doc_id", "text")
+
+
+def _probe_leakage_splits(spark, d):
+    from basic_data_pipeline_spark.operators import dedup, sampling
+
+    # pairs via the PRODUCTION near-dup path (LSH candidates → verify),
+    # then component labeling + cluster-atomic split assignment. The
+    # replica's unperturbed copies make every band bucket 16×-hot
+    # (adversarial, like every dedup probe) and the pair set grows with
+    # the duplicate structure — the probe measures clustering + split
+    # over that growth. Returns the train slice's ids.
+    docs = load_table(spark, d, "documents")
+    sh = dedup.word_shingles(docs, "doc_id", "text", 3)
+    cand = dedup.lsh_candidate_pairs(
+        dedup.lsh_bands(dedup.minhash_signatures(sh, "doc_id"), "doc_id"),
+        "doc_id",
+    )
+    pairs = dedup.jaccard_verify(sh, cand, "doc_id", 0.5)
+    splits = sampling.leakage_safe_splits(
+        docs, pairs, {"train": 0.8, "test": 0.2}
+    )
+    return splits["train"].select("doc_id")
+
+
 EXTRA_PROBES = {
+    "op_phrase_blocklist": _probe_phrase_blocklist,
+    "op_leakage_splits": _probe_leakage_splits,
     "op_bm25_topk": _probe_bm25_topk,
     "op_dsir_resample": _probe_dsir_resample,
     "op_domain_cap": _probe_domain_cap,
