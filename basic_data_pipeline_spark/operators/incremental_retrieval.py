@@ -348,6 +348,64 @@ def search_retrieval_index(
     return retrieval.ranked_topk(scored, k)
 
 
+def hybrid_index_search(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    ann_index_path: str,
+    dim: int,
+    k: int,
+    *,
+    fetch_k: int | None = None,
+    nprobe: int = 2,
+    k_rrf: int = 60,
+    max_df_frac: float | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Hybrid (sparse + dense) retrieval ENTIRELY from persisted
+    indexes: BM25 top-``fetch_k`` against the inverted index RRF-fused
+    (retrieval.rrf_fuse) with cosine top-``fetch_k`` against the IVF
+    index (similarity.ivf_index_search), re-ranked to the final ``k``.
+    ``queries`` carries (query_id, query_text, embedding). The corpus is
+    touched by NEITHER side — text goes through the term-bucketed
+    postings, vectors through the cell-partitioned inverted lists — so
+    a hybrid lookup costs two index probes + one union-and-aggregate
+    fusion, the serving-path shape a 100 TB corpus demands.
+
+    ``fetch_k`` (default 3k) controls how deep each list goes before
+    fusion — RRF needs deeper inputs than the final cut because a
+    neighbor strong in one modality may sit below k in the other. Note
+    the IVF side always drops neighbor_id == query_id (its
+    query-by-document contract); pass ``exclude_self=True`` to match on
+    the BM25 side when the namespaces overlap."""
+    from basic_data_pipeline_spark.operators import similarity
+
+    fetch = fetch_k or max(3 * k, 10)
+    sparse = search_retrieval_index(
+        spark,
+        queries.select("query_id", "query_text"),
+        index_path,
+        fetch,
+        max_df_frac=max_df_frac,
+        exclude_self=exclude_self,
+    )
+    dense = similarity.ivf_index_search(
+        queries.select(F.col("query_id").alias("vec_id"), "embedding"),
+        ann_index_path,
+        dim,
+        fetch,
+        nprobe=nprobe,
+    )
+    return retrieval.rrf_fuse(
+        {
+            "bm25": sparse.select("query_id", "neighbor_id", "rank"),
+            "cosine": dense.select("query_id", "neighbor_id", "rank"),
+        },
+        k,
+        k_rrf=k_rrf,
+    )
+
+
 def compact_dfreq(spark: SparkSession, index_path: str) -> dict:
     """Fold the df delta log to one row per term (keeping each term's
     max watermark, so rebuild semantics survive compaction: folded rows

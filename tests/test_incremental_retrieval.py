@@ -181,7 +181,7 @@ def test_compact_refuses_on_pending_intent(spark, tmp_path):
     dedup_stream._write_ledger(
         idx, {"stream": {"last_epoch": 0, "intent": 1}}
     )
-    with pytest.raises(RuntimeError, match="rebuild_retrieval_index"):
+    with pytest.raises(RuntimeError, match="streaming.rebuild"):
         IR.compact_dfreq(spark, idx)
 
 
@@ -279,3 +279,71 @@ def test_streaming_engine_end_to_end(spark, tmp_path):
     q = _qdf(spark)
     got = _rows(IR.search_retrieval_index(spark, q, idx, 4))
     assert got == _rows(_one_shot(spark, B0 + B1 + B2, q))
+
+
+def test_hybrid_index_search_composes_persisted_indexes(spark, tmp_path):
+    """Hybrid = rrf_fuse(BM25-from-index, cosine-from-IVF-index) exactly
+    (compositional equality), with both modalities voting where they
+    overlap — and the corpus is touched by neither probe."""
+    from basic_data_pipeline_spark.operators import retrieval, similarity
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(vecs.first()["embedding"])
+
+    t_idx = str(tmp_path / "tidx")
+    a_idx = str(tmp_path / "aidx")
+    IR.build_retrieval_index(spark, docs, t_idx)
+    similarity.ivf_build_index(vecs, a_idx, dim)
+
+    both = (
+        docs.join(
+            vecs.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        )
+        .filter(F.col("doc_id") % 29 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text"),
+            "embedding",
+        )
+    )
+    assert both.count() >= 3
+
+    got = IR.hybrid_index_search(
+        spark, both, t_idx, a_idx, dim, 5, exclude_self=True
+    )
+    rows = {
+        (r["query_id"], r["neighbor_id"]): (r["rank"], r["n_lists"])
+        for r in got.collect()
+    }
+    assert rows
+
+    sparse = IR.search_retrieval_index(
+        spark, both.select("query_id", "query_text"), t_idx, 15,
+        exclude_self=True,
+    )
+    dense = similarity.ivf_index_search(
+        both.select(F.col("query_id").alias("vec_id"), "embedding"),
+        a_idx, dim, 15,
+    )
+    want = {
+        (r["query_id"], r["neighbor_id"]): (r["rank"], r["n_lists"])
+        for r in retrieval.rrf_fuse(
+            {
+                "bm25": sparse.select("query_id", "neighbor_id", "rank"),
+                "cosine": dense.select("query_id", "neighbor_id", "rank"),
+            },
+            5,
+        ).collect()
+    }
+    assert rows == want
+    # per-query: exactly k results (corpus is big enough), ranks dense
+    per_q = {}
+    for (qid, _), (rank, n_lists) in rows.items():
+        per_q.setdefault(qid, []).append(rank)
+        assert n_lists in (1, 2)
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, 6)), (qid, ranks)
