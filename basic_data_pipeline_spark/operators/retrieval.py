@@ -222,3 +222,54 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "n_lists", "score")
     )
+
+
+def rank_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int,
+) -> DataFrame:
+    """(query_id, n_truth, hits, recall, mrr): per-query retrieval
+    quality of a (query_id, neighbor_id, rank) result list against a
+    (query_id, neighbor_id[, rank]) ground-truth list — recall@k (truth
+    neighbors found in the top-k, over truth size capped at k) and
+    MRR@k (reciprocal rank of the FIRST truth neighbor found, 0 when
+    none). The evaluation face of the retrieval surface: ANN recall
+    floors, BM25-vs-exact comparisons, hybrid-fusion lift — every tier
+    of the serving stack grades against the same frame shape it emits.
+
+    Plan shape: the result list is cut to rank ≤ k, one equi-join on
+    (query_id, neighbor_id) marks hits, two keyed aggregations produce
+    the per-query row — everything ∝ |results| + |truth|, nothing
+    corpus-sized. Queries present in ``truth`` but absent from
+    ``results`` still appear (zero recall), the convention that keeps
+    macro-averages honest when a retriever returns nothing. The ratios
+    are single divisions of exact integer counts (engine-reproducible);
+    mrr is 1/rank of one row."""
+    t = truth.select(
+        "query_id", F.col("neighbor_id").alias("_tn")
+    ).distinct()
+    topk = results.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    marked = t.join(
+        topk,
+        (t["query_id"] == topk["query_id"])
+        & (t["_tn"] == topk["neighbor_id"]),
+        "left",
+    ).select(t["query_id"], "_tn", "rank")
+    per_q = marked.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count("rank").alias("hits"),
+        F.min("rank").alias("_first"),
+    )
+    denom = F.least(F.col("n_truth"), F.lit(k))
+    return per_q.select(
+        "query_id",
+        "n_truth",
+        "hits",
+        (F.col("hits") / denom).alias("recall"),
+        F.coalesce(
+            F.lit(1.0) / F.col("_first"), F.lit(0.0)
+        ).alias("mrr"),
+    )

@@ -204,3 +204,37 @@ def test_bm25_plan_broadcasts_query_side(frames):
     plan = retrieval.bm25_topk(docs, qs, 3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rank_metrics_against_brute_force(spark):
+    """recall@k / MRR@k vs a hand-computed reference, including a query
+    the retriever missed entirely (zero row convention) and truth lists
+    longer than k (denominator caps at k)."""
+    results = spark.createDataFrame(
+        [
+            (1, 101, 1), (1, 102, 2), (1, 103, 3),
+            (2, 201, 1), (2, 999, 2),
+            # query 3 returns nothing
+            (4, 401, 1), (4, 402, 2), (4, 403, 3), (4, 404, 4),
+        ],
+        "query_id long, neighbor_id long, rank int",
+    )
+    truth = spark.createDataFrame(
+        [
+            (1, 102), (1, 103),            # both found at ranks 2,3
+            (2, 202),                      # missed
+            (3, 301),                      # no results at all
+            (4, 401), (4, 402), (4, 403), (4, 404),  # 4 truths, k=3
+        ],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r["query_id"]: (r["n_truth"], r["hits"], r["recall"], r["mrr"])
+        for r in retrieval.rank_metrics(results, truth, 3).collect()
+    }
+    assert got[1] == (2, 2, 1.0, 0.5)
+    assert got[2] == (1, 0, 0.0, 0.0)
+    assert got[3] == (1, 0, 0.0, 0.0)   # absent query still reported
+    assert got[4][:2] == (4, 3)
+    assert abs(got[4][2] - 1.0) < 1e-12  # denominator caps at k
+    assert got[4][3] == 1.0
