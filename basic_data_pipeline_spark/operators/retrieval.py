@@ -22,6 +22,10 @@ no retrieval code; this module is the Spark-first formulation:
   with reciprocal-rank fusion (Cormack et al.: score = Σ 1/(k+rank)) —
   the standard way to combine BM25 with dense ANN ranks without score
   calibration.
+- ``rank_metrics`` / ``mine_hard_negatives`` close the loop: grade any
+  rank list against truth (recall@k, MRR@k), and turn a rank list plus
+  known positives into DPR-style hard negatives — both linear in the
+  lists, never corpus-sized.
 
 Cross-engine determinism (the DuckDB oracle reruns both operators as
 SQL): per-term BM25 contributions and per-list RRF contributions are
@@ -272,4 +276,32 @@ def rank_metrics(
         F.coalesce(
             F.lit(1.0) / F.col("_first"), F.lit(0.0)
         ).alias("mrr"),
+    )
+
+
+def mine_hard_negatives(
+    results: DataFrame,
+    positives: DataFrame,
+    n: int,
+) -> DataFrame:
+    """(query_id, neighbor_id, neg_rank): the ``n`` highest-ranked
+    retrieved neighbors per query that are NOT known positives — the
+    DPR-style hard negatives contrastive embedding training mines from
+    a lexical retriever (retrieved-but-wrong beats random-negative).
+    ``results`` is any (query_id, neighbor_id, rank) list (one-shot
+    bm25_topk, the persisted-index search, or a hybrid fusion);
+    ``positives`` is (query_id, neighbor_id) ground truth. Over-fetch
+    the result list (k ≥ n + expected positives) so dropping positives
+    still leaves n rows.
+
+    One anti-join on (query_id, neighbor_id) + one per-query re-rank
+    window over the ≤k surviving rows — both bounded by the result-list
+    size, never the corpus."""
+    pos = positives.select("query_id", "neighbor_id").distinct()
+    negs = results.join(pos, ["query_id", "neighbor_id"], "left_anti")
+    w = W.partitionBy("query_id").orderBy(F.col("rank").asc())
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= n)
+        .select("query_id", "neighbor_id", "neg_rank")
     )

@@ -238,3 +238,26 @@ def test_rank_metrics_against_brute_force(spark):
     assert got[4][:2] == (4, 3)
     assert abs(got[4][2] - 1.0) < 1e-12  # denominator caps at k
     assert got[4][3] == 1.0
+
+
+def test_mine_hard_negatives_drops_positives_and_reranks(spark):
+    results = spark.createDataFrame(
+        [
+            (1, 101, 1), (1, 102, 2), (1, 103, 3), (1, 104, 4),
+            (2, 201, 1), (2, 202, 2),
+        ],
+        "query_id long, neighbor_id long, rank int",
+    )
+    positives = spark.createDataFrame(
+        [(1, 101), (1, 103), (2, 999)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["neg_rank"]
+        for r in retrieval.mine_hard_negatives(
+            results, positives, 2
+        ).collect()
+    }
+    # q1: 101/103 are positives -> negatives are 102 (1st), 104 (2nd)
+    # q2: no positives retrieved -> 201, 202 keep their order
+    assert got == {(1, 102): 1, (1, 104): 2, (2, 201): 1, (2, 202): 2}
