@@ -103,16 +103,23 @@ _LOADED = False
 # with PROVEN branch headroom (already multi-branch, generic schema —
 # the r5-r7 precedents in parentheses):
 #   dedup_exact_fp        (raw/fingerprint + line_* r6 + substr_* r7)
-#   text_lang_token       (lang/token + psi r6 + lr r7)
+#   text_lang_token       (lang/token + psi r6 + lr r7 + dom*/dsir/
+#                          blockphrase r8)
+#   dedup_jaccard_truth   (pair/survivor + split r8 — the oracle side
+#                          may even use WITH RECURSIVE, see the
+#                          leakage-safe-splits arm)
+#   corpus_pack_contam    (NOT kind-tagged but column-extensible: the r8
+#                          contam_hits_bloom column proves a second
+#                          computation path by emitting the same values
+#                          the oracle derives once)
 #   cdc_validate_dlq      (valid/dlq + profile/check r5)
 #   cdc_schema_drift_union(union + diff r5)
 #   cdc_delete_apply      (applied + scd2 r4)
 #   join_range_cross      (theta/cross + binned r3 + fuzzy r5)
 #   rollup_hourly_to_daily(rollup + sess/funnel r5)
 #   order_pick            (ordered + random_pick r3)
-#   sim_topk_methods      (brute/blocked — any new similarity strategy)
-#   dedup_jaccard_truth   (truth + cluster arms)
-#   corpus_pack_contam    (pack + contam r5)
+#   sim_topk_methods      (brute/blocked + bm25/rrf r8 — any new
+#                          similarity or retrieval strategy)
 #   join_asof_union_window(asof + union-window arms)
 # Single-purpose queries with FIXED domain-specific schemas (q1/q3/q5,
 # window_*, agg_*, scan_filter_project, sql_direct_q6, multimodal_
