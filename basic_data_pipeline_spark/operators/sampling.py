@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def _bucket(id_col: str, salt: str, n: int = 1_000_000) -> F.Column:
@@ -230,6 +231,94 @@ def hash_split(
         out[name] = df.filter((b >= F.lit(lo * n)) & (b < F.lit(hi * n)))
         lo = hi
     return out
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    ntok_col,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    parts: int | None = None,
+) -> DataFrame:
+    """Greedy-fill each source to a TOKEN budget — the unit trainers
+    actually specify ("500B tokens of web, 50B of code"), where
+    stratified_sample's doc-count fractions misallocate whenever doc
+    length differs across sources. Documents are taken in a
+    deterministic pseudo-random order (md5-prefix of (salt, id) — the
+    engine-portable convention, reproducible on any partitioning) until
+    the source's budget is crossed; the crossing document is KEPT, so
+    each source overshoots by less than one document. Sources absent
+    from ``budgets`` are dropped (an explicit mixture is a whitelist,
+    as in stratified_sample). Returns the surviving full rows.
+
+    Scale shape — the per-source prefix sum is the packing two-phase
+    scan GENERALIZED to groups, never a per-source single-task window:
+    range-partition by (source, rank) so each partition holds a
+    contiguous slice of one or a few sources' orders, per-(partition,
+    source) local running sums, one driver prefix over the
+    per-(partition, source) totals (≤ partitions + sources rows —
+    control-plane), broadcast the offsets back, one codegen filter. A
+    hot source's scan fans across as many partitions as its data needs,
+    unlike ``Window.partitionBy(source)`` which would serialize 500B
+    tokens through one task."""
+    spark = docs.sparkSession
+    n = parts or spark.sparkContext.defaultParallelism
+    rank = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    d = (
+        docs.select(
+            F.col(id_col),
+            F.col(source_col).alias("_src"),
+            ntok_col.cast("long").alias("_n_tok"),
+            rank.alias("_rk"),
+        )
+        .repartitionByRange(n, F.col("_src"), F.col("_rk"), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        # pin the partition assignment (repartitionByRange samples its
+        # boundaries per-execution — the packing._cum_before rationale)
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        W.partitionBy("_pid", "_src")
+        .orderBy("_rk", id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    d = d.withColumn(
+        "_local_before", F.coalesce(F.sum("_n_tok").over(w), F.lit(0))
+    )
+    totals = (
+        d.groupBy("_pid", "_src").agg(F.sum("_n_tok").alias("tot")).collect()
+    )
+    acc: dict[str, int] = {}
+    offsets = []
+    for r in sorted(totals, key=lambda r: (r["_src"], r["_pid"])):
+        offsets.append((r["_pid"], r["_src"], acc.get(r["_src"], 0)))
+        acc[r["_src"]] = acc.get(r["_src"], 0) + r["tot"]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "_pid int, _src string, _offset long")
+    )
+    bud = F.create_map(
+        *[x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))]
+    )
+    kept = (
+        d.join(off_df, ["_pid", "_src"])
+        .withColumn("_cum_before", F.col("_local_before") + F.col("_offset"))
+        .filter(
+            bud[F.col("_src")].isNotNull()
+            & (F.col("_cum_before") < bud[F.col("_src")])
+        )
+        .select(id_col)
+    )
+    return docs.join(kept, id_col, "left_semi")
 
 
 def leakage_safe_splits(

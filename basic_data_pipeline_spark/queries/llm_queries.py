@@ -322,6 +322,16 @@ _LR_SELECT = "\n    UNION ALL\n".join(
             UNION
             SELECT DISTINCT array_to_string(w[1:1], ' ')
             FROM rtoks WHERE doc_id % 89 = 0),
+    tbc AS (SELECT doc_id, source,
+                   CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
+                   COALESCE(sum(CAST(len({_DUCK_TOKENS}) AS BIGINT)) OVER (
+                     PARTITION BY source
+                     ORDER BY ('0x' || substr(md5('mix:' ||
+                               CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                              doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cumb
+            FROM documents),
     bp1 AS (SELECT t.doc_id, b.phrase, count(*) AS c
             FROM rtoks t
             CROSS JOIN UNNEST(range(0, len(w))) AS u(i)
@@ -393,6 +403,13 @@ _LR_SELECT = "\n    UNION ALL\n".join(
            CAST(doc_id IN (SELECT doc_id FROM dsel) AS BIGINT),
            CAST(log_w AS DOUBLE), round(g, 6)
     FROM dk
+    UNION ALL
+    SELECT 'tokbudget', source, CAST(doc_id AS VARCHAR),
+           n_tok, CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM tbc
+    WHERE cumb < CASE WHEN source = (SELECT min(source) FROM documents)
+                      THEN 1500 ELSE 2500 END
     UNION ALL
     SELECT 'blockphrase', CAST(doc_id AS VARCHAR), phrase,
            CAST(c AS BIGINT), CAST(NULL AS BIGINT),
@@ -594,6 +611,28 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("log_w").cast("double").alias("d1"),
         F.round("sel_key", 6).alias("d2"),
     )
+    # tokbudget branch (r8, operators/sampling.py token_budget_mix):
+    # greedy per-source TOKEN-budget fill in md5-rank order — the
+    # trainers' unit ("N tokens of source X"), computed by the
+    # group-generalized two-phase prefix sum (never a per-source
+    # single-task window). Budgets: 1500 tokens for the alphabetically
+    # first source, 2500 for every other — DuckDB replays the exact
+    # rank order and integer cumsum as one window.
+    sources = sorted(
+        r["source"] for r in d.select("source").distinct().collect()
+    )
+    budgets = {s: 1500 if s == sources[0] else 2500 for s in sources}
+    tokbud = sampling.token_budget_mix(
+        d, budgets, text.n_tokens(t)
+    ).select(
+        F.lit("tokbudget").alias("grp"),
+        F.col("source").alias("k1"),
+        F.col("doc_id").cast("string").alias("k2"),
+        text.n_tokens(t).cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        null_d.alias("d1"),
+        null_d.alias("d2"),
+    )
     # blockphrase branch (r8, operators/domains.py): the C4/CCNet
     # banned-phrase content gate — multi-word, token-boundary,
     # OVERLAPPING occurrence counts against a corpus-derived blocklist
@@ -629,6 +668,7 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(domfilter)
         .unionByName(lr)
         .unionByName(dsir)
+        .unionByName(tokbud)
         .unionByName(blockphrase)
     )
 

@@ -336,3 +336,74 @@ def test_leakage_safe_splits_rejects_bad_weights(spark):
     )
     with _pytest.raises(ValueError):
         leakage_safe_splits(docs, pairs, {"train": 0.7})
+
+
+def _serial_token_budget(rows, budgets, salt="mix"):
+    """Independent reference: md5-order greedy fill per source."""
+    import hashlib
+
+    def rk(i):
+        return int(
+            hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16
+        )
+
+    kept = set()
+    by_src = {}
+    for did, src, n in rows:
+        by_src.setdefault(src, []).append((rk(did), did, n))
+    for src, lst in by_src.items():
+        if src not in budgets:
+            continue
+        cum = 0
+        for _, did, n in sorted(lst):
+            if cum < budgets[src]:
+                kept.add(did)
+            cum += n
+    return kept
+
+
+def test_token_budget_mix_matches_serial_greedy_fill(spark):
+    """Per-source token-budget fill == the serial md5-order reference,
+    under multiple partition counts (exercises the per-(partition,
+    source) offset machinery); unlisted sources drop; each kept source
+    overshoots by < 1 doc."""
+    from basic_data_pipeline_spark.operators import text
+    from basic_data_pipeline_spark.operators.sampling import (
+        token_budget_mix,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rows = [
+        (r["doc_id"], r["source"], len(r["text"].split()))
+        for r in docs.select("doc_id", "source", "text").collect()
+    ]
+    sources = sorted({s for _, s, _ in rows})
+    budgets = {s: 900 if i % 2 else 1700 for i, s in enumerate(sources)}
+    dropped_src = sources[-1]
+    del budgets[dropped_src]
+    want = _serial_token_budget(rows, budgets)
+
+    ntok = text.n_tokens(F.col("text"))
+    for parts in (1, 7):
+        got = {
+            r["doc_id"]
+            for r in token_budget_mix(
+                docs, budgets, ntok, parts=parts
+            ).collect()
+        }
+        assert got == want, f"parts={parts}"
+    assert not {d for d, s, _ in rows if s == dropped_src} & want
+
+    # overshoot bound: tokens kept per source < budget + max doc
+    per_src_tokens = {}
+    per_src_max = {}
+    for did, src, n in rows:
+        per_src_max[src] = max(per_src_max.get(src, 0), n)
+        if did in want:
+            per_src_tokens[src] = per_src_tokens.get(src, 0) + n
+    for src, tot in per_src_tokens.items():
+        assert tot < budgets[src] + per_src_max[src], (src, tot)
+        assert tot >= min(
+            budgets[src],
+            sum(n for _, s, n in rows if s == src),
+        ) or tot > 0

@@ -453,6 +453,20 @@ def _probe_bm25_topk(spark, d):
     return retrieval.bm25_topk(docs, qs, 10, max_df_frac=0.5)
 
 
+def _probe_token_budget_mix(spark, d):
+    from basic_data_pipeline_spark.operators import sampling, text
+
+    # budgets scale WITH the replica (×16 when the corpus is ×16) so
+    # the kept fraction is constant and the probe measures the
+    # group-generalized prefix sum, not a shrinking output.
+    docs = load_table(spark, d, "documents")
+    scale = 1 if d == BASE else COPIES
+    budgets = {f"src{i}": 4_000 * scale for i in range(20)}
+    return sampling.token_budget_mix(
+        docs, budgets, text.n_tokens(F.col("text"))
+    ).select("doc_id")
+
+
 def _probe_phrase_blocklist(spark, d):
     from basic_data_pipeline_spark.operators import domains
 
@@ -500,6 +514,7 @@ def _probe_leakage_splits(spark, d):
 
 
 EXTRA_PROBES = {
+    "op_token_budget_mix": _probe_token_budget_mix,
     "op_phrase_blocklist": _probe_phrase_blocklist,
     "op_leakage_splits": _probe_leakage_splits,
     "op_bm25_topk": _probe_bm25_topk,
