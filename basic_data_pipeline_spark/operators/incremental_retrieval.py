@@ -280,19 +280,26 @@ def search_retrieval_index(
     b: float = 0.75,
     max_df_frac: float | None = None,
     exclude_self: bool = False,
+    collect_terms: bool = True,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, score): top-k by BM25 against the
     persisted index — EXACTLY what bm25_topk(corpus-so-far, queries)
     would return, at index-lookup cost.
 
-    The query batch's distinct term set is collected to the driver
-    (bounded — the standing assumption of every retrieval API here) and
-    pushed into the postings/dfreq scans as a term predicate, so the
-    big table is read through its sorted-bucket layout with row-group
-    pruning instead of scanned. df and (N, Σdl) are exact sums of the
-    pruned delta log and the stats rows. ``max_df_frac`` applies against
-    the CURRENT doc count — the same cut the one-shot operator makes
-    over the full corpus."""
+    ``collect_terms=True`` (default — the bounded-query-batch regime
+    every retrieval API here assumes): the batch's distinct term set is
+    collected to the driver and pushed into the postings/dfreq scans as
+    a term predicate, so the big table is read through its sorted-bucket
+    layout with row-group pruning instead of scanned — the columnar
+    "seek the postings list". For query batches too large to
+    materialize a term list on the driver (corpus-sized query-by-
+    document sweeps), ``collect_terms=False`` prunes with a term
+    semi-join against the bucketed postings instead — no driver
+    collect, no pushed predicate (the index scans once), and only the
+    QUERY side shuffles to the bucket layout. Results are identical.
+    df and (N, Σdl) are exact sums of the pruned delta log and the
+    stats rows. ``max_df_frac`` applies against the CURRENT doc count —
+    the same cut the one-shot operator makes over the full corpus."""
     meta = _meta_rw(index_path)
     postings_t, dfreq_t = _table_names(index_path)
     idx = _registered(
@@ -306,16 +313,17 @@ def search_retrieval_index(
             F.array_distinct(retrieval._clean_tokens(F.col(query_text_col)))
         ).alias("term"),
     )
-    terms = sorted(
-        r["term"] for r in qterms.select("term").distinct().collect()
-    )
-
-    postings = idx.filter(F.col("term").isin(terms))
-    dfreq = (
-        dlog.filter(F.col("term").isin(terms))
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-    )
+    if collect_terms:
+        terms = sorted(
+            r["term"] for r in qterms.select("term").distinct().collect()
+        )
+        postings = idx.filter(F.col("term").isin(terms))
+        dfreq = dlog.filter(F.col("term").isin(terms))
+    else:
+        tset = qterms.select("term").distinct()
+        postings = idx.join(tset, "term", "left_semi")
+        dfreq = dlog.join(tset, "term", "left_semi")
+    dfreq = dfreq.groupBy("term").agg(F.sum("df").alias("df"))
     stats = (
         spark.read.parquet(_p(index_path, "stats"))
         .agg(

@@ -347,3 +347,30 @@ def test_hybrid_index_search_composes_persisted_indexes(spark, tmp_path):
         assert n_lists in (1, 2)
     for qid, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, 6)), (qid, ranks)
+
+
+def test_search_without_driver_term_collect(spark, tmp_path):
+    """collect_terms=False (corpus-sized query batches): semi-join
+    pruning, no driver term list — results identical to the pushed-
+    predicate path and to the one-shot operator; empty-text queries
+    ride along."""
+    idx = str(tmp_path / "idx")
+    IR.build_retrieval_index(spark, _df(spark, B0 + B1), idx)
+    IR.incremental_retrieval_append(spark, _df(spark, B2), idx)
+    q = _qdf(spark, QUERIES + [(12, "")])
+    got = _rows(
+        IR.search_retrieval_index(
+            spark, q, idx, 4, collect_terms=False, max_df_frac=0.9
+        )
+    )
+    want = _rows(
+        _one_shot(spark, B0 + B1 + B2, q, max_df_frac=0.9)
+    )
+    assert got == want and got
+    plan = (
+        IR.search_retrieval_index(spark, q, idx, 4, collect_terms=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(term" not in plan  # no driver list
