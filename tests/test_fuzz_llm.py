@@ -247,3 +247,60 @@ def test_dsir_weights_match_serial(spark, raw, tgt):
     }
     want = _serial_log_weights(raw_rows, tgt_rows)
     assert got == want
+
+
+# --- token-budget mixing (operators/sampling.py) ---------------------------
+
+from tests.test_sampling import _serial_token_budget
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999),   # id (deduped below)
+            st.integers(min_value=0, max_value=3),     # source idx
+            st.integers(min_value=0, max_value=9),     # token count
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    budgets=st.lists(
+        st.integers(min_value=0, max_value=25), min_size=4, max_size=4
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@settings(**_SET)
+def test_token_budget_mix_matches_serial(spark, docs, budgets, parts):
+    """The group-generalized two-phase prefix sum == the serial
+    md5-order greedy fill for random corpora, budgets (including 0),
+    and partition counts — partition boundaries falling inside a
+    source's order must never shift the kept set."""
+    from basic_data_pipeline_spark.operators.sampling import (
+        token_budget_mix,
+    )
+
+    rows = []
+    seen = set()
+    for i, s, n in docs:
+        if i in seen:
+            continue
+        seen.add(i)
+        rows.append((i, f"s{s}", " ".join(["tok"] * n) if n else ""))
+    bud = {f"s{i}": b for i, b in enumerate(budgets)}
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    ntok = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    got = {
+        r["doc_id"]
+        for r in token_budget_mix(df, bud, ntok, parts=parts).collect()
+    }
+    serial_rows = [
+        (i, s, len([t for t in txt.split() if t])) for i, s, txt in rows
+    ]
+    assert got == _serial_token_budget(serial_rows, bud)
