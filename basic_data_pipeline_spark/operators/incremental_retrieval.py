@@ -281,6 +281,7 @@ def search_retrieval_index(
     max_df_frac: float | None = None,
     exclude_self: bool = False,
     collect_terms: bool = True,
+    as_of_completed: bool = False,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, score): top-k by BM25 against the
     persisted index — EXACTLY what bm25_topk(corpus-so-far, queries)
@@ -299,13 +300,40 @@ def search_retrieval_index(
     QUERY side shuffles to the bucket layout. Results are identical.
     df and (N, Σdl) are exact sums of the pruned delta log and the
     stats rows. ``max_df_frac`` applies against the CURRENT doc count —
-    the same cut the one-shot operator makes over the full corpus."""
+    the same cut the one-shot operator makes over the full corpus.
+
+    ``as_of_completed=True`` pins the read to the last COMPLETED
+    epoch's id watermark (the same cutoff the crash rebuild uses):
+    postings above it and dfreq/stats rows tagged above it are filtered
+    out, so a search that overlaps an in-flight (or crashed) append
+    sees a CONSISTENT snapshot — exactly the index as of the last
+    completed epoch — instead of partial postings whose df/stats
+    haven't landed. The serving-path read-isolation knob for a live
+    streaming index; costs three codegen filters, no extra pass."""
     meta = _meta_rw(index_path)
     postings_t, dfreq_t = _table_names(index_path)
     idx = _registered(
         spark, index_path, "postings", postings_t, meta["n_buckets"]
     )
     dlog = _registered(spark, index_path, "dfreq", dfreq_t, meta["n_buckets"])
+    wm_cut = None
+    if as_of_completed:
+        ledger_path = _p(index_path, "_stream_ledger.json")
+        wm_cut = meta.get("max_id")
+        if os.path.exists(ledger_path):
+            with open(ledger_path) as f:
+                for state in json.load(f).values():
+                    if isinstance(state, dict) and state.get("max_id") is not None:
+                        m = state["max_id"]
+                        wm_cut = m if wm_cut is None else max(wm_cut, m)
+        if wm_cut is None:
+            raise ValueError(
+                "as_of_completed needs an id watermark: the index "
+                "predates watermark recording and no stream epoch has "
+                "completed"
+            )
+        idx = idx.filter(F.col("neighbor_id") <= F.lit(wm_cut))
+        dlog = dlog.filter(F.col("_wm") <= F.lit(wm_cut))
 
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -324,12 +352,12 @@ def search_retrieval_index(
         postings = idx.join(tset, "term", "left_semi")
         dfreq = dlog.join(tset, "term", "left_semi")
     dfreq = dfreq.groupBy("term").agg(F.sum("df").alias("df"))
-    stats = (
-        spark.read.parquet(_p(index_path, "stats"))
-        .agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("sum_dl").alias("sum_dl"),
-        )
+    stats_src = spark.read.parquet(_p(index_path, "stats"))
+    if wm_cut is not None:
+        stats_src = stats_src.filter(F.col("_wm") <= F.lit(wm_cut))
+    stats = stats_src.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_dl").alias("sum_dl"),
     )
     if max_df_frac is not None:
         dfreq = (

@@ -374,3 +374,41 @@ def test_search_without_driver_term_collect(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [In(term" not in plan  # no driver list
+
+
+def test_as_of_completed_snapshot_during_partial_append(
+    spark, tmp_path, monkeypatch
+):
+    """A search overlapping a crashed (partial) append: the default
+    read would see postings whose df/stats never landed; with
+    as_of_completed=True the result is EXACTLY the last completed
+    epoch's index — the read-side twin of the rebuild cutoff."""
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    IR.build_retrieval_index(spark, _df(spark, B0), idx)
+    fn = retrieval_stream.make_retrieval_batch_fn(idx, out)
+    fn(_df(spark, B1), 0)
+    q = _qdf(spark)
+    completed = _rows(IR.search_retrieval_index(spark, q, idx, 4))
+
+    # crash after the postings write of epoch 1 — partial index state
+    calls = {"i": 0}
+    real = tables.write_bucketed
+
+    def wrapper(*a, **kw):
+        real(*a, **kw)
+        calls["i"] += 1
+        if calls["i"] == 1:
+            raise _Boom("crash")
+
+    with monkeypatch.context() as m:
+        m.setattr(tables, "write_bucketed", wrapper)
+        with pytest.raises(_Boom):
+            fn(_df(spark, B2), 1)
+
+    snap = _rows(
+        IR.search_retrieval_index(spark, q, idx, 4, as_of_completed=True)
+    )
+    assert snap == completed
+    # and equals the one-shot over exactly the completed corpus
+    assert snap == _rows(_one_shot(spark, B0 + B1, q))
