@@ -44,7 +44,8 @@ _PARAMS_FILE = "_prep_params.json"
 # bump when the fingerprint payload shape or digest rules change: a
 # version mismatch reads as "recreate the workdir (format changed)",
 # not the misleading "DIFFERENT parameters"
-# v5: + blocklist_input (the r8 phrase-blocklist stage)
+# v5: + blocklist_input and token_budgets (the r8 phrase-blocklist and
+# token-budget-mixing stages)
 _FP_VERSION = 5
 
 
@@ -80,6 +81,7 @@ def prepare_training_corpus(
     mix: dict[str, float] | None = None,
     mix_col: str = "source",
     temperature: float | None = None,
+    token_budgets: dict[str, int] | None = None,
     shuffle_salt: str | None = None,
     seq_len: int = 2048,
     workdir: str | None = None,
@@ -91,9 +93,11 @@ def prepare_training_corpus(
     domain survive, chosen as a deterministic hash-ranked sample
     (operators/domains.py `domain_cap` — the RefinedWeb cap that stops
     mirror-heavy domains dominating the corpus and every downstream
-    stage's cost). `mix` (explicit per-source fractions, may upsample) and `temperature`
-    ((n_i/N)^(1/T) rebalancing) are mutually exclusive; neither skips
-    mixing entirely. `max_repetition` (when set) drops documents whose
+    stage's cost). `mix` (explicit per-source fractions, may upsample), `temperature`
+    ((n_i/N)^(1/T) rebalancing) and `token_budgets` (greedy per-source
+    fill to a TOKEN budget — the unit trainers specify;
+    sampling.token_budget_mix) are mutually exclusive mixing modes.
+    `max_repetition` (when set) drops documents whose
     duplicate-bigram fraction exceeds it (repetition_profile — the
     MassiveText boilerplate filter; docs too short to have bigrams are
     kept). `min_lm_score` (when set) additionally drops documents whose
@@ -142,8 +146,10 @@ def prepare_training_corpus(
     the whole upstream lineage per count (O(stages) not O(stages²));
     intermediates are released at return, the final result stays
     persisted for the caller's first action."""
-    if mix is not None and temperature is not None:
-        raise ValueError("pass either mix= or temperature=, not both")
+    if sum(x is not None for x in (mix, temperature, token_budgets)) > 1:
+        raise ValueError(
+            "pass at most one of mix=, temperature=, token_budgets="
+        )
     if (domain_col is None) != (max_per_domain is None):
         raise ValueError(
             "pass domain_col= and max_per_domain= together (or neither)"
@@ -220,6 +226,7 @@ def prepare_training_corpus(
                     "dsir_buckets": dsir_buckets,
                     "mix": mix, "mix_col": mix_col,
                     "temperature": temperature,
+                    "token_budgets": token_budgets,
                     "shuffle_salt": shuffle_salt, "seq_len": seq_len,
                 },
                 sort_keys=True,
@@ -469,6 +476,22 @@ def prepare_training_corpus(
         prev = d
         d = stage(
             lambda: sampling.weighted_mix(prev, mix_col, mix, id_col=id_col),
+            "mixed",
+        )
+        ledger["mixed"] = d.count()
+    elif token_budgets is not None:
+        # the trainers' unit: greedy-fill each source to a TOKEN budget
+        # (sampling.token_budget_mix — group-generalized two-phase
+        # prefix sum in deterministic md5-rank order)
+        prev = d
+        d = stage(
+            lambda: sampling.token_budget_mix(
+                prev,
+                token_budgets,
+                text.n_tokens(F.col(text_col)),
+                source_col=mix_col,
+                id_col=id_col,
+            ),
             "mixed",
         )
         ledger["mixed"] = d.count()

@@ -524,3 +524,29 @@ def test_dsir_in_workdir_fingerprint(spark, docs, tmp_path):
             docs, dsir_target=docs.filter(F.col("doc_id") % 50 == 1),
             dsir_k=20, dsir_buckets=256, seq_len=256, workdir=wd,
         )
+
+
+def test_token_budget_mixing_mode(spark, docs):
+    """token_budgets as the third mixing mode: per-source kept tokens
+    land within one doc of the budget; mutually exclusive with the
+    other modes."""
+    budgets = {f"src{i}": 400 for i in range(20)}
+    res = prepare_training_corpus(
+        docs, min_quality=0.0, seq_len=256, token_budgets=budgets
+    )
+    assert res.ledger["mixed"] <= res.ledger["decontaminated"] if (
+        "decontaminated" in res.ledger
+    ) else True
+    rows = res.docs.select("doc_id", "source", "text").collect()
+    per_src = {}
+    for r in rows:
+        n = len([t for t in r["text"].split() if t])
+        per_src[r["source"]] = per_src.get(r["source"], 0) + n
+    assert per_src, "something survives"
+    for src, tot in per_src.items():
+        assert tot < 400 + 600, (src, tot)  # budget + max doc bound
+
+    with pytest.raises(ValueError, match="at most one"):
+        prepare_training_corpus(
+            docs, token_budgets=budgets, temperature=2.0
+        )
