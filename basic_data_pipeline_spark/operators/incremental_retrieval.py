@@ -58,7 +58,15 @@ scan as a term predicate, df comes from the pruned delta log, and the
 only shuffles are on (query_id, neighbor_id) — candidate-sized, exactly
 the shuffles the one-shot operator pays AFTER its corpus passes.
 ``compact_dfreq`` folds the delta log when it grows long (many small
-epochs), same epoch-compaction rationale as the ANN index maintenance.
+epochs), same epoch-compaction rationale as the ANN index maintenance;
+``compact_index`` adds the bucket-preserving postings rewrite (one file
+per bucket). Serving knobs: ``collect_terms=False`` swaps the pushed
+term predicate for a semi-join when the query batch's vocabulary is too
+large to collect; ``as_of_completed=True`` pins reads to the last
+completed epoch's watermark (snapshot-consistent lookups while a stream
+appends); ``hybrid_index_search`` fuses this index with the persisted
+IVF index by reciprocal rank — the whole serving path off indexes, the
+corpus never re-read.
 """
 
 from __future__ import annotations
