@@ -166,3 +166,170 @@ def pca_project(
         ]
     )
     return vectors.select(F.col(id_col), out.alias(vec_col))
+
+
+# --- SQ8 scalar quantization ----------------------------------------------
+#
+# The third point on the compression curve (JL/PCA reduce DIMENSIONS,
+# PQ reduces each subvector to a codebook id, SQ8 reduces each
+# COORDINATE to an 8-bit code): per-dimension min/max affine
+# quantization, the format FAISS calls ScalarQuantizer(QT_8bit) and
+# Lucene/HNSW serve as "int8 scalar quantization". 4x smaller than
+# float32 at full dimensionality, no codebook training, and unlike PQ
+# the reconstruction error is bounded per-coordinate by scale/2 =
+# (hi-lo)/510 — the right choice when recall matters more than the
+# extra 8x PQ would buy. All arithmetic is the deterministic
+# double-precision affine map, so codes and asymmetric-distance scores
+# are bit-identical across engines and partitionings (oracle-checked as
+# the sq8 branch of sim_topk_methods).
+
+
+def sq8_fit(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(d, lo, hi) per dimension — the SQ8 "model" is just the per-dim
+    value range. One posexplode + groupBy(d): n*dim rows enter the agg
+    but min/max partials combine map-side, so the shuffle carries only
+    dim rows per input partition and the output is dim rows total —
+    control-plane sized, broadcastable everywhere it is consumed."""
+    return (
+        vectors.select(
+            F.posexplode(as_double_array(F.col(vec_col))).alias("d", "x")
+        )
+        .groupBy("d")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+
+
+def _sq8_arrays(model: DataFrame) -> DataFrame:
+    """Fold the dim-row model into ONE row of (lo_arr, hi_arr) ordered by
+    dimension, for broadcast into encode/search projections. Struct
+    array_sort orders by the leading field (d), so the arrays are
+    position-aligned with the vectors regardless of model partitioning."""
+    return model.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "lo"))),
+            lambda s: s["lo"],
+        ).alias("lo_arr"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "hi"))),
+            lambda s: s["hi"],
+        ).alias("hi_arr"),
+    )
+
+
+def _sq8_scale(d: F.Column) -> tuple[F.Column, F.Column]:
+    """(lo_d, scale_d) for 0-based dimension index column ``d``."""
+    lo = F.element_at(F.col("lo_arr"), d + 1)
+    hi = F.element_at(F.col("hi_arr"), d + 1)
+    return lo, (hi - lo) / F.lit(255.0)
+
+
+def sq8_encode(
+    vectors: DataFrame,
+    model: DataFrame,
+    vec_col: str = "embedding",
+    code_col: str = "codes",
+) -> DataFrame:
+    """Input columns + ``codes`` (array<smallint>, values 0..255):
+    code_d = clamp(round((x - lo_d) / scale_d)). Rounding is the
+    unambiguous floor(q + 0.5) so every engine agrees on ties;
+    out-of-range values (vectors encoded against a model fitted on a
+    different corpus) clamp to the code range instead of wrapping.
+    Constant dimensions (hi == lo) encode as 0.
+
+    One broadcast of the 1-row (lo_arr, hi_arr) frame + a zero-shuffle
+    codegen projection — encoding 100 TB of vectors is embarrassingly
+    parallel. Spark's narrowest array element is smallint (no unsigned
+    byte); at rest a production sink packs the codes into a
+    dim-byte BINARY column — the 4x memory claim — while in-flight
+    arithmetic stays on the int codes."""
+    enc = F.transform(
+        as_double_array(F.col(vec_col)),
+        lambda x, d: F.when(
+            F.element_at(F.col("hi_arr"), d + 1)
+            == F.element_at(F.col("lo_arr"), d + 1),
+            F.lit(0),
+        )
+        .otherwise(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (x - _sq8_scale(d)[0]) / _sq8_scale(d)[1] + F.lit(0.5)
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(255),
+            )
+        )
+        .cast("smallint"),
+    )
+    return (
+        vectors.crossJoin(F.broadcast(_sq8_arrays(model)))
+        .withColumn(code_col, enc)
+        .drop("lo_arr", "hi_arr")
+    )
+
+
+def sq8_decode(
+    codes: DataFrame, model: DataFrame, code_col: str = "codes",
+    out_col: str = "xhat",
+) -> DataFrame:
+    """Input columns + ``xhat`` (array<double>): lo_d + code * scale_d —
+    the reconstruction used for asymmetric distance. Zero-shuffle
+    projection, same broadcast shape as encode."""
+    dec = F.transform(
+        F.col(code_col),
+        lambda c, d: _sq8_scale(d)[0] + c.cast("double") * _sq8_scale(d)[1],
+    )
+    return (
+        codes.crossJoin(F.broadcast(_sq8_arrays(model)))
+        .withColumn(out_col, dec)
+        .drop("lo_arr", "hi_arr")
+    )
+
+
+def sq8_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    model: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    code_id: str = "vec_id",
+    code_col: str = "codes",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank): top-k by ASYMMETRIC cosine — the
+    full-precision query against each candidate's SQ8 reconstruction
+    (FAISS's ADC convention: never quantize the query; it is free to
+    keep exact and halves the quantization noise in the score).
+
+    Scale shape mirrors similarity.topk_neighbors: candidates are
+    decoded ONCE in a projection (one fold per candidate row, not per
+    pair), their norms pre-folded, the broadcast-sized query set crosses
+    the spread candidate side, and a per-query window takes top-k. The
+    candidate frame a production deployment scans is the packed code
+    table — 4x less I/O than raw float32 — which is the whole point of
+    serving from codes; compose with IVF cell pruning
+    (similarity.ivf_*) when even the linear scan is too much."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        as_double_array(F.col(query_vec)).alias("qv"),
+    ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    c = sq8_decode(codes, model, code_col=code_col).select(
+        F.col(code_id).alias("neighbor_id"), F.col("xhat").alias("cv")
+    ).withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    from pyspark.sql import Window as W
+
+    from basic_data_pipeline_spark.partitioning import spread
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(q)
+        .crossJoin(spread(c, "neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

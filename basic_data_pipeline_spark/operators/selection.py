@@ -347,3 +347,47 @@ def importance_resample_threshold(
         "sel_key", [frac], relative_error
     )
     return keyed.filter(F.col("sel_key") >= threshold)
+
+
+def score_buckets(
+    scored: DataFrame,
+    score_col: str,
+    part_col: str,
+    id_col: str,
+    n_buckets: int = 3,
+    labels: Optional[Sequence[str]] = ("head", "middle", "tail"),
+    ascending: bool = True,
+) -> DataFrame:
+    """Input columns + ``bucket`` (1..n) and optional ``bucket_label`` —
+    the CCNet convention (Wenzek et al. 2020): split each language's
+    documents into equal-sized perplexity terciles (head = best-scoring
+    third) so downstream mixing can sample the buckets at different
+    rates instead of hard-filtering on a global threshold.
+
+    One NTILE window per ``part_col`` group — a single shuffle on the
+    partition key; the tie-break on ``id_col`` makes the assignment
+    deterministic under any partitioning (NTILE's fill order is the
+    ORDER BY, and SQL engines agree on its floor-division group sizes).
+    With ``ascending=True`` lower scores (= lower perplexity = better
+    LM fit) land in bucket 1. At 100 TB the shuffle is by language —
+    dozens of groups; skew toward English is real but NTILE is a
+    streaming window (no per-group materialization beyond the sort),
+    and the sort key is (score, id), spillable. ``labels`` must have
+    exactly ``n_buckets`` entries (or pass None to keep just the
+    number)."""
+    from pyspark.sql import Window as W
+
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError("labels length must equal n_buckets")
+    order = [
+        F.col(score_col).asc() if ascending else F.col(score_col).desc(),
+        F.col(id_col).asc(),
+    ]
+    w = W.partitionBy(part_col).orderBy(*order)
+    out = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    if labels is not None:
+        lab = F.array(*[F.lit(x) for x in labels])
+        out = out.withColumn(
+            "bucket_label", F.element_at(lab, F.col("bucket"))
+        )
+    return out

@@ -389,3 +389,141 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+# --- line-level cleaning (C4) and document rules (Gopher) -----------------
+
+# Terminal punctuation accepted by the C4 line rule (Raffel et al. 2020:
+# "only retained lines that ended in a terminal punctuation mark").
+C4_TERMINAL_RE = '[.!?"]$'
+
+# Phrases whose presence drops a LINE in the C4 recipe (cookie-notice
+# boilerplate) and phrases/characters that drop the whole DOCUMENT.
+C4_BAD_LINE_MARKERS = ("javascript", "cookie policy", "uses cookies")
+C4_BAD_DOC_MARKERS = ("lorem ipsum", "{")
+
+
+def c4_line_clean(
+    text: Column,
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+    bad_line_markers: tuple[str, ...] = C4_BAD_LINE_MARKERS,
+    bad_doc_markers: tuple[str, ...] = C4_BAD_DOC_MARKERS,
+) -> dict[str, Column]:
+    """The C4 cleaning stage (Raffel et al. 2020 §2.2) as named columns:
+    per-LINE keep rules (ends in terminal punctuation, >= ``min_words``
+    words, no boilerplate marker) applied inside one higher-order
+    ``filter`` over ``split(text, '\\n')``, plus the per-DOCUMENT drops
+    (curly brace = code, "lorem ipsum", fewer than ``min_kept_lines``
+    surviving lines).
+
+    Returns ``n_lines``, ``n_kept``, ``cleaned`` (kept lines re-joined
+    with newlines, the column downstream stages consume) and ``keep_doc``.
+    Everything is a zero-shuffle codegen projection — the corpus is
+    touched once, embarrassingly parallel at any scale; compose with
+    ``quality_flags``/``gopher_quality_flags`` in the same projection."""
+    lines = F.split(text, "\n")
+
+    def _keep(line: Column) -> Column:
+        t = F.trim(line)
+        low = F.lower(t)
+        ok = t.rlike(C4_TERMINAL_RE) & (
+            F.size(F.split(t, WS)) >= F.lit(min_words)
+        )
+        for marker in bad_line_markers:
+            ok = ok & ~low.contains(F.lit(marker))
+        return ok
+
+    kept = F.filter(lines, _keep)
+    n_kept = F.size(kept)
+    doc_ok = n_kept >= F.lit(min_kept_lines)
+    low_doc = F.lower(text)
+    for marker in bad_doc_markers:
+        doc_ok = doc_ok & ~low_doc.contains(F.lit(marker))
+    return {
+        "n_lines": F.size(lines),
+        "n_kept": n_kept,
+        "cleaned": F.array_join(kept, "\n"),
+        "keep_doc": doc_ok,
+    }
+
+
+# The 8-word "must contain 2 of these" list from Gopher's quality rules
+# (Rae et al. 2021, table A1).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> dict[str, Column]:
+    """The Gopher/MassiveText document-quality rule battery (Rae et al.
+    2021 §A.1.1) as named boolean columns plus the underlying measures:
+
+    * ``word_count_ok``   — ``min_words <= n <= max_words``
+    * ``mean_word_len_ok``— mean word length in [3, 10]
+    * ``symbol_ratio_ok`` — (# of '#' + '...') / words <= 0.1
+    * ``bullet_ratio_ok`` — <= 90% of lines start with a bullet
+    * ``ellipsis_ratio_ok``— <= 30% of lines end with '...'
+    * ``alpha_ratio_ok``  — >= 80% of words contain a letter
+    * ``stopwords_ok``    — contains >= 2 of the 8 Gopher stopwords
+
+    (The repetition rules of the same battery live in
+    ``repetition_profile`` — they need n-gram aggregation; everything
+    here is one zero-shuffle codegen projection, so the full battery is
+    a single corpus pass.) Measures exposed: ``n_words``,
+    ``mean_word_len``, ``alpha_word_ratio``."""
+    toks = tokens(text)
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_wlen = sum_token_chars(text) / nd
+    symbols = (
+        F.regexp_count(text, F.lit("#")) + F.regexp_count(text, F.lit(r"\.\.\."))
+    ).cast("double")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullets = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))
+    ).cast("double")
+    ellipsis = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))
+    ).cast("double")
+    alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("double") / nd
+    sw = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": mean_wlen,
+        "alpha_word_ratio": alpha,
+        "word_count_ok": (n >= F.lit(min_words)) & (n <= F.lit(max_words)),
+        "mean_word_len_ok": (mean_wlen >= 3.0) & (mean_wlen <= 10.0),
+        "symbol_ratio_ok": symbols / nd <= 0.1,
+        "bullet_ratio_ok": bullets / n_lines <= 0.9,
+        "ellipsis_ratio_ok": ellipsis / n_lines <= 0.3,
+        "alpha_ratio_ok": alpha >= 0.8,
+        "stopwords_ok": sw >= 2,
+    }
+
+
+def gopher_rule_mask(text: Column) -> Column:
+    """The seven Gopher rules packed into one integer bitmask (bit i set
+    = rule i passed, in the docstring order of ``gopher_quality_flags``)
+    — the compact form a corpus pipeline persists per document so any
+    rule subset can be re-filtered later without re-scanning text."""
+    flags = gopher_quality_flags(text)
+    bits = [
+        "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+        "bullet_ratio_ok", "ellipsis_ratio_ok", "alpha_ratio_ok",
+        "stopwords_ok",
+    ]
+    mask = F.lit(0)
+    for i, name in enumerate(bits):
+        mask = mask + flags[name].cast("int") * F.lit(1 << i)
+    return mask.cast("long")

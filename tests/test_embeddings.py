@@ -148,3 +148,89 @@ def test_pca_validates(spark, vecs):
     one = vecs.limit(1)
     with pytest.raises(ValueError):
         E.pca_fit(one, "embedding", DIM, 2)
+
+
+# --- SQ8 scalar quantization ----------------------------------------------
+
+@pytest.fixture(scope="module")
+def sq8_model(vecs):
+    return E.sq8_fit(vecs)
+
+
+def _np_sq8(x):
+    """Numpy replica of the fit+encode+decode affine map."""
+    lo, hi = x.min(axis=0), x.max(axis=0)
+    scale = (hi - lo) / 255.0
+    safe = np.where(scale == 0.0, 1.0, scale)
+    codes = np.clip(np.floor((x - lo) / safe + 0.5), 0, 255)
+    codes = np.where(scale == 0.0, 0.0, codes)
+    return codes.astype(np.int64), lo + codes * scale
+
+
+def test_sq8_fit_matches_numpy(sq8_model, vecs_np):
+    _, x = vecs_np
+    rows = {r["d"]: (r["lo"], r["hi"]) for r in sq8_model.collect()}
+    assert len(rows) == DIM
+    for d in range(DIM):
+        assert rows[d][0] == pytest.approx(x[:, d].min(), abs=0)
+        assert rows[d][1] == pytest.approx(x[:, d].max(), abs=0)
+
+
+def test_sq8_encode_matches_numpy_and_bounds(vecs, sq8_model, vecs_np):
+    ids, x = vecs_np
+    want_codes, want_xhat = _np_sq8(x)
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in E.sq8_encode(vecs, sq8_model).select("vec_id", "codes").collect()
+    }
+    for i, vid in enumerate(ids):
+        assert list(got[vid]) == list(want_codes[i])
+        assert min(got[vid]) >= 0 and max(got[vid]) <= 255
+
+
+def test_sq8_reconstruction_error_bounded(vecs, sq8_model, vecs_np):
+    """Per-coordinate |x - xhat| <= scale/2 — the SQ8 guarantee."""
+    ids, x = vecs_np
+    lo, hi = x.min(axis=0), x.max(axis=0)
+    half = (hi - lo) / 255.0 / 2.0
+    enc = E.sq8_encode(vecs, sq8_model)
+    dec = {
+        r["vec_id"]: np.array(r["xhat"])
+        for r in E.sq8_decode(enc, sq8_model).select("vec_id", "xhat").collect()
+    }
+    for i, vid in enumerate(ids):
+        assert np.all(np.abs(x[i] - dec[vid]) <= half + 1e-12)
+
+
+def test_sq8_search_matches_numpy_adc(vecs, sq8_model, vecs_np):
+    """Ranks equal the numpy replication of asymmetric cosine exactly."""
+    ids, x = vecs_np
+    _, xhat = _np_sq8(x)
+    k = 5
+    queries = vecs.filter(F.col("vec_id") < 5)
+    got = {}
+    for r in E.sq8_search(
+        queries, E.sq8_encode(vecs, sq8_model), sq8_model, k
+    ).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    idx = {vid: i for i, vid in enumerate(ids)}
+    for qid in [i for i in ids if i < 5]:
+        qv = x[idx[qid]]
+        sims = xhat @ qv / (np.linalg.norm(xhat, axis=1) * np.linalg.norm(qv))
+        order = sorted(
+            ((float(-sims[idx[v]]), v) for v in ids if v != qid)
+        )[:k]
+        want = [(rk + 1, v) for rk, (_, v) in enumerate(order)]
+        assert sorted(got[qid]) == want
+
+
+def test_sq8_search_high_recall_vs_exact(vecs, sq8_model, vecs_np):
+    """ADC over 8-bit codes keeps near-perfect top-5 recall on the
+    fixture — quantization noise is per-coordinate <= scale/2."""
+    from basic_data_pipeline_spark.operators import similarity
+
+    queries = vecs.filter(F.col("vec_id") < 20)
+    exact = similarity.topk_neighbors(queries, vecs, 5)
+    approx = E.sq8_search(queries, E.sq8_encode(vecs, sq8_model), sq8_model, 5)
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "inner").count()
+    assert hits / exact.count() >= 0.9
