@@ -343,7 +343,53 @@ _LR_SELECT = "\n    UNION ALL\n".join(
             CROSS JOIN UNNEST(range(0, len(w) - 2)) AS u(i)
             JOIN bph b ON len(string_split_regex(b.phrase, ' ')) = 3
                       AND b.phrase = array_to_string(w[i+1:i+3], ' ')
-            GROUP BY 1, 2)
+            GROUP BY 1, 2),
+    c4l AS (SELECT doc_id, i,
+                   array_to_string(w[i*8+1 : i*8+8], ' ')
+                   || CASE WHEN (doc_id + i) % 4 <> 0 THEN '.' ELSE '' END
+                     AS line,
+                   len(w[i*8+1 : i*8+8]) AS nw
+            FROM rtoks, UNNEST(range(0, CAST(greatest(ceil(len(w)/8.0), 1)
+                                        AS BIGINT))) AS t(i)),
+    c4f AS (SELECT doc_id, i, line,
+                   ((doc_id + i) % 4 <> 0 AND nw >= 5
+                    AND NOT contains(line, 'javascript')
+                    AND NOT contains(line, 'cookie policy')
+                    AND NOT contains(line, 'uses cookies')) AS keep
+            FROM c4l),
+    c4s AS (SELECT doc_id, count(*) AS n_lines,
+                   count(*) FILTER (WHERE keep) AS n_kept,
+                   md5(COALESCE(string_agg(line, chr(10) ORDER BY i)
+                                FILTER (WHERE keep), '')) AS fp,
+                   (count(*) FILTER (WHERE keep) >= 3
+                    AND NOT bool_or(contains(line, 'lorem ipsum'))
+                    AND NOT bool_or(contains(line, '{{'))) AS keep_doc
+            FROM c4f GROUP BY 1),
+    gop AS (SELECT doc_id, len(w) AS n,
+                   CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+                     / len(w) AS mwl,
+                   CAST(len(regexp_extract_all(text, '#'))
+                        + len(regexp_extract_all(text, '\\.\\.\\.'))
+                        AS DOUBLE) / len(w) AS symr,
+                   CAST(len(list_filter(string_split(text, chr(10)),
+                            l -> regexp_matches(trim(l), '^[-*•]')))
+                        AS DOUBLE)
+                     / len(string_split(text, chr(10))) AS bulr,
+                   CAST(len(list_filter(string_split(text, chr(10)),
+                            l -> regexp_matches(trim(l), '\\.\\.\\.$')))
+                        AS DOUBLE)
+                     / len(string_split(text, chr(10))) AS ellr,
+                   CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                        AS DOUBLE) / len(w) AS alpha,
+                   len(list_filter(
+                     ['the','be','to','of','and','that','have','with'],
+                     s -> list_contains(w, s))) AS sw
+            FROM rtoks JOIN documents USING (doc_id)),
+    pplb AS (SELECT k.doc_id, dd.lang,
+                    ntile(3) OVER (PARTITION BY dd.lang
+                                   ORDER BY k.log_w, k.doc_id) AS tile,
+                    k.log_w
+             FROM dw k JOIN documents dd ON k.doc_id = dd.doc_id)
     SELECT 'lang' AS grp, lang AS k1,
            CASE WHEN cjk * 3 >= n THEN 'zh'
                 WHEN en >= greatest(en, de, es, fr) THEN 'en'
@@ -415,6 +461,30 @@ _LR_SELECT = "\n    UNION ALL\n".join(
            CAST(c AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM (SELECT * FROM bp1 UNION ALL SELECT * FROM bp3)
+    UNION ALL
+    SELECT 'c4line', CAST(doc_id AS VARCHAR), fp,
+           CAST(n_lines AS BIGINT), CAST(n_kept AS BIGINT),
+           CAST(CAST(keep_doc AS INT) AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM c4s
+    UNION ALL
+    SELECT 'gopher', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(n AS BIGINT),
+           CAST(CASE WHEN n BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+              + CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 2 ELSE 0 END
+              + CASE WHEN symr <= 0.1 THEN 4 ELSE 0 END
+              + CASE WHEN bulr <= 0.9 THEN 8 ELSE 0 END
+              + CASE WHEN ellr <= 0.3 THEN 16 ELSE 0 END
+              + CASE WHEN alpha >= 0.8 THEN 32 ELSE 0 END
+              + CASE WHEN sw >= 2 THEN 64 ELSE 0 END AS BIGINT),
+           round(mwl, 6), round(alpha, 6)
+    FROM gop
+    UNION ALL
+    SELECT 'pplbucket', CAST(doc_id AS VARCHAR),
+           lang || ':' || CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                                    ELSE 'tail' END,
+           CAST(tile AS BIGINT), CAST(NULL AS BIGINT),
+           round(CAST(log_w AS DOUBLE), 6) + 0.0, CAST(NULL AS DOUBLE)
+    FROM pplb
     UNION ALL
 {_LR_SELECT}
     """,
@@ -659,6 +729,74 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_d.alias("d1"),
         null_d.alias("d2"),
     )
+    # c4line branch (r8-close, operators/text.py c4_line_clean): the C4
+    # line-cleaning stage. The fixture's text is single-line, so the
+    # branch SYNTHESIZES line structure both engines can rebuild: the
+    # dedup_exact_fp lsegs convention (8-token segments) plus a
+    # deterministic terminal '.' on segments with (doc_id + i) % 4 != 0
+    # — the operator then genuinely inspects punctuation/word-count/
+    # markers per line, and the oracle derives the same keeps from the
+    # construction. k2 = md5 of the cleaned (kept-lines) text pins the
+    # exact surviving content, not just counts.
+    toks_l = F.split(F.lower(t), r"\s+")
+    n_seg = F.greatest(
+        F.ceil(F.size(toks_l) / F.lit(8.0)), F.lit(1).cast("long")
+    ).cast("int")
+    liney = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_seg - F.lit(1)),
+            lambda i: F.concat(
+                F.concat_ws(" ", F.slice(toks_l, i * F.lit(8) + F.lit(1), 8)),
+                F.when(((F.col("doc_id") + i) % 4) != 0, F.lit("."))
+                .otherwise(F.lit("")),
+            ),
+        ),
+        "\n",
+    )
+    c4cols = text.c4_line_clean(liney)
+    c4line = d.select(
+        F.lit("c4line").alias("grp"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.md5(c4cols["cleaned"]).alias("k2"),
+        c4cols["n_lines"].cast("long").alias("n1"),
+        c4cols["n_kept"].cast("long").alias("n2"),
+        c4cols["keep_doc"].cast("double").alias("d1"),
+        null_d.alias("d2"),
+    )
+    # gopher branch (r8-close, operators/text.py gopher_quality_flags):
+    # the MassiveText document-rule battery on the raw text — word
+    # count, mean word length, symbol/bullet/ellipsis ratios, alpha-word
+    # ratio, stopword presence — packed into the persisted bitmask form
+    # (n2) plus the two continuous measures the oracle re-derives.
+    g = text.gopher_quality_flags(t)
+    gopher = d.select(
+        F.lit("gopher").alias("grp"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        g["n_words"].cast("long").alias("n1"),
+        text.gopher_rule_mask(t).alias("n2"),
+        F.round(g["mean_word_len"], 6).alias("d1"),
+        F.round(g["alpha_word_ratio"], 6).alias("d2"),
+    )
+    # pplbucket branch (r8-close, operators/selection.py score_buckets):
+    # CCNet-style per-language terciles over the DSIR log-weight (the
+    # oracle's exact DECIMAL dw.log_w — already replayed for the dsir
+    # branch, so the NTILE order is bit-identical in both engines).
+    ppl = selection.score_buckets(
+        keyed.select("doc_id", "log_w").join(
+            d.select("doc_id", "lang"), "doc_id"
+        ),
+        "log_w", "lang", "doc_id", 3,
+    )
+    pplbucket = ppl.select(
+        F.lit("pplbucket").alias("grp"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.concat_ws(":", F.col("lang"), F.col("bucket_label")).alias("k2"),
+        F.col("bucket").cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        (F.round(F.col("log_w").cast("double"), 6) + F.lit(0.0)).alias("d1"),
+        null_d.alias("d2"),
+    )
     return (
         lang.unionByName(tokens)
         .unionByName(rep)
@@ -670,6 +808,9 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dsir)
         .unionByName(tokbud)
         .unionByName(blockphrase)
+        .unionByName(c4line)
+        .unionByName(gopher)
+        .unionByName(pplbucket)
     )
 
 
@@ -1130,6 +1271,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY s DESC, neighbor_id) AS rank
         FROM rrfs)
+      WHERE rank <= 5),
+    sqlim AS (SELECT d, min(CAST(embedding[d+1] AS DOUBLE)) AS lo,
+                     max(CAST(embedding[d+1] AS DOUBLE)) AS hi
+              FROM embeddings, UNNEST(range(0, 64)) AS sq(d) GROUP BY d),
+    sqarr AS (SELECT list(lo ORDER BY d) AS lo_arr,
+                     list(hi ORDER BY d) AS hi_arr
+              FROM sqlim),
+    sqrec AS (SELECT vec_id AS neighbor_id,
+                     [CASE WHEN hi_arr[d+1] = lo_arr[d+1] THEN lo_arr[d+1]
+                           ELSE lo_arr[d+1]
+                                + least(greatest(floor(
+                                    (CAST(embedding[d+1] AS DOUBLE)
+                                     - lo_arr[d+1])
+                                    / ((hi_arr[d+1] - lo_arr[d+1]) / 255.0)
+                                    + 0.5), 0), 255)
+                                * ((hi_arr[d+1] - lo_arr[d+1]) / 255.0)
+                      END FOR d IN range(0, 64)] AS xv
+              FROM embeddings, sqarr),
+    sqp AS (SELECT query_id, neighbor_id,
+                   {_DUCK_COS.format(a="qv", b="xv")} AS cos
+            FROM q CROSS JOIN sqrec WHERE query_id <> neighbor_id),
+    sq8 AS (SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM sqp)
       WHERE rank <= 5)
     SELECT 'brute' AS method, query_id, neighbor_id, rank FROM brute
     UNION ALL
@@ -1138,6 +1305,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'bm25', query_id, neighbor_id, rank FROM bm25
     UNION ALL
     SELECT 'rrf', query_id, neighbor_id, rank FROM rrf
+    UNION ALL
+    SELECT 'sq8', query_id, neighbor_id, rank FROM sq8
     """,
     headline=True,
 )
@@ -1182,7 +1351,27 @@ def sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"dense": brute_ranks, "sparse": bm25_ranks.select("query_id", "neighbor_id", "rank")},
         5,
     ).select(F.lit("rrf").alias("method"), "query_id", "neighbor_id", "rank")
-    return brute.unionByName(blocked).unionByName(bm25).unionByName(rrf)
+    # sq8 branch (r8-close, operators/embeddings.py sq8_*): top-5 by
+    # ASYMMETRIC cosine over 8-bit scalar-quantized candidates — the
+    # compressed-index serving path. Fit, codes, reconstruction, and
+    # the rank order are all deterministic double arithmetic (floor(q +
+    # 0.5) rounding), so the oracle replays the whole quantizer and the
+    # ranks hash-match exactly.
+    from basic_data_pipeline_spark.operators import embeddings as emb_ops
+
+    sq8_model = emb_ops.sq8_fit(e)
+    sq8 = emb_ops.sq8_search(
+        e.filter(F.col("vec_id") < 5),
+        emb_ops.sq8_encode(e, sq8_model),
+        sq8_model,
+        5,
+    ).select(F.lit("sq8").alias("method"), "query_id", "neighbor_id", "rank")
+    return (
+        brute.unionByName(blocked)
+        .unionByName(bm25)
+        .unionByName(rrf)
+        .unionByName(sq8)
+    )
 
 
 @query(

@@ -64,7 +64,15 @@ EXPECTED = {
     # side is ≤ 1 row or ≤ |queries| by construction. Shuffles are the
     # postings/df/score keyed aggs + per-branch top-k windows across
     # the four branches' print sites. Python evals stay 0.
-    "sim_topk_methods": (28, 13, 0, 6),
+    # r8-close: + the sq8 branch. Its 3 extra nested-loops are the
+    # 1-row (lo_arr, hi_arr) model broadcast cross joins (encode +
+    # decode) and the 5-query ADC cross join — all build sides <= 5
+    # rows by construction. The extra shuffles are the posexplode
+    # groupBy(d) fit agg + the dim-row collect_list fold, printed at
+    # both model consumption sites (encode and decode recompute
+    # _sq8_arrays; at fixture scale a non-issue, at production scale
+    # callers persist the 1-row model frame).
+    "sim_topk_methods": (34, 16, 0, 9),
     "sim_ann_lsh": (4, 3, 0, 0),
     # r8: + the Bloom-prefiltered contamination arm (contam_hits_bloom):
     # its shingle agg + verify join + outer join add 3 shuffles and 2
