@@ -513,7 +513,64 @@ def _probe_leakage_splits(spark, d):
     return splits["train"].select("doc_id")
 
 
+def _probe_c4_gopher_profile(spark, d):
+    from basic_data_pipeline_spark.operators import text
+
+    # Both r8-close text batteries in ONE projection (the composition
+    # they are designed for), aggregated to a constant-size output so
+    # wall growth is the projection's, not the writeback's. Zero
+    # shuffles before the final 2-row agg — expect ~linear/flat.
+    docs = load_table(spark, d, "documents")
+    c4 = text.c4_line_clean(F.col("text"))
+    g = text.gopher_quality_flags(F.col("text"))
+    return docs.select(
+        c4["n_kept"].alias("nk"),
+        c4["keep_doc"].cast("int").alias("kd"),
+        text.gopher_rule_mask(F.col("text")).alias("mask"),
+        g["alpha_word_ratio"].alias("ar"),
+    ).agg(
+        F.sum("nk"), F.sum("kd"), F.sum("mask"), F.avg("ar")
+    )
+
+
+def _probe_score_buckets(spark, d):
+    from basic_data_pipeline_spark.operators import selection, text
+
+    # per-language NTILE over a cheap codegen score: ONE window shuffle
+    # on lang (5 groups at every scale — the skew-concentration case);
+    # output aggregated to (lang × 3) rows so growth is the sort's.
+    docs = load_table(spark, d, "documents")
+    scored = docs.select(
+        "doc_id", "lang", text.quality_score(F.col("text")).alias("s")
+    )
+    return (
+        selection.score_buckets(scored, "s", "lang", "doc_id")
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _probe_sq8_search(spark, d):
+    from basic_data_pipeline_spark.operators import embeddings
+
+    # fit + encode + ADC top-10 for 100 copy-0 queries against the whole
+    # replica: fixed query batch, constant output — wall growth is the
+    # fit agg (n·dim rows, map-side min/max partials) + the linear
+    # decode/score scan, both expected ~linear.
+    vecs = load_table(spark, d, "embeddings")
+    model = embeddings.sq8_fit(vecs)
+    return embeddings.sq8_search(
+        vecs.filter(F.col("vec_id") < 100),
+        embeddings.sq8_encode(vecs, model),
+        model,
+        10,
+    )
+
+
 EXTRA_PROBES = {
+    "op_c4_gopher_profile": _probe_c4_gopher_profile,
+    "op_score_buckets": _probe_score_buckets,
+    "op_sq8_search": _probe_sq8_search,
     "op_token_budget_mix": _probe_token_budget_mix,
     "op_phrase_blocklist": _probe_phrase_blocklist,
     "op_leakage_splits": _probe_leakage_splits,
