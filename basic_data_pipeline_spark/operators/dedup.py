@@ -791,3 +791,124 @@ def line_dedup_corpus(
         sep,
         text_col,
     )
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003) -----------------------
+
+# Position packing for the tie rule: (hash, pos) pairs are encoded into
+# ONE int64 so a plain window MIN implements "minimum hash, rightmost
+# position on ties" (robust winnowing) identically in every engine —
+# no struct-typed window aggregates needed. 2^21 positions per document
+# (2M tokens) is generous; hashes are 32-bit, so enc < 2^53 and even a
+# double-routed division stays exact.
+_WINNOW_POS_BITS = 2_097_152  # 2^21
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """(id, pos, fp) — robust winnowing (Schleimer, Wilkerson, Aiken
+    2003: the MOSS local fingerprinting scheme): hash every word
+    ``k``-gram, slide a window of ``window`` consecutive hashes, keep
+    each window's minimum (rightmost position on ties), dedupe. The
+    guarantees the scheme is chosen for: any shared token run of
+    ≥ k + window - 1 words between two documents yields at least one
+    SHARED fingerprint (detection), and at least one fingerprint is
+    selected per window (density ≤ 1, expected 2/(window+1)) — a
+    position-aware overlap primitive between minhash (set-level, no
+    positions) and the exact substring index (every gram).
+
+    Scale shape: one posexplode (spread by id first, the word_shingles
+    convention), ONE window shuffle on (id, pos) — reusing the spread's
+    hash partitioning — and a distinct that rides the same exchange.
+    Hashes are md5-prefix 32-bit (the engine's deterministic hash
+    convention), so fingerprints are reproducible across engines and
+    partitionings. Documents shorter than ``k`` words contribute their
+    whole text as one gram; documents with fewer than ``window`` hashes
+    contribute their single minimum."""
+    if k < 1 or window < 1:
+        raise ValueError("need k >= 1 and window >= 1")
+    docs = spread(docs, id_col)
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.split(F.lower(F.col(text_col)), r"\s+"),
+                                 i + 1, k)
+                ),
+            )
+        ).alias("pos", "gram"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+    enc = h * F.lit(_WINNOW_POS_BITS) + (
+        F.lit(_WINNOW_POS_BITS - 1) - F.col("pos")
+    )
+    wspec = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), W.currentRow)
+    )
+    sel = (
+        grams.withColumn("enc", enc)
+        .withColumn("em", F.min("enc").over(wspec))
+        .withColumn("mp", F.max("pos").over(W.partitionBy(id_col)))
+        # every full window ends at pos >= window-1; a document with
+        # fewer hashes than the window gets its single global min from
+        # the partial window ending at its last position
+        .filter((F.col("pos") >= window - 1) | (F.col("pos") == F.col("mp")))
+        .select(
+            F.col(id_col),
+            (
+                F.lit(_WINNOW_POS_BITS - 1)
+                - F.pmod(F.col("em"), F.lit(_WINNOW_POS_BITS))
+            ).alias("pos"),
+            F.floor(F.col("em") / F.lit(_WINNOW_POS_BITS))
+            .cast("long")
+            .alias("fp"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame,
+    id_col: str,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, shared) — document pairs sharing ≥ ``min_shared``
+    winnowing fingerprints, the MOSS overlap report. Self-join on the
+    fingerprint VALUE: pair volume is Σ_fp df(fp)², so common-boilerplate
+    fingerprints are the blowup risk — ``max_fp_df`` prunes fingerprints
+    appearing in more than that many documents before the join (the
+    maxdf cut BM25 applies to stopword postings; a fingerprint half the
+    corpus shares identifies nothing anyway). At production scale ALWAYS
+    set it: with the cap, pair volume is bounded by n_fps · max_fp_df."""
+    keyed = fps.select(F.col(id_col).alias("_wid"), "fp").distinct()
+    if max_fp_df is not None:
+        ok = (
+            keyed.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_fp_df)
+            .select("fp")
+        )
+        keyed = keyed.join(ok, "fp", "left_semi")
+    a = keyed.select(F.col("_wid").alias("id_a"), "fp")
+    b = keyed.select(F.col("_wid").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

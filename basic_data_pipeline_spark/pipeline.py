@@ -46,7 +46,9 @@ _PARAMS_FILE = "_prep_params.json"
 # not the misleading "DIFFERENT parameters"
 # v5: + blocklist_input and token_budgets (the r8 phrase-blocklist and
 # token-budget-mixing stages)
-_FP_VERSION = 5
+# v6: + c4_clean/c4_min_words and gopher_rules/gopher_min_words (the
+# r8-close line-cleaning and document-rule stages)
+_FP_VERSION = 6
 
 
 @dataclass
@@ -65,6 +67,10 @@ def prepare_training_corpus(
     domain_col: str | None = None,
     max_per_domain: int | None = None,
     blocklist_phrases: DataFrame | None = None,
+    c4_clean: bool = False,
+    c4_min_words: int = 5,
+    gopher_rules: bool = False,
+    gopher_min_words: int = 50,
     near_dup_threshold: float = 0.5,
     substring_k: int | None = None,
     min_quality: float = 0.5,
@@ -118,7 +124,19 @@ def prepare_training_corpus(
     the PHRASE BLOCKLIST stage right after the domain cap: documents
     containing any banned phrase (multi-word, token-boundary —
     operators/domains.py) drop before dedup, so blocked content never
-    pays for a single downstream shuffle.
+    pays for a single downstream shuffle. `c4_clean` (when set) adds the
+    C4 LINE-CLEANING stage before exact dedup — the T5 recipe order
+    (clean first, then dedup sees only surviving lines): each document's
+    text is REWRITTEN to its kept lines (terminal punctuation,
+    ≥ `c4_min_words` words, no boilerplate marker —
+    text.c4_line_clean) and documents failing the C4 document rules
+    (brace, "lorem ipsum", < 3 kept lines) drop; a zero-shuffle
+    projection, so it costs one corpus pass. `gopher_rules` (when set)
+    adds the GOPHER DOCUMENT-RULE gate right before the heuristic
+    quality floor: documents must pass the full Rae et al. A.1.1
+    battery (word count ≥ `gopher_min_words`, mean word length,
+    symbol/bullet/ellipsis ratios, alpha-word ratio, 2-of-8 stopwords
+    — text.gopher_quality_flags); likewise zero-shuffle.
     `contamination_bloom` routes the decontamination stage through the
     Bloom-prefiltered variant (packing.contamination_hits_bloom) — the
     same survivors by construction, the right plan when the benchmark
@@ -201,6 +219,10 @@ def prepare_training_corpus(
                     "id_col": id_col, "text_col": text_col,
                     "domain_col": domain_col,
                     "max_per_domain": max_per_domain,
+                    "c4_clean": c4_clean,
+                    "c4_min_words": c4_min_words,
+                    "gopher_rules": gopher_rules,
+                    "gopher_min_words": gopher_min_words,
                     "near_dup_threshold": near_dup_threshold,
                     "substring_k": substring_k,
                     "min_quality": min_quality,
@@ -318,6 +340,28 @@ def prepare_training_corpus(
         )
         ledger["blocklist"] = d0.count()
 
+    # 0c. C4 line cleaning (optional): rewrite each doc to its kept
+    # lines and drop documents failing the C4 document rules. BEFORE
+    # exact dedup (the T5 order): dedup fingerprints then hash the
+    # CLEANED text, so two docs differing only in dropped boilerplate
+    # lines correctly collide.
+    if c4_clean:
+        prev0c = d0
+
+        def _c4_stage(prev0c=prev0c):
+            cols = text.c4_line_clean(
+                F.col(text_col), min_words=c4_min_words
+            )
+            return (
+                prev0c.filter(cols["keep_doc"])
+                .withColumn("_c4_text", cols["cleaned"])
+                .drop(text_col)
+                .withColumnRenamed("_c4_text", text_col)
+            )
+
+        d0 = stage(_c4_stage, "c4_clean")
+        ledger["c4_clean"] = d0.count()
+
     # 1. exact dedup under the canonical fingerprint (formatting-proof)
     survivors = dedup.exact_dedup_survivors(
         d0, id_col, text.fingerprint(F.col(text_col))
@@ -351,6 +395,26 @@ def prepare_training_corpus(
 
         d = stage(_substr_stage, "substring_dedup")
         ledger["substring_dedup"] = d.count()
+
+    # 2c. Gopher document-rule gate (optional): the full Rae et al.
+    # A.1.1 battery as a hard filter — the MassiveText order (rule
+    # filters before the learned/scored floors). Zero-shuffle codegen
+    # projection like the quality floor below.
+    if gopher_rules:
+        prev = d
+
+        def _gopher_stage(prev=prev):
+            flags = text.gopher_quality_flags(
+                F.col(text_col), min_words=gopher_min_words
+            )
+            cond = F.lit(True)
+            for name, col in flags.items():
+                if name.endswith("_ok"):
+                    cond = cond & col
+            return prev.filter(cond)
+
+        d = stage(_gopher_stage, "gopher")
+        ledger["gopher"] = d.count()
 
     # 3. quality floor (C4-style flags → mean score in [0, 1])
     prev = d

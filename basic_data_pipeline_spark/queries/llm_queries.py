@@ -994,7 +994,28 @@ def dedup_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ('0x' || substr(md5('split:' ||
                       CAST(COALESCE(c.cluster, d.doc_id) AS VARCHAR)),
                       1, 8))::BIGINT % 1000000 AS bkt
-            FROM documents d LEFT JOIN cc c ON c.doc_id = d.doc_id)
+            FROM documents d LEFT JOIN cc c ON c.doc_id = d.doc_id),
+    wgr AS (SELECT doc_id, i AS pos,
+                   ('0x' || substr(md5(array_to_string(w[i+1:i+3], ' ')),
+                                   1, 8))::BIGINT AS h
+            FROM toks, UNNEST(range(0, greatest(len(w) - 3, 0) + 1))
+                 AS t(i)),
+    wenc AS (SELECT doc_id, pos,
+                    h * 2097152 + (2097151 - pos) AS enc
+             FROM wgr),
+    wmin AS (SELECT doc_id, pos,
+                    min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN 3 PRECEDING
+                                            AND CURRENT ROW) AS em,
+                    max(pos) OVER (PARTITION BY doc_id) AS mp
+             FROM wenc),
+    wsel AS (SELECT DISTINCT doc_id,
+                    em // 2097152 AS fp,
+                    2097151 - (em % 2097152) AS spos
+             FROM wmin WHERE pos >= 3 OR pos = mp),
+    wsum AS (SELECT doc_id, count(*) AS nf, sum(spos) AS sp,
+                    sum(fp) AS shash
+             FROM wsel GROUP BY 1)
     SELECT 'pair' AS kind, id_a AS a, id_b AS b, jaccard FROM pairs
     UNION ALL
     SELECT 'survivor', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
@@ -1005,6 +1026,9 @@ def dedup_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN bkt < 800000 THEN 0 ELSE 1 END AS BIGINT),
            CAST(NULL AS DOUBLE)
     FROM spl
+    UNION ALL
+    SELECT 'winnow', doc_id, nf * 1000000000 + sp, CAST(shash AS DOUBLE)
+    FROM wsum
     """,
 )
 def dedup_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1057,7 +1081,34 @@ def dedup_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_rows = (
             rows if split_rows is None else split_rows.unionByName(rows)
         )
-    return pair_rows.unionByName(survivors).unionByName(split_rows)
+    # winnow branch (r8-close, operators/dedup.py winnow_fingerprints):
+    # the MOSS local-fingerprinting scheme (k=3 grams, window 4,
+    # rightmost-min tie rule). Per doc: b packs (count, Σpos) into one
+    # int64 and jaccard carries Σhash (32-bit hashes — exact in
+    # double), so the oracle pins the exact selected fingerprint SET
+    # (positions and values) without emitting per-fingerprint rows.
+    wf = dedup.winnow_fingerprints(d, "doc_id", "text", 3, 4)
+    winnow = (
+        wf.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("nf"),
+            F.sum("pos").alias("sp"),
+            F.sum("fp").alias("shash"),
+        )
+        .select(
+            F.lit("winnow").alias("kind"),
+            F.col("doc_id").alias("a"),
+            (F.col("nf") * F.lit(1_000_000_000) + F.col("sp"))
+            .cast("long")
+            .alias("b"),
+            F.col("shash").cast("double").alias("jaccard"),
+        )
+    )
+    return (
+        pair_rows.unionByName(survivors)
+        .unionByName(split_rows)
+        .unionByName(winnow)
+    )
 
 
 @query(

@@ -52,8 +52,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            WHERE event_type = 'click' AND epoch_us(ts) >= f1.t GROUP BY 1),
     f3 AS (SELECT e.user_id, min(epoch_us(ts)) AS t FROM e
            JOIN f2 ON e.user_id = f2.user_id
-           WHERE event_type = 'purchase' AND epoch_us(ts) >= f2.t
-           GROUP BY 1)
+           WHERE epoch_us(ts) >= f2.t AND event_type = 'purchase'
+           GROUP BY 1),
+    gfsrc AS (SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                       - CAST(floor(epoch(ts)) AS BIGINT) % 3600 AS b,
+                     round(CAST(sum(CAST(value AS DECIMAL(38,6)))
+                                AS DOUBLE) / count(*), 6) AS v
+              FROM e WHERE user_id < 5 GROUP BY 1, 2),
+    gfb AS (SELECT min(b) AS lo, max(b) AS hi FROM gfsrc),
+    gfgrid AS (SELECT k.user_id, g.b
+               FROM (SELECT DISTINCT user_id FROM gfsrc) k
+               CROSS JOIN gfb
+               CROSS JOIN UNNEST(generate_series(lo, hi, 3600)) AS g(b)),
+    gfj AS (SELECT g.user_id, g.b, s.v, s.v IS NULL AS filled
+            FROM gfgrid g LEFT JOIN gfsrc s USING (user_id, b)),
+    gflc AS (SELECT user_id, b, filled,
+                    last_value(v IGNORE NULLS) OVER
+                      (PARTITION BY user_id ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS fv
+             FROM gfj),
+    gfin AS (SELECT user_id, b, filled, v,
+                    last_value(v IGNORE NULLS) OVER wprec AS pv,
+                    last_value(CASE WHEN v IS NOT NULL THEN b END
+                               IGNORE NULLS) OVER wprec AS pb,
+                    first_value(v IGNORE NULLS) OVER wfoll AS nv,
+                    first_value(CASE WHEN v IS NOT NULL THEN b END
+                                IGNORE NULLS) OVER wfoll AS nb
+             FROM gfj
+             WINDOW wprec AS (PARTITION BY user_id ORDER BY b
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW),
+                    wfoll AS (PARTITION BY user_id ORDER BY b
+                              ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING))
     SELECT 'daily' AS branch, CAST(CAST(ts AS DATE) AS VARCHAR) AS k1,
            event_type AS k2, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
@@ -68,6 +101,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT 'funnel', '2', 'click', (SELECT count(*) FROM f2), NULL
     UNION ALL
     SELECT 'funnel', '3', 'purchase', (SELECT count(*) FROM f3), NULL
+    UNION ALL
+    SELECT 'gfl', CAST(user_id AS VARCHAR), CAST(b AS VARCHAR),
+           CAST(filled AS BIGINT), round(fv, 6) + 0.0
+    FROM gflc
+    UNION ALL
+    SELECT 'gfi', CAST(user_id AS VARCHAR), CAST(b AS VARCHAR),
+           CAST(filled AS BIGINT),
+           CASE WHEN NOT filled THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN round(pv + (nv - pv)
+                           * ((b - pb) * 1.0 / (nb - pb)), 6) + 0.0
+                ELSE NULL END
+    FROM gfin
     """,
 )
 def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,7 +162,44 @@ def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("users_reached").alias("n"),
         F.lit(None).cast("double").alias("v"),
     )
-    return daily.unionByName(sess).unionByName(fun)
+    # gfl/gfi branches (r8-close, operators/timeseries.py): hypertable
+    # gap filling — hourly per-user mean series for users < 5, densified
+    # over the global [min, max] bucket range, filled by LOCF and by
+    # linear interpolation. Bucket values are 6-place-rounded BEFORE the
+    # fill rules (decimal-sum / count — the engine float convention), so
+    # carried and interpolated values are bit-identical in DuckDB; the
+    # `filled` flag rides in n, proving the densified GRID (not just the
+    # fills) matches.
+    from basic_data_pipeline_spark.operators import timeseries as TS
+
+    hb = (
+        e.filter(F.col("user_id") < 5)
+        .groupBy(
+            "user_id", TS.time_bucket(F.col("ts"), 3600).alias("b")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("v")
+        )
+    )
+    def _gf_rows(method: str, tag: str):
+        return TS.gapfill(hb, "user_id", "b", "v", 3600, method).select(
+            F.lit(tag).alias("branch"),
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("b").cast("string").alias("k2"),
+            F.col("filled").cast("long").alias("n"),
+            (F.round("v", 6) + F.lit(0.0)).alias("v"),
+        )
+
+    return (
+        daily.unionByName(sess)
+        .unionByName(fun)
+        .unionByName(_gf_rows("locf", "gfl"))
+        .unionByName(_gf_rows("linear", "gfi"))
+    )
 
 
 @query(

@@ -550,3 +550,95 @@ def test_token_budget_mixing_mode(spark, docs):
         prepare_training_corpus(
             docs, token_budgets=budgets, temperature=2.0
         )
+
+
+def test_c4_clean_stage_rewrites_and_drops(spark, docs):
+    """c4_clean=True rewrites each doc to its kept lines before dedup
+    and drops documents failing the C4 document rules."""
+    extra = spark.createDataFrame(
+        [
+            # 3 good terminated lines -> kept, text rewritten verbatim
+            (900001, "A first sentence that is long enough to keep.\n"
+                     "Another decent sentence that also survives fine.\n"
+                     "And one more terminated sentence right here too.",
+             "en", "src0", 100),
+            # brace doc -> dropped by the document rule
+            (900002, "function f() { return 1; }\n"
+                     "A good sentence that would otherwise survive here.\n"
+                     "Another good sentence that would survive as well.\n"
+                     "A third good sentence that would survive as well.",
+             "en", "src0", 100),
+            # unterminated boilerplate lines -> fewer than 3 kept -> drop
+            (900003, "no terminal punctuation on this line\n"
+                     "short one.\nanother bare line without an ending",
+             "en", "src0", 100),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    inp = docs.unionByName(extra)
+    res = prepare_training_corpus(
+        inp, c4_clean=True, min_quality=0.0, seq_len=256
+    )
+    led = res.ledger
+    assert list(led)[:2] == ["input", "c4_clean"]
+    assert led["c4_clean"] <= led["input"]
+    out_ids = {r["doc_id"] for r in res.docs.select("doc_id").collect()}
+    assert 900001 in out_ids
+    assert 900002 not in out_ids and 900003 not in out_ids
+    kept_text = res.docs.filter(F.col("doc_id") == 900001).first()["text"]
+    assert kept_text.count("\n") == 2  # all three lines survived
+    # the fixture docs (single unterminated line each) all fail the
+    # 3-kept-lines rule — the stage really rewrote/refiltered everything
+    assert led["c4_clean"] == 1
+
+
+def test_gopher_stage_gates_on_the_full_battery(spark, docs):
+    """gopher_rules=True drops docs failing ANY battery rule; the rest
+    of the fixture (long-enough, stopword-bearing text) passes."""
+    good = "the data of the batch and the table that we have built with care"
+    extra = spark.createDataFrame(
+        [
+            (900011, " ".join(["word"] * 9), "en", "src0", 45),  # too short
+            # >= 20 words, >= 2 gopher stopwords, sane lengths -> passes
+            (900012, good + " " + good, "en", "src0", 120),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    inp = docs.unionByName(extra)
+    # one pipeline run only: this file's session already runs ~25
+    # pipelines, and a second full run here (a base-vs-gated ledger
+    # diff) pushed the test-session driver heap over the edge — the
+    # "stage absent by default" property is already covered by every
+    # other test's ledger assertions.
+    gated = prepare_training_corpus(
+        inp, gopher_rules=True, gopher_min_words=20, min_quality=0.0,
+        seq_len=256,
+    )
+    led = gated.ledger
+    keys = list(led)
+    assert keys.index("gopher") == keys.index("near_dedup") + 1
+    assert led["gopher"] <= led["near_dedup"]
+    out_ids = {r["doc_id"] for r in gated.docs.select("doc_id").collect()}
+    assert 900011 not in out_ids
+    assert 900012 in out_ids
+    # the battery is a REAL gate on this fixture: its synthetic vocab
+    # carries only one of the 8 gopher stopwords, so the 2-of-8 rule
+    # drops every fixture doc — only the planted passer survives
+    assert led["gopher"] == 1
+
+
+def test_c4_gopher_params_in_workdir_fingerprint(spark, docs, tmp_path):
+    wd = str(tmp_path / "wd")
+    prepare_training_corpus(
+        docs, c4_clean=False, gopher_rules=False, min_quality=0.4,
+        seq_len=256, workdir=wd,
+    )
+    for kw in (
+        {"c4_clean": True},
+        {"gopher_rules": True},
+        {"gopher_rules": True, "gopher_min_words": 10},
+    ):
+        with pytest.raises(ValueError, match="DIFFERENT parameters"):
+            prepare_training_corpus(
+                docs, min_quality=0.4, seq_len=256, workdir=wd, **kw
+            )

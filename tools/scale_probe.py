@@ -567,7 +567,40 @@ def _probe_sq8_search(spark, d):
     )
 
 
+def _probe_winnow_overlap(spark, d):
+    from basic_data_pipeline_spark.operators import dedup
+
+    # fingerprints + capped overlap report. Unperturbed replica =
+    # adversarial: every fingerprint is 16x-hot, so max_fp_df bounds
+    # the join the way it exists to (without the cap the pair space is
+    # the 16x-clique quadratic, the same class as every dedup probe's
+    # worst case). Output: pairs among docs sharing >= 3 capped fps.
+    docs = load_table(spark, d, "documents")
+    fps = dedup.winnow_fingerprints(docs, "doc_id", "text", 3, 4)
+    return dedup.winnow_overlap_pairs(
+        fps, "doc_id", 3, max_fp_df=40
+    ).groupBy().agg(F.count("*").alias("n_pairs"))
+
+
+def _probe_gapfill(spark, d):
+    from basic_data_pipeline_spark.operators import timeseries as TS
+
+    # hourly per-user mean series over the whole replica, densified +
+    # linearly interpolated. user_id is key-shifted, so the 16x replica
+    # has 16x keys over the same 720-bucket month: the dense grid (=
+    # the output) grows 16x, and the probe measures the sequence
+    # explode + grid join + two-frame window at output-linear volume
+    # (noop sink — no writeback cost).
+    ev = load_table(spark, d, "events")
+    hb = ev.groupBy(
+        "user_id", TS.time_bucket(F.col("ts"), 3600).alias("b")
+    ).agg(F.avg("value").alias("v"))
+    return TS.gapfill(hb, "user_id", "b", "v", 3600, "linear")
+
+
 EXTRA_PROBES = {
+    "op_gapfill_linear": _probe_gapfill,
+    "op_winnow_overlap": _probe_winnow_overlap,
     "op_c4_gopher_profile": _probe_c4_gopher_profile,
     "op_score_buckets": _probe_score_buckets,
     "op_sq8_search": _probe_sq8_search,
