@@ -141,3 +141,152 @@ def gapfill(
     else:  # null
         out = j.withColumn(value_col, F.col("_obs"))
     return out.select(key_col, bucket_col, value_col, "filled")
+
+
+def lttb_downsample(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    v_col: str,
+    n_out: int,
+) -> DataFrame:
+    """(key, bucket, t, v) — largest-triangle-three-buckets downsampling
+    (Steinarsson 2013), the standard visual-fidelity series reducer: at
+    most ``n_out`` points per key, always including the first and last,
+    each interior bucket contributing the point with the largest
+    triangle area against its neighbor buckets' centroids.
+
+    This is the PARALLEL anchor variant: both triangle anchors are the
+    neighbor buckets' (t̄, v̄) centroids rather than the previously
+    SELECTED point. Classic LTTB's left anchor is the prior selection —
+    a per-key sequential chain; anchoring on centroids makes every
+    bucket's argmax independent, so the whole reduction is two grouped
+    aggregations and one window, no per-key serial pass. (For bucket 1
+    the variants coincide exactly — bucket 0's centroid IS the selected
+    first point.)
+
+    Cross-engine determinism: centroids accumulate in DECIMAL(38,6)
+    before the double-precision area arithmetic, so the argmax sees
+    bit-identical operands under any partitioning (the engine's _davg
+    convention); ties break on earliest t. Keys with ≤ n_out points are
+    returned whole.
+
+    Scale shape: ranks and buckets are ONE (key)-window pass; centroids
+    one groupBy on (key, bucket); anchors a (key)-window lag/lead over
+    the bucket-level frame (n_out rows per key); the argmax one
+    (key, bucket)-window. All shuffles are on the key the series is
+    naturally queried by; nothing is quadratic in points or buckets."""
+    if n_out < 3:
+        raise ValueError("n_out must be >= 3 (first + last + interior)")
+    wk = W.partitionBy(key_col).orderBy("_t", "_v")
+    pts = series.select(
+        key_col,
+        F.col(t_col).alias("_t"),
+        F.col(v_col).alias("_v"),
+    ).withColumn("_rn", F.row_number().over(wk)).withColumn(
+        "_cnt", F.count("*").over(W.partitionBy(key_col))
+    )
+    # bucket assignment: endpoints own their buckets; interior points
+    # split evenly. Small keys (cnt <= n_out) keep every point.
+    # integer division (not float floor): exact for any count, and the
+    # identical bucket boundary in every engine
+    interior = 1 + F.expr(
+        f"((_rn - 2) * {n_out - 2}) div (_cnt - 2)"
+    )
+    bucket = (
+        F.when(F.col("_cnt") <= n_out, F.col("_rn") - 1)
+        .when(F.col("_rn") == 1, F.lit(0))
+        .when(F.col("_rn") == F.col("_cnt"), F.lit(n_out - 1))
+        .otherwise(interior)
+        .cast("long")
+    )
+    pts = pts.withColumn("_bkt", bucket)
+    # _davg convention: DECIMAL-exact sum, cast to double, THEN one IEEE
+    # division — bit-identical in any engine; decimal *division* scale
+    # rules are not portable
+    cent = pts.groupBy(key_col, "_bkt").agg(
+        (
+            F.sum(F.col("_t").cast("decimal(38,6)")).cast("double")
+            / F.count("*")
+        ).alias("_ct"),
+        (
+            F.sum(F.col("_v").cast("decimal(38,6)")).cast("double")
+            / F.count("*")
+        ).alias("_cv"),
+    )
+    wb = W.partitionBy(key_col).orderBy("_bkt")
+    anchors = cent.select(
+        key_col,
+        "_bkt",
+        F.lag("_ct").over(wb).alias("_pt"),
+        F.lag("_cv").over(wb).alias("_pv"),
+        F.lead("_ct").over(wb).alias("_nt"),
+        F.lead("_cv").over(wb).alias("_nv"),
+    )
+    j = pts.join(anchors, [key_col, "_bkt"])
+    area = F.abs(
+        (F.col("_pt") - F.col("_nt")) * (F.col("_v") - F.col("_pv"))
+        - (F.col("_pt") - F.col("_t")) * (F.col("_nv") - F.col("_pv"))
+    )
+    sel = (
+        j.withColumn("_area", area)
+        .withColumn(
+            "_pick",
+            F.row_number().over(
+                W.partitionBy(key_col, "_bkt").orderBy(
+                    F.col("_area").desc_nulls_last(), F.col("_t")
+                )
+            ),
+        )
+        .filter(F.col("_pick") == 1)
+    )
+    return sel.select(
+        key_col,
+        F.col("_bkt").alias("bucket"),
+        F.col("_t").alias(t_col),
+        F.col("_v").alias(v_col),
+    )
+
+
+def mad_anomalies(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    v_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """(key, t, v, score, is_anomaly) — robust per-key outlier flags via
+    the modified z-score (Iglewicz & Hoaglin 1993): score = 0.6745 ·
+    (v − median) / MAD, flagged when |score| > ``threshold`` (their
+    recommended 3.5). Median/MAD instead of mean/stddev so the outliers
+    being hunted cannot mask themselves by inflating the spread.
+
+    Degenerate keys (MAD = 0: over half the values identical) get a
+    null score, flagged only when v differs from the median at all.
+
+    Exact medians (selection + midpoint interpolation — bit-identical
+    across engines for identical inputs), so the flags are deterministic
+    under any partitioning. Two grouped aggregations over the key the
+    series is already clustered by, then one broadcast-sized join back
+    per key — no window over the full point set, no quadratic term."""
+    med = series.groupBy(key_col).agg(F.median(v_col).alias("_med"))
+    dev = series.join(med, key_col).withColumn(
+        "_adev", F.abs(F.col(v_col) - F.col("_med"))
+    )
+    mad = dev.groupBy(key_col).agg(F.median("_adev").alias("_mad"))
+    scored = dev.join(mad, key_col).withColumn(
+        "score",
+        F.when(
+            F.col("_mad") != 0.0,
+            F.lit(0.6745) * (F.col(v_col) - F.col("_med")) / F.col("_mad"),
+        ),
+    )
+    return scored.select(
+        key_col,
+        t_col,
+        v_col,
+        "score",
+        F.when(F.col("_mad") == 0.0, F.col(v_col) != F.col("_med"))
+        .otherwise(F.abs(F.col("score")) > F.lit(float(threshold)))
+        .alias("is_anomaly"),
+    )

@@ -86,7 +86,52 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                                        AND CURRENT ROW),
                     wfoll AS (PARTITION BY user_id ORDER BY b
                               ROWS BETWEEN CURRENT ROW
-                                       AND UNBOUNDED FOLLOWING))
+                                       AND UNBOUNDED FOLLOWING)),
+    lpts AS (SELECT user_id, b, v,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY b, v) AS rn,
+                    count(*) OVER (PARTITION BY user_id) AS cnt
+             FROM gfsrc),
+    lbkt AS (SELECT user_id, b, v,
+                    CASE WHEN cnt <= 20 THEN rn - 1
+                         WHEN rn = 1 THEN 0
+                         WHEN rn = cnt THEN 19
+                         ELSE 1 + ((rn - 2) * 18) // (cnt - 2)
+                    END AS bkt
+             FROM lpts),
+    lcent AS (SELECT user_id, bkt,
+                     CAST(sum(CAST(b AS DECIMAL(38,6))) AS DOUBLE)
+                       / count(*) AS ct,
+                     CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE)
+                       / count(*) AS cv
+              FROM lbkt GROUP BY 1, 2),
+    lanch AS (SELECT user_id, bkt,
+                     lag(ct) OVER wbk AS pt, lag(cv) OVER wbk AS pv,
+                     lead(ct) OVER wbk AS nt, lead(cv) OVER wbk AS nv
+              FROM lcent
+              WINDOW wbk AS (PARTITION BY user_id ORDER BY bkt)),
+    lsel AS (SELECT p.user_id, p.bkt, p.b, p.v,
+                    row_number() OVER (
+                      PARTITION BY p.user_id, p.bkt
+                      ORDER BY abs((a.pt - a.nt) * (p.v - a.pv)
+                                   - (a.pt - p.b) * (a.nv - a.pv))
+                               DESC NULLS LAST, p.b) AS pick
+             FROM lbkt p
+             JOIN lanch a ON a.user_id = p.user_id AND a.bkt = p.bkt),
+    lmed AS (SELECT user_id, median(v) AS med FROM gfsrc GROUP BY 1),
+    ldev AS (SELECT g.user_id, g.b, g.v, m.med,
+                    abs(g.v - m.med) AS adev
+             FROM gfsrc g JOIN lmed m ON m.user_id = g.user_id),
+    lmad AS (SELECT user_id, median(adev) AS mad FROM ldev GROUP BY 1),
+    lanom AS (SELECT d.user_id, d.b,
+                     CASE WHEN m.mad <> 0
+                          THEN CAST(0.6745 AS DOUBLE) * (d.v - d.med) / m.mad
+                     END AS score,
+                     CASE WHEN m.mad = 0 THEN d.v <> d.med
+                          ELSE abs(CAST(0.6745 AS DOUBLE) * (d.v - d.med)
+                                   / m.mad) > 2.5
+                     END AS fl
+              FROM ldev d JOIN lmad m ON m.user_id = d.user_id)
     SELECT 'daily' AS branch, CAST(CAST(ts AS DATE) AS VARCHAR) AS k1,
            event_type AS k2, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
@@ -114,6 +159,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                            * ((b - pb) * 1.0 / (nb - pb)), 6) + 0.0
                 ELSE NULL END
     FROM gfin
+    UNION ALL
+    SELECT 'lttb', CAST(user_id AS VARCHAR), CAST(bkt AS VARCHAR),
+           b, round(v, 6) + 0.0
+    FROM lsel WHERE pick = 1
+    UNION ALL
+    SELECT 'anom', CAST(user_id AS VARCHAR), CAST(b AS VARCHAR),
+           CAST(fl AS BIGINT), round(score, 6) + 0.0
+    FROM lanom
     """,
 )
 def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -194,11 +247,34 @@ def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("v", 6) + F.lit(0.0)).alias("v"),
         )
 
+    # lttb/anom branches (r8-close, operators/timeseries.py): parallel-
+    # anchor LTTB downsampling (bucket id in k2, the chosen point's time
+    # in n — pinning exactly WHICH point each bucket elected) and
+    # modified-z-score MAD anomaly flags (flag in n, 6-rounded score in
+    # v). Centroids use the decimal-sum/_davg convention and bucket
+    # boundaries integer division, so the argmax and the flags are
+    # bit-reproducible in DuckDB.
+    lttb = TS.lttb_downsample(hb, "user_id", "b", "v", 20).select(
+        F.lit("lttb").alias("branch"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("bucket").cast("string").alias("k2"),
+        F.col("b").alias("n"),
+        (F.round("v", 6) + F.lit(0.0)).alias("v"),
+    )
+    anom = TS.mad_anomalies(hb, "user_id", "b", "v", threshold=2.5).select(
+        F.lit("anom").alias("branch"),
+        F.col("user_id").cast("string").alias("k1"),
+        F.col("b").cast("string").alias("k2"),
+        F.col("is_anomaly").cast("long").alias("n"),
+        (F.round("score", 6) + F.lit(0.0)).alias("v"),
+    )
     return (
         daily.unionByName(sess)
         .unionByName(fun)
         .unionByName(_gf_rows("locf", "gfl"))
         .unionByName(_gf_rows("linear", "gfi"))
+        .unionByName(lttb)
+        .unionByName(anom)
     )
 
 

@@ -598,7 +598,24 @@ def _probe_gapfill(spark, d):
     return TS.gapfill(hb, "user_id", "b", "v", 3600, "linear")
 
 
+def _probe_image_near_dup(spark, d):
+    from basic_data_pipeline_spark.operators import images as IM
+
+    # real PNG render -> decode -> perceptual hash -> banded Hamming
+    # join. Groups of 4 ids share a base pattern, so near-dup volume
+    # grows with rows (within-group pairs only: the Python decode/hash
+    # stage is the cost driver and is embarrassingly parallel; the
+    # banded join is JVM-side).
+    docs = load_table(spark, d, "documents")
+    corpus = IM.synth_images(docs, group_size=4, size=32, noise_px=3)
+    hashes = IM.image_hashes(corpus)
+    return IM.image_near_dup_pairs(hashes, max_hamming=8).groupBy().agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
 EXTRA_PROBES = {
+    "op_image_near_dup": _probe_image_near_dup,
     "op_gapfill_linear": _probe_gapfill,
     "op_winnow_overlap": _probe_winnow_overlap,
     "op_c4_gopher_profile": _probe_c4_gopher_profile,
