@@ -614,7 +614,23 @@ def _probe_image_near_dup(spark, d):
     )
 
 
+def _probe_audio_match(spark, d):
+    from basic_data_pipeline_spark.operators import audio as AU
+
+    # real WAV render -> stdlib PCM decode -> numpy FFT constellation ->
+    # hash join + offset vote. Same cost profile as the image probe:
+    # the Python DSP stage dominates and is shuffle-free; the match join
+    # is JVM-side with the max_hash_df boilerplate cut.
+    docs = load_table(spark, d, "documents")
+    corpus = AU.synth_audio(docs, group_size=4, seconds=1.0, rate=8000)
+    fps = AU.audio_fingerprints(corpus)
+    return AU.audio_match_pairs(fps, min_votes=8).groupBy().agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
 EXTRA_PROBES = {
+    "op_audio_match": _probe_audio_match,
     "op_image_near_dup": _probe_image_near_dup,
     "op_gapfill_linear": _probe_gapfill,
     "op_winnow_overlap": _probe_winnow_overlap,
