@@ -321,6 +321,48 @@ def image_hashes(
     return media.mapInPandas(run, IMAGE_HASH_SCHEMA)
 
 
+def hash_bands(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "media_id",
+    hash_col: str = "ihash",
+) -> DataFrame:
+    """(id, ihash, bi, bv) — each non-null 64-bit hash split into
+    ``max_hamming + 1`` contiguous bands (band index ``bi``, band value
+    ``bv``): the pigeonhole blocking key shared by the pairwise matcher
+    (:func:`image_near_dup_pairs`) and the persisted incremental index
+    (operators/incremental_images.py), which buckets its table on
+    exactly (bi, bv) so increments join it in place."""
+    nb = max_hamming + 1
+    if not 2 <= nb <= 64:
+        raise ValueError("max_hamming must be in [1, 63]")
+    bounds = [(i * 64) // nb for i in range(nb + 1)]
+    ih = F.col(hash_col)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftrightunsigned(ih, bounds[i])
+                .bitwiseAND(
+                    F.lit((1 << (bounds[i + 1] - bounds[i])) - 1).cast("long")
+                )
+                .alias("bv"),
+            )
+            for i in range(nb)
+        ]
+    )
+    return (
+        hashes.filter(ih.isNotNull())
+        .select(F.col(id_col), ih.alias("ihash"), F.explode(bands).alias("b"))
+        .select(
+            id_col,
+            "ihash",
+            F.col("b.bi").alias("bi"),
+            F.col("b.bv").alias("bv"),
+        )
+    )
+
+
 def image_near_dup_pairs(
     hashes: DataFrame,
     max_hamming: int = 6,
@@ -338,34 +380,12 @@ def image_near_dup_pairs(
     identical-hash buckets are the candidate-volume risk exactly as in
     MinHash banding; pairs within a bucket are true duplicates, so the
     volume is the OUTPUT's own size."""
-    nb = max_hamming + 1
-    if not 2 <= nb <= 64:
-        raise ValueError("max_hamming must be in [1, 63]")
-    bounds = [(i * 64) // nb for i in range(nb + 1)]
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("bi"),
-                F.shiftrightunsigned(F.col("_ih"), bounds[i])
-                .bitwiseAND(
-                    F.lit((1 << (bounds[i + 1] - bounds[i])) - 1).cast("long")
-                )
-                .alias("bv"),
-            )
-            for i in range(nb)
-        ]
-    )
-    keyed = (
-        hashes.filter(F.col(hash_col).isNotNull())
-        .select(F.col(id_col).alias("_iid"), F.col(hash_col).alias("_ih"))
-        .select("_iid", "_ih", F.explode(bands).alias("b"))
-        .select("_iid", "_ih", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
-    )
+    keyed = hash_bands(hashes, max_hamming, id_col, hash_col)
     a = keyed.select(
-        F.col("_iid").alias("id_a"), F.col("_ih").alias("_ha"), "bi", "bv"
+        F.col(id_col).alias("id_a"), F.col("ihash").alias("_ha"), "bi", "bv"
     )
     b = keyed.select(
-        F.col("_iid").alias("id_b"), F.col("_ih").alias("_hb"), "bi", "bv"
+        F.col(id_col).alias("id_b"), F.col("ihash").alias("_hb"), "bi", "bv"
     )
     return (
         a.join(b, ["bi", "bv"])

@@ -42,6 +42,9 @@ Per family:
   cuts use the same watermark, so a crash at ANY point of the
   three-table append converges to the last completed epoch's exact
   index content.
+* **images** (operators/incremental_images.py): filter ``bands`` on
+  the id column — a crashed epoch's appended band rows all carry that
+  epoch's batch ids.
 
 Each rewrite lands in ``<table>.rebuild`` first (parquet _SUCCESS marks
 completeness) and is swapped in with the same rmtree→rename pattern as
@@ -66,6 +69,7 @@ from pyspark.sql import functions as F
 from basic_data_pipeline_spark.operators import (
     incremental,
     incremental_entity,
+    incremental_images,
     incremental_retrieval,
     incremental_substring,
 )
@@ -78,6 +82,7 @@ from basic_data_pipeline_spark.streaming.dedup_stream import (
 __all__ = [
     "rebuild_dedup_index",
     "rebuild_entity_index",
+    "rebuild_image_index",
     "rebuild_retrieval_index",
     "rebuild_substring_index",
 ]
@@ -376,6 +381,40 @@ def rebuild_retrieval_index(
         "rows_before": before,
         "rows_after": spark.read.parquet(st_src).count(),
     }
+    report["last_epoch"], report["stale_outputs_removed"] = _finish(
+        index_path, out_root, tag
+    )
+    return report
+
+
+def rebuild_image_index(
+    spark: SparkSession,
+    index_path: str,
+    out_root: str | None = None,
+    tag: str = "stream",
+    cutoff=None,
+) -> dict:
+    """Recover the perceptual image band index from a mid-append crash:
+    drop every band row whose id is above the completed-epoch id
+    watermark (a crashed epoch's appended rows all carry its batch
+    ids), swap, clear the marker. Report as in rebuild_dedup_index."""
+    meta = incremental_images._meta_rw(index_path)
+    state = _read_ledger(index_path).get(
+        tag, {"last_epoch": -1, "intent": None}
+    )
+    cut = _resolve_cutoff(state, meta, cutoff)
+    id_col = meta["id_col"]
+    report: dict = {"cutoff": cut, "tables": {}}
+    report["tables"]["bands"] = _rewrite_filtered(
+        spark,
+        os.path.join(index_path, "bands"),
+        incremental_images._table_name(index_path) + "_rb",
+        lambda df: F.col(id_col) <= F.lit(cut),
+        ["bi", "bv"],
+        meta["n_buckets"],
+        sort_cols=["bi", "bv"],
+    )
+    _refresh(spark, incremental_images._table_name(index_path))
     report["last_epoch"], report["stale_outputs_removed"] = _finish(
         index_path, out_root, tag
     )
