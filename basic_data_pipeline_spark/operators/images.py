@@ -365,9 +365,10 @@ def hash_bands(
 
 def image_near_dup_pairs(
     hashes: DataFrame,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
     id_col: str = "media_id",
     hash_col: str = "ihash",
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) — image pairs whose perceptual hashes are
     within ``max_hamming`` bits, found WITHOUT a pairwise scan: the
@@ -376,11 +377,37 @@ def image_near_dup_pairs(
     (≤ max_hamming differing bits cannot touch all max_hamming + 1
     bands) — recall is 1.0 by construction, like the prefix blocking in
     operators/entity.py. One explode (×bands), one equi-join on (band
-    index, band value), then the exact JVM-side popcount verify. Hot
-    identical-hash buckets are the candidate-volume risk exactly as in
-    MinHash banding; pairs within a bucket are true duplicates, so the
-    volume is the OUTPUT's own size."""
+    index, band value), then the exact JVM-side popcount verify.
+
+    **Budget vs scale (the multi-index-hashing size rule).** Band width
+    is ``64 // (max_hamming + 1)`` bits, and join volume is Σ_bucket
+    df² with df ≈ n / 2^width for spread hashes — the join stays linear
+    only while n ≲ 2^width · max_band_df. The default budget 3 gives
+    16-bit bands (fine to ~10⁸ images per cap unit); a budget of 8
+    gives 7-bit bands, measured QUADRATIC past ~10⁵ images
+    (SCALING.md round-8: Σdf² grew 252× over a 16× corpus and the 64×
+    probe timed out before the budget was brought down). For larger
+    Hamming budgets at corpus scale, dedup exactly on the full hash
+    first, run this at a small budget, and let transitive clustering
+    absorb the rest — the same layering as the text pipeline's
+    exact-then-near dedup.
+
+    ``max_band_df`` prunes band buckets holding more than that many
+    hashes before the join (the boilerplate cut every banding operator
+    here applies — flat-image hashes concentrate in a few low-entropy
+    band values that identify nothing). It bounds join volume at
+    n_bands · max_band_df per row but FORFEITS the pigeonhole guarantee
+    for pairs whose every shared band is hot. At production scale
+    ALWAYS set it."""
     keyed = hash_bands(hashes, max_hamming, id_col, hash_col)
+    if max_band_df is not None:
+        ok = (
+            keyed.groupBy("bi", "bv")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_band_df)
+            .select("bi", "bv")
+        )
+        keyed = keyed.join(ok, ["bi", "bv"], "left_semi")
     a = keyed.select(
         F.col(id_col).alias("id_a"), F.col("ihash").alias("_ha"), "bi", "bv"
     )

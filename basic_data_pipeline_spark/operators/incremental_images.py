@@ -122,7 +122,7 @@ def build_image_index(
     media: DataFrame,
     index_path: str,
     id_col: str = "media_id",
-    max_hamming: int = 6,
+    max_hamming: int = 3,
     method: str = "dhash",
     n_buckets: int = DEFAULT_INDEX_BUCKETS,
 ) -> DataFrame:
@@ -130,7 +130,16 @@ def build_image_index(
     survivors) and persist the accepted hashes' band rows as the
     bucketed index. Returns the surviving (id, width, height, ihash)
     frame — undecodable rows (null hash) survive but are never indexed
-    (they cannot match anything)."""
+    (they cannot match anything).
+
+    ``max_hamming`` fixes the band width for the index's whole lifetime
+    (images.image_near_dup_pairs' size rule: width 64 // (mh+1) bits;
+    the default 3 → 16-bit bands keeps the cross join linear to ~10⁸
+    accepted images). The incremental cross join is NOT capped — a
+    per-batch df pass over the index is exactly the corpus-cost scan
+    this module avoids (the operators/incremental.py convention); a
+    corpus whose band buckets run hot should rebuild with a smaller
+    budget instead."""
     hashes = tracked_local_checkpoint(
         images.image_hashes(media, method=method, id_col=id_col)
         if "ihash" not in media.columns

@@ -293,6 +293,31 @@ def test_near_dup_groups_cluster_together(spark, corpus):
     assert len(same) >= 0.8 * len(pairs) and len(same) >= 24
 
 
+def test_near_dup_band_cap_prunes_hot_buckets(spark):
+    # 40 identical flat images (one hot bucket per band) + one isolated
+    # pair: the cap kills the flat clique's candidates, keeps the pair
+    rng = np.random.default_rng(9)
+    flat = I.encode_png(np.full((16, 16), 128, np.uint8))
+    a = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    b = a.copy()
+    b[0, 0] ^= 1
+    rows = [(i, bytearray(flat)) for i in range(40)]
+    rows += [(100, bytearray(I.encode_png(a))), (101, bytearray(I.encode_png(b)))]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    hashes = I.image_hashes(df)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in I.image_near_dup_pairs(
+            hashes, max_hamming=3, max_band_df=10
+        ).collect()
+    }
+    assert (100, 101) in capped
+    assert not any(x < 40 and y < 40 for x, y in capped)
+    # uncapped finds the clique (and stays exact)
+    full = I.image_near_dup_pairs(hashes, max_hamming=3).count()
+    assert full >= 40 * 39 // 2
+
+
 def test_near_dup_rejects_bad_budget(spark, corpus):
     with pytest.raises(ValueError):
         I.image_near_dup_pairs(I.image_hashes(corpus), max_hamming=0)

@@ -602,16 +602,18 @@ def _probe_image_near_dup(spark, d):
     from basic_data_pipeline_spark.operators import images as IM
 
     # real PNG render -> decode -> perceptual hash -> banded Hamming
-    # join. Groups of 4 ids share a base pattern, so near-dup volume
-    # grows with rows (within-group pairs only: the Python decode/hash
-    # stage is the cost driver and is embarrassingly parallel; the
-    # banded join is JVM-side).
+    # join, at the PRODUCTION configuration: budget 3 (16-bit bands)
+    # with the hot-bucket cap. The first version of this probe ran
+    # budget 8 uncapped (7-bit bands): fine at 16x (35 s), TIMED OUT at
+    # 64x -- Sigma df^2 grew 252x over the 16x corpus because 128-value
+    # bands make occupancy Theta(n/128) and the join Theta(n^2). See
+    # images.image_near_dup_pairs' size rule and SCALING.md round-8.
     docs = load_table(spark, d, "documents")
     corpus = IM.synth_images(docs, group_size=4, size=32, noise_px=3)
     hashes = IM.image_hashes(corpus)
-    return IM.image_near_dup_pairs(hashes, max_hamming=8).groupBy().agg(
-        F.count("*").alias("n_pairs")
-    )
+    return IM.image_near_dup_pairs(
+        hashes, max_hamming=3, max_band_df=1000
+    ).groupBy().agg(F.count("*").alias("n_pairs"))
 
 
 def _probe_audio_match(spark, d):
