@@ -1015,7 +1015,34 @@ def dedup_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM wmin WHERE pos >= 3 OR pos = mp),
     wsum AS (SELECT doc_id, count(*) AS nf, sum(spos) AS sp,
                     sum(fp) AS shash
-             FROM wsel GROUP BY 1)
+             FROM wsel GROUP BY 1),
+    hbase AS (SELECT doc_id,
+                     (('0x' || substr(md5('ham:' || source || ':' || lang),
+                                      1, 8))::BIGINT & 2147483647)
+                       * 2147483648
+                     + (('0x' || substr(md5('ham:' || source || ':' || lang),
+                                        9, 8))::BIGINT & 2147483647)
+                       AS base
+              FROM documents),
+    ham AS (SELECT doc_id,
+                   xor(base, CASE doc_id % 3
+                       WHEN 0 THEN 0
+                       WHEN 1 THEN (1::BIGINT << (doc_id % 16))
+                       ELSE (1::BIGINT << (doc_id % 16))
+                            | (1::BIGINT << (16 + doc_id % 16))
+                   END) AS ihash
+            FROM hbase),
+    hbnd AS (SELECT doc_id, ihash, i AS bi,
+                    (ihash >> (i * 16)) & 65535 AS bv
+             FROM ham, UNNEST(range(0, 4)) AS t(i)),
+    hsum AS (SELECT doc_id, any_value(ihash) AS ihash,
+                    sum(bv * (bi + 1)) AS ck
+             FROM hbnd GROUP BY 1),
+    hpair AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+                     bit_count(xor(a.ihash, b.ihash)) AS hd
+              FROM hbnd a JOIN hbnd b ON a.bi = b.bi AND a.bv = b.bv
+                                     AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.ihash, b.ihash)) <= 3)
     SELECT 'pair' AS kind, id_a AS a, id_b AS b, jaccard FROM pairs
     UNION ALL
     SELECT 'survivor', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
@@ -1029,6 +1056,10 @@ def dedup_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'winnow', doc_id, nf * 1000000000 + sp, CAST(shash AS DOUBLE)
     FROM wsum
+    UNION ALL
+    SELECT 'hamband', doc_id, ihash, CAST(ck AS DOUBLE) FROM hsum
+    UNION ALL
+    SELECT 'hamming', ia, ib, CAST(hd AS DOUBLE) FROM hpair
     """,
 )
 def dedup_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,10 +1135,67 @@ def dedup_jaccard_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shash").cast("double").alias("jaccard"),
         )
     )
+    # hamming branches (r8-close, operators/images.py): the perceptual
+    # near-dup JOIN machinery — hash_bands (16-bit pigeonhole bands) +
+    # banded self-join + bit_count(xor) verify — driven over a 62-bit
+    # md5-derived hash both engines compute identically (pixel decode
+    # itself is not SQL-expressible; this pins everything after it).
+    # hamband: one row per doc, b = the 62-bit hash, jaccard = a
+    # position-weighted band checksum (Σ bv·(bi+1), exact in double) —
+    # the band SPLIT itself, not just the hash. hamming: the verified
+    # pair set at budget 3 with the popcount distance in jaccard.
+    from basic_data_pipeline_spark.operators import images as IMG
+
+    # base hash per (source, lang) group XOR a per-doc 0/1/2-bit
+    # perturbation: groups produce REAL near-dup structure (pair
+    # distances 0..4 straddle the budget, so the popcount threshold
+    # does actual work), and both engines compute every bit identically.
+    M31 = 0x7FFFFFFF
+    key = F.concat(F.lit("ham:"), F.col("source"), F.lit(":"), F.col("lang"))
+    h1 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("long")
+    base = h1.bitwiseAND(F.lit(M31).cast("long")) * F.lit(2**31).cast(
+        "long"
+    ) + h2.bitwiseAND(F.lit(M31).cast("long"))
+    bit1 = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 16 AS INT))")
+    bit2 = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(16 + doc_id % 16 AS INT))"
+    )
+    pert = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(0).cast("long"))
+        .when(F.col("doc_id") % 3 == 1, bit1)
+        .otherwise(bit1.bitwiseOR(bit2))
+    )
+    hashes = d.select("doc_id", base.bitwiseXOR(pert).alias("ihash"))
+    hamband = (
+        IMG.hash_bands(hashes, 3, id_col="doc_id", hash_col="ihash")
+        .groupBy("doc_id", "ihash")
+        .agg(
+            F.sum(F.col("bv") * (F.col("bi") + 1))
+            .cast("double")
+            .alias("_ck")
+        )
+        .select(
+            F.lit("hamband").alias("kind"),
+            F.col("doc_id").alias("a"),
+            F.col("ihash").alias("b"),
+            F.col("_ck").alias("jaccard"),
+        )
+    )
+    hamming = IMG.image_near_dup_pairs(
+        hashes, max_hamming=3, id_col="doc_id", hash_col="ihash"
+    ).select(
+        F.lit("hamming").alias("kind"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("hamming").cast("double").alias("jaccard"),
+    )
     return (
         pair_rows.unionByName(survivors)
         .unionByName(split_rows)
         .unionByName(winnow)
+        .unionByName(hamband)
+        .unionByName(hamming)
     )
 
 

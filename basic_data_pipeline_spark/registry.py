@@ -105,8 +105,9 @@ _LOADED = False
 #   dedup_exact_fp        (raw/fingerprint + line_* r6 + substr_* r7)
 #   text_lang_token       (lang/token + psi r6 + lr r7 + dom*/dsir/
 #                          blockphrase r8)
-#   dedup_jaccard_truth   (pair/survivor + split r8 — the oracle side
-#                          may even use WITH RECURSIVE, see the
+#   dedup_jaccard_truth   (pair/survivor + split r8 + winnow/hamband/
+#                          hamming r8-close — the oracle side may even
+#                          use WITH RECURSIVE, see the
 #                          leakage-safe-splits arm)
 #   corpus_pack_contam    (NOT kind-tagged but column-extensible: the r8
 #                          contam_hits_bloom column proves a second
