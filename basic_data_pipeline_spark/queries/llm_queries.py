@@ -1436,7 +1436,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cos DESC, neighbor_id) AS rank
         FROM sqp)
-      WHERE rank <= 5)
+      WHERE rank <= 5),
+    afp AS (SELECT doc_id % 16 AS mid, doc_id // 16 AS t,
+                   ('0x' || substr(md5('af:' || ((doc_id % 16) // 4) || ':'
+                            || (doc_id // 16 + 5 * (doc_id % 16 % 4))),
+                            1, 8))::BIGINT AS fh
+            FROM documents WHERE doc_id < 1024),
+    afok AS (SELECT fh FROM afp GROUP BY fh HAVING count(*) <= 200),
+    afk AS (SELECT p.* FROM afp p JOIN afok USING (fh)),
+    afv AS (SELECT a.mid AS ia, b.mid AS ib, a.t - b.t AS off,
+                   count(*) AS v
+            FROM afk a JOIN afk b ON a.fh = b.fh AND a.mid < b.mid
+            GROUP BY 1, 2, 3),
+    afbest AS (SELECT ia, ib, off, v,
+                      row_number() OVER (PARTITION BY ia, ib
+                                         ORDER BY v DESC, off) AS rk
+               FROM afv)
     SELECT 'brute' AS method, query_id, neighbor_id, rank FROM brute
     UNION ALL
     SELECT 'blocked', query_id, neighbor_id, rank FROM blocked
@@ -1446,6 +1461,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'rrf', query_id, neighbor_id, rank FROM rrf
     UNION ALL
     SELECT 'sq8', query_id, neighbor_id, rank FROM sq8
+    UNION ALL
+    SELECT 'audiomatch', ia, ib, (off + 100) * 1000 + v
+    FROM afbest WHERE rk = 1 AND v >= 8
     """,
     headline=True,
 )
@@ -1505,11 +1523,52 @@ def sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq8_model,
         5,
     ).select(F.lit("sq8").alias("method"), "query_id", "neighbor_id", "rank")
+    # audiomatch branch (r8-close, operators/audio.py): the
+    # constellation MATCH machinery — fhash equi-join, per-pair offset
+    # histogram, best-offset window, vote threshold — driven over a
+    # synthetic constellation both engines derive identically from
+    # doc_id: 16 "recordings" of 4-member groups whose members emit the
+    # same group-keyed hash sequence shifted by 5 frames per member, so
+    # the matcher must recover the exact planted offset 5·(m_b − m_a)
+    # with votes = the overlap length. rank packs (offset+100, votes).
+    from basic_data_pipeline_spark.operators import audio as AUD
+
+    afp = d.filter(F.col("doc_id") < 1024).select(
+        (F.col("doc_id") % 16).alias("media_id"),
+        F.expr("CAST(doc_id div 16 AS INT)").alias("t"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("af:"),
+                        F.expr("(doc_id % 16) div 4"),
+                        F.lit(":"),
+                        F.expr("doc_id div 16 + 5 * (doc_id % 16 % 4)"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("fhash"),
+    )
+    amatch = AUD.audio_match_pairs(afp, min_votes=8).select(
+        F.lit("audiomatch").alias("method"),
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("neighbor_id"),
+        ((F.col("offset") + 100) * 1000 + F.col("votes"))
+        .cast("int")
+        .alias("rank"),
+    )
     return (
         brute.unionByName(blocked)
         .unionByName(bm25)
         .unionByName(rrf)
         .unionByName(sq8)
+        .unionByName(amatch)
     )
 
 

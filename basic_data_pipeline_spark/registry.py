@@ -119,8 +119,9 @@ _LOADED = False
 #   join_range_cross      (theta/cross + binned r3 + fuzzy r5)
 #   rollup_hourly_to_daily(rollup + sess/funnel r5)
 #   order_pick            (ordered + random_pick r3)
-#   sim_topk_methods      (brute/blocked + bm25/rrf r8 — any new
-#                          similarity or retrieval strategy)
+#   sim_topk_methods      (brute/blocked + bm25/rrf r8 + sq8/
+#                          audiomatch r8-close — any new similarity,
+#                          retrieval, or match strategy)
 #   join_asof_union_window(asof + union-window arms)
 # Single-purpose queries with FIXED domain-specific schemas (q1/q3/q5,
 # window_*, agg_*, scan_filter_project, sql_direct_q6, multimodal_

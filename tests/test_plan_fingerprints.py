@@ -72,7 +72,10 @@ EXPECTED = {
     # both model consumption sites (encode and decode recompute
     # _sq8_arrays; at fixture scale a non-issue, at production scale
     # callers persist the 1-row model frame).
-    "sim_topk_methods": (34, 16, 0, 9),
+    # r8-close: +8 exchanges/+3 broadcasts from the audiomatch branch
+    # (fhash self-join, offset-vote groupBy, best-offset window over a
+    # 1024-row synthetic constellation — reviewed, all bounded)
+    "sim_topk_methods": (42, 19, 0, 9),
     "sim_ann_lsh": (4, 3, 0, 0),
     # r8: + the Bloom-prefiltered contamination arm (contam_hits_bloom):
     # its shingle agg + verify join + outer join add 3 shuffles and 2
