@@ -263,7 +263,10 @@ def synth_audio(
     n = int(seconds * rate)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tt = np.arange(n + rate // 2, dtype=np.float64) / rate
+        # render enough source tail for the LAST group member's clip
+        # window (member m starts m * HOP * 4 samples in)
+        pad = group_size * HOP * 4
+        tt = np.arange(n + pad, dtype=np.float64) / rate
         for pdf in batches:
             out = []
             for mid in pdf[id_col]:

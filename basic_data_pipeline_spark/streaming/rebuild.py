@@ -45,6 +45,8 @@ Per family:
 * **images** (operators/incremental_images.py): filter ``bands`` on
   the id column — a crashed epoch's appended band rows all carry that
   epoch's batch ids.
+* **audio** (operators/incremental_audio.py): filter ``fps`` on the id
+  column — same single-table cut as images.
 
 Each rewrite lands in ``<table>.rebuild`` first (parquet _SUCCESS marks
 completeness) and is swapped in with the same rmtree→rename pattern as
@@ -68,6 +70,7 @@ from pyspark.sql import functions as F
 
 from basic_data_pipeline_spark.operators import (
     incremental,
+    incremental_audio,
     incremental_entity,
     incremental_images,
     incremental_retrieval,
@@ -80,6 +83,7 @@ from basic_data_pipeline_spark.streaming.dedup_stream import (
 )
 
 __all__ = [
+    "rebuild_audio_index",
     "rebuild_dedup_index",
     "rebuild_entity_index",
     "rebuild_image_index",
@@ -415,6 +419,40 @@ def rebuild_image_index(
         sort_cols=["bi", "bv"],
     )
     _refresh(spark, incremental_images._table_name(index_path))
+    report["last_epoch"], report["stale_outputs_removed"] = _finish(
+        index_path, out_root, tag
+    )
+    return report
+
+
+def rebuild_audio_index(
+    spark: SparkSession,
+    index_path: str,
+    out_root: str | None = None,
+    tag: str = "stream",
+    cutoff=None,
+) -> dict:
+    """Recover the audio constellation index from a mid-append crash:
+    drop every fingerprint row whose id is above the completed-epoch id
+    watermark, swap, clear the marker. Report as in
+    rebuild_dedup_index."""
+    meta = incremental_audio._meta_rw(index_path)
+    state = _read_ledger(index_path).get(
+        tag, {"last_epoch": -1, "intent": None}
+    )
+    cut = _resolve_cutoff(state, meta, cutoff)
+    id_col = meta["id_col"]
+    report: dict = {"cutoff": cut, "tables": {}}
+    report["tables"]["fps"] = _rewrite_filtered(
+        spark,
+        os.path.join(index_path, "fps"),
+        incremental_audio._table_name(index_path) + "_rb",
+        lambda df: F.col(id_col) <= F.lit(cut),
+        ["fhash"],
+        meta["n_buckets"],
+        sort_cols=["fhash"],
+    )
+    _refresh(spark, incremental_audio._table_name(index_path))
     report["last_epoch"], report["stale_outputs_removed"] = _finish(
         index_path, out_root, tag
     )
