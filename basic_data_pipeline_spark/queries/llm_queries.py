@@ -486,6 +486,21 @@ _LR_SELECT = "\n    UNION ALL\n".join(
            round(CAST(log_w AS DOUBLE), 6) + 0.0, CAST(NULL AS DOUBLE)
     FROM pplb
     UNION ALL
+    -- url arm: the EXPECTED canonical form derived independently from
+    -- the construction rules (scheme/host lowercased, :80 stripped but
+    -- :8080 kept, trailing slash stripped, utm_* dropped, params
+    -- sorted so a=1 precedes b=N, fragment gone)
+    SELECT 'url', CAST(doc_id AS VARCHAR),
+           (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+           || '://site' || (doc_id % 7) || '.example.com'
+           || (CASE WHEN doc_id % 2 <> 0 AND doc_id % 3 = 0
+               THEN ':8080' ELSE '' END)
+           || '/Path/' || (doc_id % 5)
+           || '?a=1&b=' || (doc_id % 4),
+           1, CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM documents
+    UNION ALL
 {_LR_SELECT}
     """,
 )
@@ -797,6 +812,54 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("log_w").cast("double"), 6) + F.lit(0.0)).alias("d1"),
         null_d.alias("d2"),
     )
+    # url branch (r8-close, operators/urls.py): canonical_url over a
+    # messy URL both engines synthesize identically from doc_id —
+    # case-shifted scheme/host, default vs explicit port, tracking
+    # params mixed into unsorted query params, trailing slash, fragment.
+    # k2 = the canonical string pins every normalization rule at once;
+    # n1 = 1 when url_host sees the lowercased host.
+    from basic_data_pipeline_spark.operators import urls as URL
+
+    messy = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://")).otherwise(
+            F.lit("https://")
+        ),
+        F.lit("Site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":8080")).otherwise(
+                F.lit("")
+            )
+        ),
+        F.lit("/Path/"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=x&b="),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("&a=1"),
+        F.when(F.col("doc_id") % 2 == 1, F.lit("#frag")).otherwise(
+            F.lit("")
+        ),
+    )
+    urlb = d.select("doc_id", messy.alias("_u")).select(
+        F.lit("url").alias("grp"),
+        F.col("doc_id").cast("string").alias("k1"),
+        URL.canonical_url(F.col("_u")).alias("k2"),
+        (
+            URL.url_host(F.col("_u"))
+            == F.concat(
+                F.lit("site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com"),
+            )
+        )
+        .cast("long")
+        .alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        null_d.alias("d1"),
+        null_d.alias("d2"),
+    )
     return (
         lang.unionByName(tokens)
         .unionByName(rep)
@@ -811,6 +874,7 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(c4line)
         .unionByName(gopher)
         .unionByName(pplbucket)
+        .unionByName(urlb)
     )
 
 

@@ -104,7 +104,8 @@ _LOADED = False
 # the r5-r7 precedents in parentheses):
 #   dedup_exact_fp        (raw/fingerprint + line_* r6 + substr_* r7)
 #   text_lang_token       (lang/token + psi r6 + lr r7 + dom*/dsir/
-#                          blockphrase r8)
+#                          blockphrase r8 + c4line/gopher/pplbucket/
+#                          url r8-close)
 #   dedup_jaccard_truth   (pair/survivor + split r8 + winnow/hamband/
 #                          hamming r8-close — the oracle side may even
 #                          use WITH RECURSIVE, see the
