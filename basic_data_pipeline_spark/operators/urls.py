@@ -111,3 +111,60 @@ def url_dedup(
         .agg(F.min(F.struct(*others)).alias("_r"))
         .select("canonical_url", *[F.col(f"_r.{c}").alias(c) for c in others])
     )
+
+
+def robots_filter(
+    pages: DataFrame,
+    url_col: str,
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """Drop pages their host's robots.txt disallows for ``agent`` —
+    the compliance gate every responsible crawl pipeline applies before
+    content ever enters a corpus. ``robots`` is a (host, robots_txt)
+    frame (one fetch of /robots.txt per host — hosts number in the
+    millions where pages number in the billions, so it broadcasts or
+    hash-joins cheaply); hosts with no row are ALLOWED (the web
+    convention: absent robots.txt means no restrictions).
+
+    Parsing is stdlib ``urllib.robotparser`` inside one Arrow-batched
+    mapInPandas stage, with parsers cached per distinct robots text
+    within each batch — the host join has already clustered pages so a
+    batch sees few distinct texts. Returns the pages frame with its
+    original columns."""
+    out_schema = pages.schema
+    cols = [f.name for f in out_schema.fields]
+    joined = pages.withColumn("_rf_h", url_host(F.col(url_col))).join(
+        robots.select(
+            F.col(host_col).alias("_rf_h"),
+            F.col(robots_col).alias("_rf_txt"),
+        ),
+        "_rf_h",
+        "left",
+    )
+
+    def run(batches):
+        from urllib.robotparser import RobotFileParser
+
+        cache: dict = {}
+
+        def allowed(txt, url):
+            if not isinstance(txt, str):  # no robots row: None (or NaN)
+                return True
+            rp = cache.get(txt)
+            if rp is None:
+                rp = RobotFileParser()
+                rp.parse(txt.splitlines())
+                cache[txt] = rp
+            return rp.can_fetch(agent, url)
+
+        for pdf in batches:
+            mask = [
+                allowed(t, u)
+                for t, u in zip(pdf["_rf_txt"], pdf[url_col])
+            ]
+            yield pdf.loc[mask, cols]
+
+    return joined.mapInPandas(run, out_schema)

@@ -88,3 +88,56 @@ def test_url_dedup_partition_invariant(spark):
     a = sorted(map(tuple, U.url_dedup(df, "url").collect()))
     b = sorted(map(tuple, U.url_dedup(df.repartition(7), "url").collect()))
     assert a == b and len(a) == 15
+
+
+def test_robots_filter(spark):
+    robots_a = "\n".join(
+        [
+            "User-agent: *",
+            "Disallow: /private/",
+            "",
+            "User-agent: trainbot",
+            "Disallow: /",
+        ]
+    )
+    robots = spark.createDataFrame(
+        [("a.com", robots_a), ("b.com", "User-agent: *\nAllow: /")],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [
+            (1, "http://a.com/public/x"),
+            (2, "http://a.com/private/secret"),
+            (3, "http://b.com/anything"),
+            (4, "http://c.com/no-robots-here"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in U.robots_filter(pages, "url", robots).collect()
+    }
+    assert kept == {1, 3, 4}
+    # agent-specific: trainbot is banned from a.com entirely
+    kept_tb = {
+        r["doc_id"]
+        for r in U.robots_filter(pages, "url", robots, agent="trainbot").collect()
+    }
+    assert kept_tb == {3, 4}
+
+
+def test_robots_filter_partition_invariant(spark):
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x")],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [(i, f"http://a.com/{'x' if i % 3 == 0 else 'y'}/{i}") for i in range(60)],
+        "doc_id long, url string",
+    )
+    a = {r["doc_id"] for r in U.robots_filter(pages, "url", robots).collect()}
+    b = {
+        r["doc_id"]
+        for r in U.robots_filter(pages.repartition(7), "url", robots).collect()
+    }
+    assert a == b == {i for i in range(60) if i % 3 != 0}
