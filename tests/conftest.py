@@ -17,7 +17,16 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", shuffle_partitions=8)
+    # 12g driver: the suite runs ~30 full corpus-prep pipelines in ONE
+    # JVM, and each leaves its result frames' localCheckpoint blocks
+    # alive until GC — 8g OOM'd at the tail of whole-suite runs (the
+    # per-test System.gc() in test_pipeline.py reclaims most of it;
+    # the extra headroom covers what a live result still pins).
+    s = get_spark(
+        "tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "12g"},
+    )
     yield s
     s.stop()
 

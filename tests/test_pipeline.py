@@ -17,6 +17,21 @@ def docs(spark):
     return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
 
 
+@pytest.fixture(autouse=True)
+def _release_pipeline_heap(spark):
+    """Each test in this file runs a full corpus-prep pipeline whose
+    result frames pin localCheckpoint blocks on the DRIVER heap until
+    both the Python refs die AND the JVM garbage-collects — ~30 runs in
+    one session OOM'd an 8g driver at the suite's tail. Dropping the
+    refs and forcing a JVM GC after every test returns the heap to
+    baseline (measured: the whole file then runs flat)."""
+    yield
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
+
 def test_prepare_training_corpus_end_to_end(spark, docs):
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     res = prepare_training_corpus(
