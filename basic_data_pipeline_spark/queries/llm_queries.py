@@ -244,11 +244,61 @@ _LR_SELECT = "\n    UNION ALL\n".join(
     ]
 )
 
+# pagerank arm (r8-close, operators/linkgraph.py): _PG_ITERS rounds of
+# INTEGER fixed-point PageRank over a synthetic crawl graph both engines
+# derive identically from doc_id (each doc links to (id*31 + j*17) % N
+# for j = 1..3; docs with id % 17 == 0 keep no out-links and stay
+# DANGLING — their mass redistributes uniformly; self-loops dropped,
+# edges distinct). Every step is BIGINT multiply/divide (// in DuckDB,
+# div in Spark; all operands non-negative, so floor == truncate), which
+# makes the 5-iteration recurrence associative and hash-exact with no
+# rounding convention at all — the same chained-CTE replay strategy as
+# the lr fit above, but in integers. Ranks are micro-units of
+# _PG_SCALE; deg doubles as the dangling indicator (deg = 0).
+_PG_ITERS = 5
+_PG_SCALE = 1_000_000_000_000
+
+
+def _pg_iter_cte(k: int) -> str:
+    return (
+        f"pgd{k - 1} AS (SELECT COALESCE(sum(rank), 0) AS dm "
+        f"FROM pgit{k - 1} WHERE deg = 0),\n    "
+        f"pgit{k} AS (SELECT n.node, n.deg, "
+        f"(SELECT tp FROM pgtp) + (85 * (COALESCE(c.contrib, 0) "
+        f"+ (SELECT dm FROM pgd{k - 1}) // (SELECT n FROM pgn))) // 100 "
+        f"AS rank "
+        f"FROM pgnodes n LEFT JOIN ("
+        f"SELECT e.dst AS node, sum(r.rank // r.deg) AS contrib "
+        f"FROM pge e JOIN pgit{k - 1} r ON e.src = r.node "
+        f"GROUP BY e.dst) c ON n.node = c.node)"
+    )
+
+
+_PG_CTES = ",\n    ".join(
+    [
+        "pgn AS (SELECT count(*) AS n FROM documents)",
+        """pge AS (SELECT DISTINCT doc_id AS src,
+               (doc_id*31 + j*17) % (SELECT n FROM pgn) AS dst
+        FROM documents, (VALUES (1), (2), (3)) AS jj(j)
+        WHERE doc_id % 17 <> 0
+          AND (doc_id*31 + j*17) % (SELECT n FROM pgn) <> doc_id)""",
+        "pgdeg AS (SELECT src, count(*) AS deg FROM pge GROUP BY src)",
+        """pgnodes AS (SELECT d.doc_id AS node, COALESCE(g.deg, 0) AS deg
+        FROM documents d LEFT JOIN pgdeg g ON d.doc_id = g.src)""",
+        f"pgtp AS (SELECT (15 * ({_PG_SCALE} // (SELECT n FROM pgn)))"
+        " // 100 AS tp)",
+        f"pgit0 AS (SELECT node, deg, {_PG_SCALE} // (SELECT n FROM pgn)"
+        " AS rank FROM pgnodes)",
+    ]
+    + [_pg_iter_cte(k) for k in range(1, _PG_ITERS + 1)]
+)
+
 
 @query(
     "text_lang_token",
     oracle=f"""
     WITH {_LR_CTES},
+    {_PG_CTES},
     h AS (
       SELECT lang,
              {_DUCK_HITS['en']} AS en, {_DUCK_HITS['de']} AS de,
@@ -500,6 +550,11 @@ _LR_SELECT = "\n    UNION ALL\n".join(
            1, CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM documents
+    UNION ALL
+    SELECT 'pagerank', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(rank AS BIGINT), CAST(deg AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM pgit{_PG_ITERS}
     UNION ALL
 {_LR_SELECT}
     """,
@@ -860,6 +915,46 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_d.alias("d1"),
         null_d.alias("d2"),
     )
+    # pagerank branch (r8-close, operators/linkgraph.py): the module's
+    # REAL iterative pagerank — cached src-partitioned edges, per-round
+    # checkpointed node-sized ranks, in-plan dangling broadcast — driven
+    # over the synthetic doc_id crawl graph described at _PG_CTES; the
+    # oracle replays the identical integer recurrence as chained CTEs,
+    # so every rank and out-degree hash-matches with NO rounding.
+    from basic_data_pipeline_spark.operators import linkgraph
+
+    pg_cnt = d.agg(F.count("*").alias("_n"))
+    pg_edges = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(pg_cnt))
+        .filter(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("_j"),
+            "_n",
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            F.expr("(doc_id * 31 + _j * 17) % _n").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    pg = linkgraph.pagerank(
+        pg_edges,
+        nodes=d.select(F.col("doc_id").alias("node")),
+        iterations=_PG_ITERS,
+        scale=_PG_SCALE,
+    )
+    pgb = pg.select(
+        F.lit("pagerank").alias("grp"),
+        F.col("node").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("rank").alias("n1"),
+        F.col("out_deg").cast("long").alias("n2"),
+        null_d.alias("d1"),
+        null_d.alias("d2"),
+    )
     return (
         lang.unionByName(tokens)
         .unionByName(rep)
@@ -875,6 +970,7 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(gopher)
         .unionByName(pplbucket)
         .unionByName(urlb)
+        .unionByName(pgb)
     )
 
 

@@ -1,0 +1,199 @@
+"""Link graph: href extraction, integer fixed-point PageRank, anchor
+aggregation (operators/linkgraph.py). PageRank is checked bit-exactly
+against the serial replay of the same integer recurrence
+(pagerank_reference) — no float tolerance anywhere."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from basic_data_pipeline_spark.operators import linkgraph as LG
+
+HTML = """
+<html><body>
+  <p>intro <a href="/docs/a.html">Docs &amp; guides</a> text</p>
+  <a href="https://other.example.com/x?b=2&a=1">  cross   site  </a>
+  <a href="../up.html"><b>nested <i>bold</i></b> anchor</a>
+  <a href="mailto:x@example.com">mail</a>
+  <a href="javascript:void(0)">js</a>
+  <a href="#frag">fragment only</a>
+  <a name="no-href">not a link</a>
+  <a href="//cdn.example.com/lib.js">protocol relative</a>
+  <a href="trailing.html">unclosed
+</body></html>
+"""
+
+
+def test_links_from_html_resolution_and_filters():
+    rows = LG.links_from_html("https://example.com/docs/page.html", HTML)
+    dsts = [d for _, d, _ in rows]
+    anchors = {d: a for _, d, a in rows}
+    assert "https://example.com/docs/a.html" in dsts
+    assert "https://other.example.com/x?b=2&a=1" in dsts
+    assert "https://example.com/up.html" in dsts  # ../ resolved
+    assert "https://cdn.example.com/lib.js" in dsts  # // inherits scheme
+    # mailto/js/fragment-only dropped
+    assert not [d for d in dsts if d.startswith(("mailto", "javascript"))]
+    assert "https://example.com/docs/page.html#frag" not in dsts
+    # entity decoded + whitespace normalized + nested tags flattened
+    assert anchors["https://example.com/docs/a.html"] == "Docs & guides"
+    assert anchors["https://other.example.com/x?b=2&a=1"] == "cross site"
+    assert anchors["https://example.com/up.html"] == "nested bold anchor"
+    # unclosed trailing <a> still flushed
+    assert anchors["https://example.com/docs/trailing.html"] == "unclosed"
+    # every src is the page
+    assert {s for s, _, _ in rows} == {"https://example.com/docs/page.html"}
+
+
+def test_links_from_html_malformed_inputs():
+    assert LG.links_from_html("https://e.com/", "") == []
+    assert LG.links_from_html("https://e.com/", None) == []
+    # nested <a> auto-closes the outer one instead of erroring
+    rows = LG.links_from_html(
+        "https://e.com/", '<a href="/x">outer <a href="/y">inner</a>'
+    )
+    assert [(d, a) for _, d, a in rows] == [
+        ("https://e.com/x", "outer"),
+        ("https://e.com/y", "inner"),
+    ]
+
+
+def test_extract_links_matches_serial(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, "https://example.com/docs/page.html", HTML),
+            (2, "https://b.org/", '<a href="p/q.html">q</a>'),
+            (3, "https://c.net/", "<p>no links</p>"),
+        ],
+        "page_id long, target_uri string, body string",
+    )
+    got = sorted(
+        LG.extract_links(pages, passthrough=("page_id",)).collect()
+    )
+    want = sorted(
+        (pid,) + edge
+        for pid, url, html in [
+            (1, "https://example.com/docs/page.html", HTML),
+            (2, "https://b.org/", '<a href="p/q.html">q</a>'),
+            (3, "https://c.net/", "<p>no links</p>"),
+        ]
+        for edge in LG.links_from_html(url, html)
+    )
+    assert [tuple(r) for r in got] == want
+
+
+def _spark_pagerank_dict(spark, edges, nodes=None, **kw):
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    ndf = (
+        spark.createDataFrame([(v,) for v in nodes], "node string")
+        if nodes is not None
+        else None
+    )
+    out = LG.pagerank(edf, nodes=ndf, **kw)
+    return {r["node"]: (r["rank"], r["out_deg"]) for r in out.collect()}
+
+
+TRIANGLE = [("a", "b"), ("b", "c"), ("c", "a")]
+WEB = [
+    ("hub", "p1"), ("hub", "p2"), ("hub", "p3"),
+    ("p1", "hub"), ("p2", "hub"),
+    ("p3", "dead"),            # dead: dangling (no out-edges)
+    ("p1", "p2"), ("p2", "p2"),  # self-loop kept as given
+    ("p1", "p2"),              # parallel edge doubles the link weight
+]
+
+
+@pytest.mark.parametrize(
+    "edges,nodes,iters",
+    [
+        (TRIANGLE, None, 5),
+        (WEB, None, 5),
+        (WEB, ["hub", "p1", "p2", "p3", "dead", "island"], 4),
+        (TRIANGLE, None, 0),
+    ],
+)
+def test_pagerank_matches_serial_reference(spark, edges, nodes, iters):
+    got = _spark_pagerank_dict(spark, edges, nodes, iterations=iters)
+    want = LG.pagerank_reference(edges, nodes, iterations=iters)
+    assert got == want
+
+
+def test_pagerank_semantics(spark):
+    ranks = LG.pagerank_reference(WEB, iterations=8)
+    # p2 (extra in-links incl. a self-loop) out-ranks its twin p1
+    assert ranks["p2"][0] > ranks["p1"][0]
+    # the hub out-ranks its leaves; every rank positive; mass ≤ scale
+    assert ranks["hub"][0] > ranks["p3"][0]
+    assert all(r > 0 for r, _ in ranks.values())
+    assert sum(r for r, _ in ranks.values()) <= LG.PAGERANK_SCALE
+    # never-linked island still receives teleport + dangling share
+    with_island = LG.pagerank_reference(
+        WEB, ["hub", "p1", "p2", "p3", "dead", "island"], iterations=3
+    )
+    assert with_island["island"][0] > 0
+    assert with_island["island"][1] == 0
+
+
+def test_pagerank_partitioning_invariance(spark):
+    edf = spark.createDataFrame(WEB, "src string, dst string")
+    a = {
+        r["node"]: r["rank"]
+        for r in LG.pagerank(edf.repartition(7), iterations=3).collect()
+    }
+    b = {
+        r["node"]: r["rank"]
+        for r in LG.pagerank(edf.coalesce(1), iterations=3).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_empty_graph(spark):
+    edf = spark.createDataFrame([], "src string, dst string")
+    assert LG.pagerank(edf, iterations=3).collect() == []
+
+
+def test_pagerank_frees_its_checkpoints(spark):
+    sc = spark.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    edf = spark.createDataFrame(WEB, "src string, dst string")
+    out = LG.pagerank(edf, iterations=3)
+    out.collect()
+    from basic_data_pipeline_spark.caching import free_local_checkpoint
+
+    free_local_checkpoint(out)
+    # everything the loop persisted (edges cache, per-iteration ranks,
+    # node frame) is released once the result itself is freed;
+    # unpersist is async, so poll briefly before judging
+    import time
+
+    for _ in range(50):
+        after = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+        if after <= before:
+            break
+        time.sleep(0.1)
+    assert after <= before
+
+
+def test_anchor_text_summary(spark):
+    links = spark.createDataFrame(
+        [
+            ("s1", "d1", "Click"),
+            ("s1", "d1", "Click"),
+            ("s2", "d1", "Docs"),
+            ("s2", "d1", ""),       # empty anchors never win top_anchor
+            ("s3", "d2", None),     # null-only dst → top_anchor null
+            ("s1", "d3", "b"),      # tie on count → lexicographic "a"
+            ("s2", "d3", "a"),
+        ],
+        "src string, dst string, anchor string",
+    )
+    got = {
+        r["dst"]: (r["n_links"], r["n_src"], r["top_anchor"])
+        for r in LG.anchor_text_summary(links).collect()
+    }
+    assert got == {
+        "d1": (4, 2, "Click"),
+        "d2": (1, 1, None),
+        "d3": (2, 2, "a"),
+    }

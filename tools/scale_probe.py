@@ -631,7 +631,44 @@ def _probe_audio_match(spark, d):
     )
 
 
+def _probe_pagerank(spark, d):
+    from basic_data_pipeline_spark.operators import linkgraph
+
+    # the text_lang_token pagerank arm's synthetic crawl graph at probe
+    # scale: nodes = docs, 3 modular out-links each, ~6% dangling; the
+    # probe measures the ITERATION geometry (cached src-partitioned
+    # edges, node-sized per-round shuffle) as the graph grows.
+    # The replica's ids are copy-shifted (doc_id + copy*SHIFT), so the
+    # modular targets are computed WITHIN the copy (dense 0..base_n-1
+    # there) and re-shifted — each copy is a closed subgraph, the same
+    # convention every other probe uses for joins.
+    docs = load_table(spark, d, "documents").select("doc_id")
+    base_n = docs.select(
+        F.countDistinct(F.col("doc_id") % SHIFT).alias("n")
+    ).collect()[0]["n"]
+    edges = (
+        docs.filter(F.col("doc_id") % SHIFT % 17 != 0)
+        .select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("_j"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            (
+                (F.col("doc_id") - F.col("doc_id") % SHIFT)
+                + F.expr(f"((doc_id % {SHIFT}) * 31 + _j * 17) % {base_n}")
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return linkgraph.pagerank(
+        edges, nodes=docs.withColumnRenamed("doc_id", "node"), iterations=5
+    )
+
+
 EXTRA_PROBES = {
+    "op_pagerank": _probe_pagerank,
     "op_audio_match": _probe_audio_match,
     "op_image_near_dup": _probe_image_near_dup,
     "op_gapfill_linear": _probe_gapfill,
