@@ -190,6 +190,8 @@ def pagerank(
     iterations: int = 5,
     damping: tuple[int, int] = (85, 100),
     scale: int = PAGERANK_SCALE,
+    teleport_weights: DataFrame | None = None,
+    weight_col: str = "weight",
 ) -> DataFrame:
     """(node, rank, out_deg): ``iterations`` rounds of integer
     fixed-point PageRank. ``rank`` is in ``scale`` micro-units of mass
@@ -203,6 +205,18 @@ def pagerank(
         contrib_v = Σ_{u→v} (rank_u // out_deg_u)
         dangling  = Σ_{out_deg_u = 0} rank_u
         rank'_v   = teleport + (num * (contrib_v + dangling // n)) // den
+
+    **Personalized (TrustRank-style) teleport**: pass
+    ``teleport_weights`` — (node, weight) with non-negative INTEGER
+    weights (seed flags, per-host page counts, quality scores × 1000…;
+    unlisted nodes weigh 0) — and the teleport/dangling mass lands
+    ∝ weight instead of uniformly: base_v = (scale·w_v) // W and the
+    dangling share is (dm·w_v) // W, which reduces EXACTLY to the
+    uniform recurrence when every w_v = 1. Mass then circulates only
+    through pages reachable from the seed set — the standard
+    spam-demotion / trusted-seed curation signal. Keep weights modest
+    (W·max(w) products must stay far under 2^63 / scale; page counts
+    and 0/1 flags are safely in range).
 
     Edges are taken as given (a multigraph: parallel edges weight the
     link, self-loops feed the node itself) — dedupe upstream if that is
@@ -230,11 +244,22 @@ def pagerank(
         )
     else:
         base_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
-    node_frame = tracked_local_checkpoint(
-        base_nodes.join(deg, base_nodes.node == deg._src, "left")
-        .select("node", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
-        .repartition("node")
-    )
+    with_deg = base_nodes.join(
+        deg, base_nodes.node == deg._src, "left"
+    ).select("node", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+    if teleport_weights is not None:
+        w = teleport_weights.select(
+            F.col(node_col).alias("_wnode"),
+            F.col(weight_col).cast("long").alias("_w"),
+        )
+        with_deg = with_deg.join(
+            w, with_deg.node == w._wnode, "left"
+        ).select(
+            "node", "out_deg", F.coalesce("_w", F.lit(0)).alias("_w")
+        )
+    else:
+        with_deg = with_deg.withColumn("_w", F.lit(1).cast("long"))
+    node_frame = tracked_local_checkpoint(with_deg.repartition("node"))
     n = node_frame.count()  # one driver scalar, fixed for all rounds
     if n == 0:
         # build the empty result BEFORE freeing the checkpoint it
@@ -252,11 +277,25 @@ def pagerank(
         e.unpersist()
         free_local_checkpoint(node_frame)
         return empty
-    base = scale // n
-    teleport = ((den - num) * base) // den
+    # total teleport weight (n in the uniform case) — the second and
+    # last driver scalar; per-node teleport/base are cheap expressions
+    # re-derived from the checkpointed _w each round, never re-shuffled
+    wsum = node_frame.agg(
+        F.coalesce(F.sum("_w"), F.lit(0)).cast("long").alias("s")
+    ).collect()[0]["s"]
+    if wsum <= 0:
+        e.unpersist()
+        free_local_checkpoint(node_frame)
+        raise ValueError(
+            "teleport weights sum to 0 — no node can receive mass"
+        )
+    base_col = F.expr(f"({scale} * _w) div {wsum}")
+    tp_col = F.expr(
+        f"({den - num} * (({scale} * _w) div {wsum})) div {den}"
+    )
     ranks = tracked_local_checkpoint(
         node_frame.select(
-            "node", F.lit(base).cast("long").alias("rank"), "out_deg"
+            "node", base_col.cast("long").alias("rank"), "out_deg"
         )
     )
     for _ in range(iterations):
@@ -282,10 +321,10 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(teleport)
+                    tp_col
                     + F.expr(
                         f"({num} * (coalesce(_contrib, 0L)"
-                        f" + _dm div {n})) div {den}"
+                        f" + (_dm * _w) div {wsum})) div {den}"
                     )
                 ).cast("long").alias("rank"),
                 "out_deg",
@@ -304,9 +343,11 @@ def pagerank_reference(
     iterations: int = 5,
     damping: tuple[int, int] = (85, 100),
     scale: int = PAGERANK_SCALE,
+    weights: dict | None = None,
 ) -> dict:
     """Serial replay of pagerank()'s exact integer recurrence (plain
-    dicts, no Spark) — the tests' ground truth. Returns
+    dicts, no Spark) — the tests' ground truth. ``weights`` mirrors
+    teleport_weights (unlisted nodes weigh 0; None = uniform). Returns
     {node: (rank, out_deg)}."""
     num, den = damping
     deg: dict = {}
@@ -318,16 +359,21 @@ def pagerank_reference(
     n = len(nodes)
     if n == 0:
         return {}
-    base = scale // n
-    teleport = ((den - num) * base) // den
-    rank = {v: base for v in nodes}
+    w = {v: (weights.get(v, 0) if weights is not None else 1) for v in nodes}
+    wsum = sum(w.values())
+    if wsum <= 0:
+        raise ValueError(
+            "teleport weights sum to 0 — no node can receive mass"
+        )
+    tp = {v: ((den - num) * ((scale * w[v]) // wsum)) // den for v in nodes}
+    rank = {v: (scale * w[v]) // wsum for v in nodes}
     for _ in range(iterations):
         dm = sum(r for v, r in rank.items() if nodes[v] == 0)
         contrib: dict = {v: 0 for v in nodes}
         for s, d in edge_list:
             contrib[d] += rank[s] // nodes[s]
         rank = {
-            v: teleport + (num * (contrib[v] + dm // n)) // den
+            v: tp[v] + (num * (contrib[v] + (dm * w[v]) // wsum)) // den
             for v in nodes
         }
     return {v: (rank[v], nodes[v]) for v in nodes}

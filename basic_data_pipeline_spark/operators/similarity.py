@@ -183,6 +183,9 @@ def ann_topk_lsh(
     k: int,
     n_planes: int | None = 4,
     n_tables: int = 8,
+    max_bucket_df: int | None = None,
+    broadcast_vectors: bool | None = None,
+    broadcast_vectors_max_bytes: int = 512 << 20,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cos): approximate top-k via
     MULTI-TABLE random-hyperplane LSH — candidates are the union over
@@ -198,9 +201,46 @@ def ann_topk_lsh(
 
     ``n_planes=None`` → `auto_n_planes`: resolution grows with the
     corpus so bucket occupancy (hence the pair space per vector) stays
-    constant as n grows — the count is one cheap extra job."""
+    constant as n grows — the count is one cheap extra job.
+
+    ``max_bucket_df``: drop (table, bucket) cells holding more than
+    this many vectors from candidate generation. Plane resolution can
+    only split vectors that DIFFER: a corpus with heavy exact-duplicate
+    embeddings (duplicate docs before dedup, the unperturbed probe
+    replica) puts every copy in the same cell of every table, and the
+    per-cell pair space grows ∝ dup_count² no matter how many planes
+    auto-resolution adds (r8-close sim_ann_lsh 256× finding; the image
+    pipeline's max_band_df is the same cut). The cap bounds Σ|b|²
+    without touching honest cells — size it well above the target
+    occupancy (e.g. 10× auto_n_planes' 94); the principled upstream fix
+    is exact-deduping identical vectors first.
+
+    ``broadcast_vectors``: attach vectors to candidate pairs by
+    BROADCAST instead of shuffle join. The pair set is narrow (two
+    ids), but a shuffled vector-attach join widens every pair row by
+    two dim-double arrays — at the 256× probe tier (512 k vectors,
+    ~10⁸ 8-table candidates) that is a several-hundred-GB shuffle that
+    filled the probe machine's disk (r8-close finding), while the
+    vector table itself is only ~0.3 GB. Default (None) auto-broadcasts
+    when the estimated table size fits ``broadcast_vectors_max_bytes``
+    (what a healthy executor comfortably holds once; the 512 MB default
+    exists because the 256× tier's 512 k×64-double table estimates at
+    283 MB — a 256 MB cut re-ran the wide shuffle join and refilled the
+    disk, the exact failure the knob prevents); pairs then stay
+    ~24 B each end to end. Beyond that size the shuffle join stands —
+    and the honest answer at billions of vectors is the IVF-PQ path,
+    whose codes are 32× smaller by construction."""
+    n_vec = None
     if n_planes is None:
-        n_planes = auto_n_planes(vectors.count())
+        n_vec = vectors.count()
+        n_planes = auto_n_planes(n_vec)
+    if broadcast_vectors is None:
+        if n_vec is None:
+            n_vec = vectors.count()
+        # rough per-row footprint: dim doubles + norm + id + overhead
+        broadcast_vectors = (
+            n_vec * (dim * 8 + 40) <= broadcast_vectors_max_bytes
+        )
     # persisted: both self-join sides read it, and the n_tables×n_planes
     # hyperplane folds are the expensive part of bucketing. The array
     # cast happens ONCE per row (aliased column) instead of once per
@@ -226,6 +266,17 @@ def ann_topk_lsh(
         )
     )
     buckets = tracked_persist(buckets)
+    if max_bucket_df is not None:
+        # candidate-side cut only: overfull cells (exact-duplicate
+        # pile-ups resolution cannot split) leave the pair join; one
+        # map-side-partial count over the persisted buckets
+        cell_ok = (
+            buckets.groupBy("t", "bucket")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_bucket_df)
+            .select("t", "bucket")
+        )
+        buckets = buckets.join(cell_ok, ["t", "bucket"])
     cand = (
         buckets.alias("a")
         .join(
@@ -253,23 +304,21 @@ def ann_topk_lsh(
     # spread by query_id: the cosine folds run at cluster parallelism and
     # the top-k window reuses the same hash partitioning
     cand = spread(cand, "query_id")
+    qside = vecs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    nside = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    if broadcast_vectors:
+        qside, nside = F.broadcast(qside), F.broadcast(nside)
     return (
-        cand.join(
-            vecs.select(
-                F.col("vec_id").alias("query_id"),
-                F.col("v").alias("qv"),
-                F.col("norm").alias("qn"),
-            ),
-            "query_id",
-        )
-        .join(
-            vecs.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("v").alias("cv"),
-                F.col("norm").alias("cn"),
-            ),
-            "neighbor_id",
-        )
+        cand.join(qside, "query_id")
+        .join(nside, "neighbor_id")
         .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -135,6 +135,52 @@ def test_pagerank_semantics(spark):
     assert with_island["island"][1] == 0
 
 
+def test_pagerank_personalized_matches_serial(spark):
+    weights = {"hub": 3, "p1": 1}  # seed set; everything else weighs 0
+    edf = spark.createDataFrame(WEB, "src string, dst string")
+    wdf = spark.createDataFrame(
+        list(weights.items()), "node string, weight long"
+    )
+    nodes = ["hub", "p1", "p2", "p3", "dead", "island"]
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node string")
+    got = {
+        r["node"]: (r["rank"], r["out_deg"])
+        for r in LG.pagerank(
+            edf, nodes=ndf, iterations=4, teleport_weights=wdf
+        ).collect()
+    }
+    want = LG.pagerank_reference(WEB, nodes, iterations=4, weights=weights)
+    assert got == want
+    # zero-weight, never-linked island gets NO mass at all
+    assert got["island"][0] == 0
+    # the teleport advantage is real: p1 (seeded) out-ranks p3, its
+    # structural twin (both receive exactly one hub link, nothing else)
+    assert got["p1"][0] > got["p3"][0]
+
+
+def test_pagerank_uniform_weights_equal_default(spark):
+    edf = spark.createDataFrame(WEB, "src string, dst string")
+    wdf = spark.createDataFrame(
+        [(v, 1) for v in ["hub", "p1", "p2", "p3", "dead"]],
+        "node string, weight long",
+    )
+    a = {r["node"]: r["rank"] for r in LG.pagerank(edf, iterations=3).collect()}
+    b = {
+        r["node"]: r["rank"]
+        for r in LG.pagerank(
+            edf, iterations=3, teleport_weights=wdf
+        ).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_zero_weight_sum_raises(spark):
+    edf = spark.createDataFrame(TRIANGLE, "src string, dst string")
+    wdf = spark.createDataFrame([("zzz", 5)], "node string, weight long")
+    with pytest.raises(ValueError, match="sum to 0"):
+        LG.pagerank(edf, iterations=2, teleport_weights=wdf)
+
+
 def test_pagerank_partitioning_invariance(spark):
     edf = spark.createDataFrame(WEB, "src string, dst string")
     a = {

@@ -124,6 +124,38 @@ def test_ann_lsh_recall_vs_bruteforce(emb):
     assert n_buckets > 4
 
 
+def test_ann_lsh_bucket_cap(emb, spark):
+    """max_bucket_df: a cap no honest cell exceeds changes nothing; on a
+    duplicate-heavy corpus (every vector ×17 exact copies — plane
+    resolution cannot split identical signatures) the cap bounds the
+    candidate pair space that otherwise grows ∝ dup_count²."""
+    base = similarity.ann_topk_lsh(emb, dim=64, k=3, n_planes=4, n_tables=8)
+    capped_noop = similarity.ann_topk_lsh(
+        emb, dim=64, k=3, n_planes=4, n_tables=8,
+        max_bucket_df=emb.count(),
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, capped_noop.collect())
+    )
+    dup = emb.limit(30).crossJoin(
+        spark.range(17).select(F.col("id").alias("_c"))
+    ).select(
+        (F.col("vec_id") + F.col("_c") * 1_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    # every cell holds ≥17 identical-signature copies → a cap of 16
+    # empties candidate generation entirely; a big cap keeps pairs
+    none_left = similarity.ann_topk_lsh(
+        dup, dim=64, k=3, n_planes=8, n_tables=2, max_bucket_df=16
+    )
+    assert none_left.count() == 0
+    uncapped = similarity.ann_topk_lsh(
+        dup, dim=64, k=3, n_planes=8, n_tables=2
+    )
+    assert uncapped.count() > 0
+
+
 def test_blocked_topk_matches_bruteforce_within_block(emb):
     """Restricting brute force to one block must equal blocked top-k for
     queries in that block."""

@@ -90,6 +90,40 @@ def build_probe_dir(spark) -> None:
                     " ",
                 ),
             )
+        if PERTURB and name == "embeddings":
+            # per-copy random TRANSLATION (one hash-derived offset
+            # vector per copy, the same for every vector in the copy):
+            # within-copy geometry — every pairwise distance and cosine
+            # structure — is preserved exactly, but the offset's
+            # components are ±0.2 uniform (the fixture's unit vectors
+            # have component sd 0.125), so hyperplane projections move
+            # by ~1 sd and copies land in fresh cells. Without this,
+            # every copy of a vector carries an IDENTICAL signature in
+            # every LSH/IVF table (resolution can only split vectors
+            # that differ) and the candidate pair space grows ∝ copies²
+            # (adversarial, r8-close finding on sim_ann_lsh). A weaker
+            # constant shift along the all-ones direction was tried and
+            # rejected: it moves projections by c·Σplane_j, which is
+            # ≪ 1 sd for small copy indices, leaving most copies exact
+            # colliders. Same honest-vs-adversarial split the token
+            # prefix gives the dedup family.
+            rep = rep.withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: (
+                        x.cast("double")
+                        + (
+                            F.pmod(
+                                F.xxhash64(F.col("_copy"), i), F.lit(1000)
+                            ).cast("double")
+                            / 1000.0
+                            - 0.5
+                        )
+                        * 0.4
+                    ).cast("float"),  # keep the fixture's FLOAT[] schema
+                ),
+            )
         rep.drop("_copy").write.mode("overwrite").parquet(
             f"{PROBE_DIR}/{name}.parquet"
         )
@@ -283,9 +317,25 @@ def _probe_ann_lsh_auto(spark, d):
     from basic_data_pipeline_spark.operators import similarity
 
     # auto resolution: the pair space should stay ~linear in n because
-    # planes grow with log2(n) (fixed-resolution LSH would be ~256×)
+    # planes grow with log2(n) (fixed-resolution LSH would be ~256×).
+    # NOTE: on the UNPERTURBED replica every copy of a vector is an
+    # exact duplicate — identical signatures defeat resolution and the
+    # pair space grows ∝ copies² (adversarial tier); use PERTURB=1 for
+    # the honest tier, or op_ann_lsh_capped for the defensive bound.
     return similarity.ann_topk_lsh(
         load_table(spark, d, "embeddings"), dim=64, k=3, n_planes=None
+    )
+
+
+def _probe_ann_lsh_capped(spark, d):
+    from basic_data_pipeline_spark.operators import similarity
+
+    # the duplicate-pile-up bound: 10× the auto-resolution target
+    # occupancy — never binds on honest cells, cuts exact-duplicate
+    # cells the planes cannot split (r8-close sim_ann_lsh finding)
+    return similarity.ann_topk_lsh(
+        load_table(spark, d, "embeddings"),
+        dim=64, k=3, n_planes=None, max_bucket_df=940,
     )
 
 
@@ -699,6 +749,7 @@ EXTRA_PROBES = {
     "op_sessionize_stats": _probe_sessionize_stats,
     "op_line_dedup": _probe_line_dedup,
     "op_ann_lsh_auto": _probe_ann_lsh_auto,
+    "op_ann_lsh_capped": _probe_ann_lsh_capped,
     "op_pack_sequences": _probe_pack_sequences,
     "op_pack_token_windows": _probe_pack_token_windows,
     "op_contamination_hits": _probe_contamination_hits,
