@@ -304,3 +304,61 @@ def test_token_budget_mix_matches_serial(spark, docs, budgets, parts):
         (i, s, len([t for t in txt.split() if t])) for i, s, txt in rows
     ]
     assert got == _serial_token_budget(serial_rows, bud)
+
+
+# --- integer pagerank ------------------------------------------------------
+
+_pg_edges = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).map(
+        lambda t: (f"n{t[0]}", f"n{t[1]}")
+    ),
+    min_size=0,
+    max_size=20,
+)
+_pg_weights = st.dictionaries(
+    st.integers(0, 9).map(lambda i: f"n{i}"),
+    st.integers(0, 5),
+    max_size=6,
+)
+
+
+@settings(**_SET)
+@given(
+    edges=_pg_edges,
+    extra_nodes=st.sets(st.integers(0, 9).map(lambda i: f"n{i}"), max_size=5),
+    iters=st.integers(0, 3),
+    weights=st.one_of(st.none(), _pg_weights),
+)
+def test_fuzz_pagerank_matches_serial(spark, edges, extra_nodes, iters, weights):
+    """Integer fixed-point pagerank == the serial reference EXACTLY on
+    random multigraphs (self-loops, parallel edges, dangling nodes,
+    isolated nodes, zero-weight nodes) — no float tolerance. Skips the
+    degenerate no-teleport-mass case the operator refuses by contract."""
+    from basic_data_pipeline_spark.operators import linkgraph as LG
+
+    node_list = sorted(
+        {s for s, _ in edges} | {d for _, d in edges} | extra_nodes
+    )
+    if not node_list:
+        return
+    if weights is not None and sum(weights.get(v, 0) for v in node_list) <= 0:
+        return  # ValueError by contract; pinned in test_linkgraph.py
+    edf = spark.createDataFrame(
+        edges or [], "src string, dst string"
+    )
+    ndf = spark.createDataFrame([(v,) for v in node_list], "node string")
+    wdf = (
+        spark.createDataFrame(list(weights.items()), "node string, weight long")
+        if weights is not None
+        else None
+    )
+    got = {
+        r["node"]: (r["rank"], r["out_deg"])
+        for r in LG.pagerank(
+            edf, nodes=ndf, iterations=iters, teleport_weights=wdf
+        ).collect()
+    }
+    want = LG.pagerank_reference(
+        edges, node_list, iterations=iters, weights=weights
+    )
+    assert got == want
