@@ -60,6 +60,7 @@ __all__ = [
     "extract_links",
     "out_degrees",
     "pagerank",
+    "hits",
     "anchor_text_summary",
 ]
 
@@ -377,6 +378,134 @@ def pagerank_reference(
             for v in nodes
         }
     return {v: (rank[v], nodes[v]) for v in nodes}
+
+
+HITS_KEEP_BITS = 40  # post-shift magnitude ceiling ≈ 1.1e12
+
+
+def hits(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    keep_bits: int = HITS_KEEP_BITS,
+) -> DataFrame:
+    """(node, hub, auth): Kleinberg's HITS by integer power iteration —
+    hubs point at good authorities, authorities are pointed at by good
+    hubs. Scores are relative (that is all HITS scores ever are), and
+    every step is BIGINT arithmetic, so results are bit-identical
+    across engines and partitionings like pagerank()'s.
+
+    The integer renormalization: classic HITS rescales by an L2 norm
+    (floats). Here each half-step computes raw sums and then shifts
+    every value right by ``s = max(0, bit_length(max_raw) - keep_bits)``
+    — a power-of-two division both engines express exactly (length of
+    ``bin(max)``), keeping magnitudes ≤ 2^keep_bits so the next
+    half-step's sums stay far from 2^63 for in/out-degrees into the
+    millions. Direction (the only meaningful part of a power iteration)
+    is preserved; ties and zeros are exact.
+
+    Same iterative-join geometry as pagerank: the edge set persists
+    twice — once partitioned by ``src`` (the hub→authority half-step
+    joins on src) and once by ``dst`` (the authority→hub half-step) —
+    and each half-step shuffles only the node-sized score frame; scores
+    checkpoint per half-step (O(1) plan depth, previous blocks freed);
+    the renormalizer is an in-plan one-row max broadcast."""
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    e_src = e.repartition("_src").persist(StorageLevel.MEMORY_AND_DISK)
+    e_dst = e.repartition("_dst").persist(StorageLevel.MEMORY_AND_DISK)
+    if nodes is None:
+        base_nodes = (
+            e.select(F.col("_src").alias("node"))
+            .union(e.select(F.col("_dst").alias("node")))
+            .distinct()
+        )
+    else:
+        base_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
+    node_frame = tracked_local_checkpoint(base_nodes.repartition("node"))
+    init = F.lit(1 << keep_bits).cast("long")
+    hub = tracked_local_checkpoint(
+        node_frame.select("node", init.alias("hub"))
+    )
+    auth = tracked_local_checkpoint(
+        node_frame.select("node", F.lit(0).cast("long").alias("auth"))
+    )
+
+    def _half(scores, score_col, e_side, key_in, key_out, out_col):
+        raw = (
+            e_side.join(
+                scores.select(F.col("node").alias(key_in), score_col),
+                key_in,
+            )
+            .groupBy(key_out)
+            .agg(F.sum(score_col).alias("_raw"))
+        )
+        mx = raw.agg(
+            F.coalesce(F.max("_raw"), F.lit(0)).cast("long").alias("_mx")
+        )
+        return tracked_local_checkpoint(
+            node_frame.join(raw, node_frame.node == raw[key_out], "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(_raw, 0L) div shiftleft(1L, "
+                    f"greatest(length(bin(_mx)) - {keep_bits}, 0))"
+                ).alias(out_col),
+            )
+        )
+
+    for _ in range(iterations):
+        new_auth = _half(hub, "hub", e_src, "_src", "_dst", "auth")
+        free_local_checkpoint(auth)
+        auth = new_auth
+        new_hub = _half(auth, "auth", e_dst, "_dst", "_src", "hub")
+        free_local_checkpoint(hub)
+        hub = new_hub
+    out = tracked_local_checkpoint(
+        hub.join(auth, "node").select("node", "hub", "auth")
+    )
+    for frame in (hub, auth, node_frame):
+        if frame is not out:
+            free_local_checkpoint(frame)
+    e_src.unpersist()
+    e_dst.unpersist()
+    return out
+
+
+def hits_reference(
+    edge_list: list[tuple],
+    node_list: list | None = None,
+    iterations: int = 5,
+    keep_bits: int = HITS_KEEP_BITS,
+) -> dict:
+    """Serial replay of hits()'s exact integer recurrence. Returns
+    {node: (hub, auth)}."""
+    if node_list is None:
+        node_list = sorted(
+            {s for s, _ in edge_list} | {d for _, d in edge_list}
+        )
+    nodes = set(node_list)
+    hub = {v: 1 << keep_bits for v in nodes}
+    auth = {v: 0 for v in nodes}
+
+    def _half(scores, forward):
+        raw = {v: 0 for v in nodes}
+        for s, d in edge_list:
+            if forward:
+                raw[d] += scores[s]
+            else:
+                raw[s] += scores[d]
+        mx = max(raw.values(), default=0)
+        sh = max(0, mx.bit_length() - keep_bits)
+        return {v: raw[v] >> sh for v in nodes}
+
+    for _ in range(iterations):
+        auth = _half(hub, True)
+        hub = _half(auth, False)
+    return {v: (hub[v], auth[v]) for v in nodes}
 
 
 def anchor_text_summary(

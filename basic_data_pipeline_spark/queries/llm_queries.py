@@ -274,6 +274,45 @@ def _pg_iter_cte(k: int) -> str:
     )
 
 
+# hits arm (r8-close, operators/linkgraph.py): Kleinberg HITS over the
+# same synthetic graph — _HITS_ITERS integer power-iteration rounds,
+# each half-step renormalized by a POWER-OF-TWO shift derived from the
+# half-step's max raw sum (s = max(0, length(bin(max)) - keep_bits)):
+# both engines express the shift exactly (bin() exists in Spark and
+# DuckDB, and length(bin(0)) = 1 on both), sums stay far from 2^63, and
+# every hub/authority score hash-matches with no rounding convention —
+# the pagerank arm's strategy with a different normalizer.
+_HITS_ITERS = 3
+_HITS_BITS = 40
+
+
+def _hits_iter_cte(k: int) -> str:
+    sh = (
+        "(1::BIGINT << greatest(length(bin((SELECT mx FROM {m}))) - "
+        f"{_HITS_BITS}, 0))"
+    )
+    return (
+        f"atr{k} AS (SELECT e.dst AS node, sum(h.hub) AS raw "
+        f"FROM pge e JOIN ht{k - 1} h ON e.src = h.node GROUP BY e.dst),\n"
+        f"    atm{k} AS (SELECT COALESCE(max(raw), 0) AS mx FROM atr{k}),\n"
+        f"    at{k} AS (SELECT n.node, COALESCE(r.raw, 0) // "
+        + sh.format(m=f"atm{k}")
+        + f" AS auth FROM pgnodes n LEFT JOIN atr{k} r ON n.node = r.node),\n"
+        f"    htr{k} AS (SELECT e.src AS node, sum(a.auth) AS raw "
+        f"FROM pge e JOIN at{k} a ON e.dst = a.node GROUP BY e.src),\n"
+        f"    htm{k} AS (SELECT COALESCE(max(raw), 0) AS mx FROM htr{k}),\n"
+        f"    ht{k} AS (SELECT n.node, COALESCE(r.raw, 0) // "
+        + sh.format(m=f"htm{k}")
+        + f" AS hub FROM pgnodes n LEFT JOIN htr{k} r ON n.node = r.node)"
+    )
+
+
+_HITS_CTES = ",\n    ".join(
+    [f"ht0 AS (SELECT node, (1::BIGINT << {_HITS_BITS}) AS hub FROM pgnodes)"]
+    + [_hits_iter_cte(k) for k in range(1, _HITS_ITERS + 1)]
+)
+
+
 _PG_CTES = ",\n    ".join(
     [
         "pgn AS (SELECT count(*) AS n FROM documents)",
@@ -299,6 +338,7 @@ _PG_CTES = ",\n    ".join(
     oracle=f"""
     WITH {_LR_CTES},
     {_PG_CTES},
+    {_HITS_CTES},
     h AS (
       SELECT lang,
              {_DUCK_HITS['en']} AS en, {_DUCK_HITS['de']} AS de,
@@ -555,6 +595,11 @@ _PG_CTES = ",\n    ".join(
            CAST(rank AS BIGINT), CAST(deg AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM pgit{_PG_ITERS}
+    UNION ALL
+    SELECT 'hits', CAST(h.node AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(h.hub AS BIGINT), CAST(a.auth AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM ht{_HITS_ITERS} h JOIN at{_HITS_ITERS} a ON h.node = a.node
     UNION ALL
 {_LR_SELECT}
     """,
@@ -955,6 +1000,24 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_d.alias("d1"),
         null_d.alias("d2"),
     )
+    # hits branch (r8-close, operators/linkgraph.py): hubs/authorities
+    # over the same graph — the oracle replays the power iteration with
+    # the power-of-two renormalizer (see _HITS_CTES), hash-exact.
+    ht = linkgraph.hits(
+        pg_edges,
+        nodes=d.select(F.col("doc_id").alias("node")),
+        iterations=_HITS_ITERS,
+        keep_bits=_HITS_BITS,
+    )
+    hitsb = ht.select(
+        F.lit("hits").alias("grp"),
+        F.col("node").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("hub").alias("n1"),
+        F.col("auth").alias("n2"),
+        null_d.alias("d1"),
+        null_d.alias("d2"),
+    )
     return (
         lang.unionByName(tokens)
         .unionByName(rep)
@@ -971,6 +1034,7 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pplbucket)
         .unionByName(urlb)
         .unionByName(pgb)
+        .unionByName(hitsb)
     )
 
 

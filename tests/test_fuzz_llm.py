@@ -362,3 +362,29 @@ def test_fuzz_pagerank_matches_serial(spark, edges, extra_nodes, iters, weights)
         edges, node_list, iterations=iters, weights=weights
     )
     assert got == want
+
+
+@settings(**_SET)
+@given(
+    edges=_pg_edges,
+    extra_nodes=st.sets(st.integers(0, 9).map(lambda i: f"n{i}"), max_size=5),
+    iters=st.integers(0, 3),
+)
+def test_fuzz_hits_matches_serial(spark, edges, extra_nodes, iters):
+    """Integer HITS == the serial reference EXACTLY on random
+    multigraphs — hub/authority scores, power-of-two renormalizer and
+    all."""
+    from basic_data_pipeline_spark.operators import linkgraph as LG
+
+    node_list = sorted(
+        {s for s, _ in edges} | {d for _, d in edges} | extra_nodes
+    )
+    if not node_list:
+        return
+    edf = spark.createDataFrame(edges or [], "src string, dst string")
+    ndf = spark.createDataFrame([(v,) for v in node_list], "node string")
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in LG.hits(edf, nodes=ndf, iterations=iters).collect()
+    }
+    assert got == LG.hits_reference(edges, node_list, iterations=iters)

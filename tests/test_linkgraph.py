@@ -221,6 +221,63 @@ def test_pagerank_frees_its_checkpoints(spark):
     assert after <= before
 
 
+STAR = [
+    ("h1", "a1"), ("h1", "a2"), ("h1", "a3"),
+    ("h2", "a1"), ("h2", "a2"),
+    ("h3", "a1"),
+]
+
+
+@pytest.mark.parametrize(
+    "edges,nodes,iters",
+    [
+        (STAR, None, 5),
+        (WEB, None, 4),
+        (TRIANGLE, ["a", "b", "c", "lone"], 3),
+        (STAR, None, 0),
+    ],
+)
+def test_hits_matches_serial_reference(spark, edges, nodes, iters):
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    ndf = (
+        spark.createDataFrame([(v,) for v in nodes], "node string")
+        if nodes is not None
+        else None
+    )
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in LG.hits(edf, nodes=ndf, iterations=iters).collect()
+    }
+    want = LG.hits_reference(edges, nodes, iterations=iters)
+    assert got == want
+
+
+def test_hits_semantics(spark):
+    ranks = LG.hits_reference(STAR, iterations=8)
+    hubs = {v: h for v, (h, _) in ranks.items()}
+    auths = {v: a for v, (_, a) in ranks.items()}
+    # a1 is cited by every hub → strongest authority; h1 cites the most
+    # authorities → strongest hub; pure hubs have zero authority and
+    # pure authorities zero hubness
+    assert auths["a1"] > auths["a2"] > auths["a3"]
+    assert hubs["h1"] > hubs["h2"] > hubs["h3"]
+    assert all(auths[h] == 0 for h in ("h1", "h2", "h3"))
+    assert all(hubs[a] == 0 for a in ("a1", "a2", "a3"))
+    # renormalization keeps magnitudes bounded
+    assert max(hubs.values()) <= 1 << LG.HITS_KEEP_BITS
+    assert max(auths.values()) <= 1 << LG.HITS_KEEP_BITS
+
+
+def test_hits_partitioning_invariance(spark):
+    edf = spark.createDataFrame(WEB, "src string, dst string")
+    a = {
+        tuple(r)
+        for r in LG.hits(edf.repartition(7), iterations=3).collect()
+    }
+    b = {tuple(r) for r in LG.hits(edf.coalesce(1), iterations=3).collect()}
+    assert a == b
+
+
 def test_anchor_text_summary(spark):
     links = spark.createDataFrame(
         [

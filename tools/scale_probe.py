@@ -717,8 +717,41 @@ def _probe_pagerank(spark, d):
     )
 
 
+def _probe_hits(spark, d):
+    from basic_data_pipeline_spark.operators import linkgraph
+
+    # same synthetic closed-subgraph-per-copy graph as op_pagerank; HITS
+    # doubles the join count (two persisted edge layouts, two
+    # half-steps per round) — the probe checks the doubling stays a
+    # constant factor as the graph grows
+    docs = load_table(spark, d, "documents").select("doc_id")
+    base_n = docs.select(
+        F.countDistinct(F.col("doc_id") % SHIFT).alias("n")
+    ).collect()[0]["n"]
+    edges = (
+        docs.filter(F.col("doc_id") % SHIFT % 17 != 0)
+        .select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("_j"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            (
+                (F.col("doc_id") - F.col("doc_id") % SHIFT)
+                + F.expr(f"((doc_id % {SHIFT}) * 31 + _j * 17) % {base_n}")
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return linkgraph.hits(
+        edges, nodes=docs.withColumnRenamed("doc_id", "node"), iterations=5
+    )
+
+
 EXTRA_PROBES = {
     "op_pagerank": _probe_pagerank,
+    "op_hits": _probe_hits,
     "op_audio_match": _probe_audio_match,
     "op_image_near_dup": _probe_image_near_dup,
     "op_gapfill_linear": _probe_gapfill,
