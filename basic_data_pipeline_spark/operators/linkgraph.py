@@ -61,6 +61,7 @@ __all__ = [
     "out_degrees",
     "pagerank",
     "hits",
+    "connected_components",
     "anchor_text_summary",
 ]
 
@@ -378,6 +379,32 @@ def pagerank_reference(
             for v in nodes
         }
     return {v: (rank[v], nodes[v]) for v in nodes}
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(node, component) — WEAKLY connected components of the link
+    graph: direction dropped, every node labeled by its component's
+    minimum node id. Site/cluster detection over host graphs (mirror
+    farms, link rings) and the graph-side twin of dedup's duplicate
+    clustering — and in fact the same engine: this is a thin adapter
+    over dedup.duplicate_clusters' pointer-jumped min-label propagation
+    (O(log diameter) rounds, per-round checkpointing; see its docstring
+    for the scale shape). Nodes here are whatever the edge endpoints
+    are (host strings, ids) — min is taken in that type's ordering."""
+    from .dedup import duplicate_clusters
+
+    pairs = edges.select(
+        F.col(src).alias("id_a"), F.col(dst).alias("id_b")
+    )
+    out = duplicate_clusters(pairs, max_iters=max_iters)
+    return out.select(
+        F.col("doc_id").alias("node"), F.col("cluster").alias("component")
+    )
 
 
 HITS_KEEP_BITS = 40  # post-shift magnitude ceiling ≈ 1.1e12

@@ -278,6 +278,69 @@ def test_hits_partitioning_invariance(spark):
     assert a == b
 
 
+def test_connected_components(spark):
+    edges = [
+        ("a.com", "b.com"), ("b.com", "c.com"),   # chain → one component
+        ("x.org", "y.org"), ("y.org", "x.org"),   # cycle → one component
+        ("solo.net", "solo.net"),                 # self-loop → own island
+    ]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["component"]
+        for r in LG.connected_components(edf).collect()
+    }
+    assert got == {
+        "a.com": "a.com", "b.com": "a.com", "c.com": "a.com",
+        "x.org": "x.org", "y.org": "x.org",
+        "solo.net": "solo.net",
+    }
+
+
+def test_warc_to_linkgraph_end_to_end(spark, tmp_path):
+    """Crawl front door to graph back end: a hand-built WARC is read by
+    sources.warc, its pages' hrefs extracted, and pagerank ranks the
+    tiny site — the full crawl-curation path in one test."""
+    from basic_data_pipeline_spark.sources import warc as W
+
+    def record(uri, body):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + body.encode()
+        )
+        hdr = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + b"WARC-Record-ID: <urn:uuid:1>\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            + f"Content-Length: {len(payload)}\r\n".encode()
+            + b"\r\n"
+        )
+        return hdr + payload + b"\r\n\r\n"
+
+    data = record(
+        "https://s.com/", '<a href="/p1">one</a><a href="/p2">two</a>'
+    ) + record(
+        "https://s.com/p1", '<a href="/">home</a>'
+    ) + record("https://s.com/p2", "<p>leaf</p>")
+    f = tmp_path / "mini.warc"
+    f.write_bytes(data)
+    pages = W.read_warc(spark, str(f))
+    links = LG.extract_links(pages)
+    got = sorted((r["src"], r["dst"]) for r in links.collect())
+    assert got == [
+        ("https://s.com/", "https://s.com/p1"),
+        ("https://s.com/", "https://s.com/p2"),
+        ("https://s.com/p1", "https://s.com/"),
+    ]
+    ranks = {
+        r["node"]: r["rank"]
+        for r in LG.pagerank(links, iterations=4).collect()
+    }
+    # the root is cited by p1 and is the only page with two out-links
+    assert ranks["https://s.com/"] == max(ranks.values())
+
+
 def test_anchor_text_summary(spark):
     links = spark.createDataFrame(
         [
