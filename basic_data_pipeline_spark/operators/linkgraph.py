@@ -62,6 +62,8 @@ __all__ = [
     "pagerank",
     "hits",
     "connected_components",
+    "strongly_connected_components",
+    "label_propagation",
     "anchor_text_summary",
 ]
 
@@ -570,3 +572,358 @@ def anchor_text_summary(
         .select(dst, F.col(anchor).alias("top_anchor"))
     )
     return totals.join(top, dst, "left")
+
+
+class SCCNotConverged(RuntimeError):
+    """strongly_connected_components ran out of rounds before the graph
+    was fully decomposed — the input's condensation is deeper than
+    ``max_rounds`` (e.g. a very long chain of SCCs). Raise, never
+    return a partial labeling."""
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+    max_prop_iters: int = 60,
+) -> DataFrame:
+    """(node, scc_id) — STRONGLY connected components of the directed
+    link graph, every node labeled by its component's minimum node id.
+    The directed twin of connected_components: mirror rings and
+    reciprocal-link farms form non-trivial SCCs, while honest
+    hierarchical sites condense to a DAG of singletons — a standard
+    spam/mirror curation signal next to pagerank/hits.
+
+    Algorithm: iterative Forward-Backward with trimming (the classic
+    distributed SCC decomposition — Fleischer/Hendrickson/Pinar's
+    divide-and-conquer restated as label propagation, the same scheme
+    GraphX ships):
+
+    1. **Trim to fixpoint**: nodes with no in-edge or no out-edge in
+       the live subgraph are singleton SCCs — peel them (a DAG-shaped
+       region evaporates here entirely, one cheap round per peel
+       layer).
+    2. **Forward coloring**: propagate ``color(v) = min(v, min color
+       of predecessors)`` to fixpoint — color(v) is the smallest node
+       that reaches v.
+    3. **Backward sweep within color**: from each root r (color(r) =
+       r), walk edges BACKWARD but only through nodes of the same
+       color; everything reached both reaches r (same color) and is
+       reached by r (backward walk) — exactly SCC(r). Peel all roots'
+       SCCs at once, repeat.
+
+    Determinism: labels are mins over node ids — integer/string order,
+    no floats, no RNG; the output is bit-identical across partitionings
+    and engines (the DuckDB oracle derives the same labeling from an
+    independent WITH RECURSIVE transitive-closure formulation —
+    text_lang_token[scc] — so the two formulations cross-check).
+
+    Scale shape: the edge set is deduplicated once and persisted TWICE
+    (hashed by src for the forward join, by dst for the backward join)
+    — the pagerank layout-reuse pattern, so per-iteration shuffles move
+    only node-sized color/mark frames; every fixpoint iteration ends in
+    a tracked_local_checkpoint with the previous round's blocks freed
+    (plans stay O(1) deep, storage stays 1×). Driver actions are
+    bounded counts (one per fixpoint step). Rounds needed = depth of
+    the condensation DAG between non-trivial SCCs; web graphs are
+    shallow, but a pathological chain exhausts ``max_rounds`` and
+    raises SCCNotConverged rather than returning a wrong labeling.
+    """
+    e0 = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).distinct()
+    e_src = e0.repartition("_s").persist(StorageLevel.MEMORY_AND_DISK)
+    e_dst = e0.repartition("_d").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e0.select(F.col("_s").alias("node"))
+        .union(e0.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    active = tracked_local_checkpoint(nodes)
+    ae_s, ae_d = e_src, e_dst
+    done: list[DataFrame] = []
+    spent: list[DataFrame] = []  # checkpoints the result still reads
+
+    def _restrict(live: DataFrame):
+        """Live-subgraph edge views, keeping each base layout."""
+        ls = live.select(F.col("node").alias("_ls"))
+        ld = live.select(F.col("node").alias("_ld"))
+        es = (
+            e_src.join(ls, e_src._s == ls._ls, "left_semi")
+            .join(ld, e_src._d == ld._ld, "left_semi")
+        )
+        ed = (
+            e_dst.join(ls, e_dst._s == ls._ls, "left_semi")
+            .join(ld, e_dst._d == ld._ld, "left_semi")
+        )
+        return es, ed
+
+    for _round in range(max_rounds):
+        if active.isEmpty():
+            break
+        # -- 1. trim to fixpoint ---------------------------------------
+        while True:
+            has_out = ae_s.select(F.col("_s").alias("node")).distinct()
+            has_in = ae_d.select(F.col("_d").alias("node")).distinct()
+            both = has_out.join(has_in, "node", "left_semi")
+            trivial = active.join(both, "node", "left_anti")
+            trivial = tracked_local_checkpoint(trivial)
+            if trivial.isEmpty():
+                free_local_checkpoint(trivial)
+                break
+            done.append(
+                trivial.select("node", F.col("node").alias("scc_id"))
+            )
+            spent.append(trivial)
+            nxt = tracked_local_checkpoint(
+                active.join(trivial, "node", "left_anti")
+            )
+            free_local_checkpoint(active)
+            active = nxt
+            ae_s, ae_d = _restrict(active)
+        if active.isEmpty():
+            break
+        # -- 2. forward min-color fixpoint -----------------------------
+        color = tracked_local_checkpoint(
+            active.select("node", F.col("node").alias("color"))
+        )
+        for _it in range(max_prop_iters):
+            incoming = (
+                ae_s.join(color, ae_s._s == color.node)
+                .groupBy(F.col("_d").alias("node"))
+                .agg(F.min("color").alias("_in_min"))
+            )
+            nxt = tracked_local_checkpoint(
+                color.join(incoming, "node", "left").select(
+                    "node",
+                    F.least(
+                        F.col("color"), F.coalesce("_in_min", F.col("color"))
+                    ).alias("color"),
+                )
+            )
+            changed = (
+                nxt.alias("n")
+                .join(color.alias("o"), "node")
+                .where(F.col("n.color") != F.col("o.color"))
+                .isEmpty()
+            )
+            free_local_checkpoint(color)
+            color = nxt
+            if changed:
+                break
+        else:
+            raise SCCNotConverged(
+                f"forward coloring did not settle in {max_prop_iters} iters"
+            )
+        # -- 3. backward sweep within color ----------------------------
+        mark = tracked_local_checkpoint(
+            color.where(F.col("color") == F.col("node"))
+        )
+        while True:
+            reached = (
+                ae_d.join(mark, ae_d._d == mark.node)
+                .select(F.col("_s").alias("node"), "color")
+                .distinct()
+            )
+            grew = (
+                reached.withColumnRenamed("color", "_c")
+                .join(color, "node")
+                .where(F.col("_c") == F.col("color"))
+                .select("node", "color")
+                .join(mark, "node", "left_anti")
+            )
+            grew = tracked_local_checkpoint(grew)
+            if grew.isEmpty():
+                free_local_checkpoint(grew)
+                break
+            nxt = tracked_local_checkpoint(mark.union(grew))
+            free_local_checkpoint(mark)
+            free_local_checkpoint(grew)
+            mark = nxt
+        done.append(mark.select("node", F.col("color").alias("scc_id")))
+        spent.append(mark)
+        nxt = tracked_local_checkpoint(
+            active.join(mark.select("node"), "node", "left_anti")
+        )
+        free_local_checkpoint(active)
+        free_local_checkpoint(color)
+        active = nxt
+        ae_s, ae_d = _restrict(active)
+    if not active.isEmpty():
+        raise SCCNotConverged(
+            f"condensation deeper than max_rounds={max_rounds}"
+        )
+    free_local_checkpoint(active)
+    if not done:  # edgeless input: no nodes, empty labeling
+        return nodes.select("node", F.col("node").alias("scc_id"))
+    out = done[0]
+    for d in done[1:]:
+        out = out.union(d)
+    out = tracked_local_checkpoint(out)
+    for f in spent:
+        free_local_checkpoint(f)
+    e_src.unpersist()
+    e_dst.unpersist()
+    return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, label) — synchronous label propagation community
+    detection (Raghavan et al. 2007) over the UNDIRECTED link graph,
+    made fully deterministic: every node starts as its own label; each
+    round every node adopts the most frequent label among its
+    neighbors, ties broken by the SMALLEST label (classic LPA breaks
+    ties randomly — useless for an engine whose outputs are
+    hash-compared, so the tie rule is part of this operator's
+    contract). ``iterations`` is fixed, not run-to-convergence:
+    synchronous LPA can 2-cycle on bipartite structures, so a fixed
+    round count is the honest deterministic semantics (and what the
+    DuckDB oracle replays CTE-by-CTE — text_lang_token[lpa]).
+
+    Edge weight = number of DISTINCT directed edges between the pair
+    (a reciprocal link counts twice — mutual links bind communities
+    harder). Isolated nodes keep their own label.
+
+    Scale shape: the symmetrized edge set is repartitioned by neighbor
+    key and persisted once; each round is one node-sized label join
+    against that layout, one (node, label) count aggregation, and one
+    per-node argmax window over label-type-bounded rows; labels end
+    each round in a tracked_local_checkpoint (flat plans, 1× storage).
+    """
+    from pyspark.sql import Window
+
+    e0 = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).distinct()
+    und = e0.union(
+        e0.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    ).where(F.col("_s") != F.col("_d"))
+    und = und.repartition("_s").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e0.select(F.col("_s").alias("node"))
+        .union(e0.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    labels = tracked_local_checkpoint(
+        nodes.select("node", F.col("node").alias("label"))
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("_cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        neigh = (
+            und.join(labels, und._s == labels.node)
+            .groupBy(F.col("_d").alias("node"), "label")
+            .agg(F.count("*").alias("_cnt"))
+        )
+        best = (
+            neigh.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        nxt = tracked_local_checkpoint(
+            labels.join(best, "node", "left").select(
+                "node", F.coalesce("_new", F.col("label")).alias("label")
+            )
+        )
+        free_local_checkpoint(labels)
+        labels = nxt
+    und.unpersist()
+    return labels
+
+
+def scc_reference(edges: list[tuple]) -> dict:
+    """Serial SCC oracle for tests: iterative Tarjan, then each node
+    labeled by its component's min member — an INDEPENDENT formulation
+    of what strongly_connected_components computes distributively."""
+    adj: dict = {}
+    nodes: set = set()
+    for s, d in edges:
+        nodes.add(s)
+        nodes.add(d)
+        adj.setdefault(s, []).append(d)
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    comps: list[list] = []
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            neigh = adj.get(v, [])
+            for i in range(pi, len(neigh)):
+                w_ = neigh[i]
+                if w_ not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w_, 0))
+                    recurse = True
+                    break
+                elif w_ in on_stack:
+                    low[v] = min(low[v], index[w_])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w_ = stack.pop()
+                    on_stack.discard(w_)
+                    comp.append(w_)
+                    if w_ == v:
+                        break
+                comps.append(comp)
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    out = {}
+    for comp in comps:
+        m = min(comp)
+        for v in comp:
+            out[v] = m
+    return out
+
+
+def label_propagation_reference(edges: list[tuple], iterations: int = 4):
+    """Serial synchronous LPA with the module's deterministic tie rule
+    (max neighbor-label count, then smallest label)."""
+    und: dict = {}
+    nodes: set = set()
+    for s, d in set(edges):
+        nodes.add(s)
+        nodes.add(d)
+        if s != d:
+            und.setdefault(d, []).append(s)
+            und.setdefault(s, []).append(d)
+    labels = {v: v for v in nodes}
+    for _ in range(iterations):
+        nxt = {}
+        for v in nodes:
+            neigh = und.get(v, [])
+            if not neigh:
+                nxt[v] = labels[v]
+                continue
+            counts: dict = {}
+            for u in neigh:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            nxt[v] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    return labels

@@ -333,10 +333,98 @@ _PG_CTES = ",\n    ".join(
 )
 
 
+# scc arm (r8 cont., operators/linkgraph.py): strongly connected
+# components of the same synthetic crawl graph as the pagerank arm.
+# The Spark side runs the REAL distributed FW-BW decomposition (trim /
+# forward min-coloring / backward sweep); the oracle derives the same
+# labeling from an INDEPENDENT formulation — WITH RECURSIVE transitive
+# closure, then scc_id(v) = min over {v} ∪ {u : v↔u mutually reachable}
+# — so the two algorithms cross-check rather than replaying each other.
+# Node universe = src ∪ dst of the edge set (the operator's contract).
+_SCC_CTES = """sccreach AS (
+      SELECT src, dst FROM pge
+      UNION
+      SELECT r.src, e.dst FROM sccreach r JOIN pge e ON r.dst = e.src),
+    sccn AS (SELECT DISTINCT node FROM
+               (SELECT src AS node FROM pge
+                UNION ALL SELECT dst FROM pge) tt),
+    sccp AS (SELECT a.src AS u, a.dst AS v
+             FROM sccreach a JOIN sccreach b
+               ON a.src = b.dst AND a.dst = b.src),
+    sccl AS (SELECT n.node,
+                    least(n.node, COALESCE(min(p.v), n.node)) AS scc_id
+             FROM sccn n LEFT JOIN sccp p ON n.node = p.u
+             GROUP BY n.node)"""
+
+# lpa arm (r8 cont., operators/linkgraph.py): deterministic synchronous
+# label propagation (ties -> smallest label) over the symmetrized graph,
+# _LPA_ITERS fixed rounds replayed CTE-by-CTE (the pagerank strategy —
+# same recurrence, both engines, integer labels, no rounding at all).
+_LPA_ITERS = 3
+
+
+def _lpa_iter_cte(k: int) -> str:
+    return (
+        f"lpa{k} AS (SELECT p.node, COALESCE(b.label, p.label) AS label "
+        f"FROM lpa{k - 1} p LEFT JOIN ("
+        f"SELECT node, label FROM ("
+        f"SELECT u.d AS node, q.label, "
+        f"row_number() OVER (PARTITION BY u.d "
+        f"ORDER BY count(*) DESC, q.label ASC) AS rn "
+        f"FROM lpau u JOIN lpa{k - 1} q ON u.s = q.node "
+        f"GROUP BY u.d, q.label) t WHERE rn = 1) b ON b.node = p.node)"
+    )
+
+
+_LPA_CTES = ",\n    ".join(
+    [
+        "lpau AS (SELECT src AS s, dst AS d FROM pge WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM pge WHERE src <> dst)",
+        "lpa0 AS (SELECT node, node AS label FROM sccn)",
+    ]
+    + [_lpa_iter_cte(k) for k in range(1, _LPA_ITERS + 1)]
+)
+
+# knlm arm (r8 cont., operators/ngramlm.py): interpolated Kneser-Ney
+# bigram LM trained on the doc_id % 3 <> 2 subset, scored over ALL
+# documents — bigrams with unseen context/continuation exercise the
+# 1/(V+1) backstop (n2 counts them, pinning the OOV path). Per-bigram
+# log2 P is rounded at 6 places and summed as DECIMAL(38,6) (the
+# dsir/lr exact-accumulation convention), so d1 hash-matches exactly.
+_KN_CTES = """knb AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+           FROM rtoks, UNNEST(range(0, len(w) - 1)) AS t(i)
+           WHERE len(w) >= 2),
+    knc12 AS (SELECT w1, w2, count(*) AS c12 FROM knb
+              WHERE doc_id % 3 <> 2 GROUP BY w1, w2),
+    knctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f
+              FROM knc12 GROUP BY w1),
+    kncont AS (SELECT w2, count(*) AS n1b FROM knc12 GROUP BY w2),
+    knconst AS (SELECT (SELECT count(*) FROM knc12) AS bb,
+                       (SELECT count(DISTINCT u.uw) FROM
+                          (SELECT UNNEST(w) AS uw FROM rtoks
+                           WHERE doc_id % 3 <> 2) u) AS v),
+    knlpd AS (SELECT b.doc_id,
+        CASE WHEN x.c1 IS NOT NULL AND n.n1b IS NOT NULL THEN
+          round(log2((greatest(4 * COALESCE(p.c12, 0) - 3, 0)
+                        * CAST((SELECT bb FROM knconst) AS DOUBLE)
+                      + 3 * CAST(x.n1f * n.n1b AS DOUBLE))
+                     / (4 * CAST(x.c1 AS DOUBLE)
+                        * CAST((SELECT bb FROM knconst) AS DOUBLE))), 6)
+        ELSE round(log2(1.0 / ((SELECT v FROM knconst) + 1)), 6)
+        END AS lp,
+        CASE WHEN x.c1 IS NULL OR n.n1b IS NULL THEN 1 ELSE 0 END AS bs
+      FROM knb b LEFT JOIN knc12 p ON b.w1 = p.w1 AND b.w2 = p.w2
+                 LEFT JOIN knctx x ON b.w1 = x.w1
+                 LEFT JOIN kncont n ON b.w2 = n.w2),
+    knagg AS (SELECT doc_id, count(*) AS nb, sum(bs) AS nbs,
+                     sum(CAST(lp AS DECIMAL(38,6))) AS slp
+              FROM knlpd GROUP BY doc_id)"""
+
+
 @query(
     "text_lang_token",
     oracle=f"""
-    WITH {_LR_CTES},
+    WITH RECURSIVE {_LR_CTES},
     {_PG_CTES},
     {_HITS_CTES},
     h AS (
@@ -407,11 +495,16 @@ _PG_CTES = ",\n    ".join(
                             + 0.5) / 4294967296.0)) AS g
            FROM dw),
     dsel AS (SELECT doc_id FROM dk ORDER BY g DESC, doc_id LIMIT 150),
-    bph AS (SELECT DISTINCT array_to_string(w[1:3], ' ') AS phrase
-            FROM rtoks WHERE doc_id % 97 = 0
-            UNION
-            SELECT DISTINCT array_to_string(w[1:1], ' ')
-            FROM rtoks WHERE doc_id % 89 = 0),
+    bph AS (SELECT DISTINCT phrase FROM
+              -- DISTINCT over UNION ALL, not a top-level UNION: under
+              -- WITH RECURSIVE (the scc arm) DuckDB treats any
+              -- set-op-shaped CTE as a recursive definition and stops
+              -- deduplicating plain UNION
+              (SELECT array_to_string(w[1:3], ' ') AS phrase
+               FROM rtoks WHERE doc_id % 97 = 0
+               UNION ALL
+               SELECT array_to_string(w[1:1], ' ')
+               FROM rtoks WHERE doc_id % 89 = 0) tt),
     tbc AS (SELECT doc_id, source,
                    CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok,
                    COALESCE(sum(CAST(len({_DUCK_TOKENS}) AS BIGINT)) OVER (
@@ -479,7 +572,10 @@ _PG_CTES = ",\n    ".join(
                     ntile(3) OVER (PARTITION BY dd.lang
                                    ORDER BY k.log_w, k.doc_id) AS tile,
                     k.log_w
-             FROM dw k JOIN documents dd ON k.doc_id = dd.doc_id)
+             FROM dw k JOIN documents dd ON k.doc_id = dd.doc_id),
+    {_KN_CTES},
+    {_SCC_CTES},
+    {_LPA_CTES}
     SELECT 'lang' AS grp, lang AS k1,
            CASE WHEN cjk * 3 >= n THEN 'zh'
                 WHEN en >= greatest(en, de, es, fr) THEN 'en'
@@ -590,6 +686,21 @@ _PG_CTES = ",\n    ".join(
            1, CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM documents
+    UNION ALL
+    SELECT 'scc', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(scc_id AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM sccl
+    UNION ALL
+    SELECT 'lpa', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(label AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM lpa{_LPA_ITERS}
+    UNION ALL
+    SELECT 'knlm', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(nb AS BIGINT), CAST(nbs AS BIGINT),
+           CAST(slp AS DOUBLE) + 0.0, CAST(NULL AS DOUBLE)
+    FROM knagg
     UNION ALL
     SELECT 'pagerank', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(rank AS BIGINT), CAST(deg AS BIGINT),
@@ -1018,6 +1129,50 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_d.alias("d1"),
         null_d.alias("d2"),
     )
+    # scc branch (r8 cont.): the REAL distributed FW-BW decomposition
+    # over the same synthetic graph; the oracle cross-checks it with an
+    # independent transitive-closure formulation (see _SCC_CTES).
+    scc = linkgraph.strongly_connected_components(pg_edges)
+    sccb = scc.select(
+        F.lit("scc").alias("grp"),
+        F.col("node").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("scc_id").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        null_d.alias("d1"),
+        null_d.alias("d2"),
+    )
+    # lpa branch (r8 cont.): deterministic synchronous label propagation,
+    # _LPA_ITERS rounds — the oracle replays the identical recurrence.
+    lp = linkgraph.label_propagation(pg_edges, iterations=_LPA_ITERS)
+    lpab = lp.select(
+        F.lit("lpa").alias("grp"),
+        F.col("node").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("label").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        null_d.alias("d1"),
+        null_d.alias("d2"),
+    )
+    # knlm branch (r8 cont., operators/ngramlm.py): the module's REAL
+    # train/score split — KN bigram model fit on doc_id % 3 != 2, scored
+    # over everything; n2 pins the uniform-backstop (OOV) path, d1 is
+    # the exact DECIMAL sum of 6-place-rounded per-bigram log2 P.
+    from basic_data_pipeline_spark.operators import ngramlm
+
+    kn = ngramlm.kneser_ney_lm_scores(
+        d.select("doc_id", "text"),
+        train=d.where(F.col("doc_id") % 3 != 2).select("doc_id", "text"),
+    )
+    knlm = kn.select(
+        F.lit("knlm").alias("grp"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("n_bigrams").alias("n1"),
+        F.col("n_backstop").alias("n2"),
+        (F.col("sum_lp").cast("double") + F.lit(0.0)).alias("d1"),
+        null_d.alias("d2"),
+    )
     return (
         lang.unionByName(tokens)
         .unionByName(rep)
@@ -1035,6 +1190,9 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(urlb)
         .unionByName(pgb)
         .unionByName(hitsb)
+        .unionByName(sccb)
+        .unionByName(lpab)
+        .unionByName(knlm)
     )
 
 

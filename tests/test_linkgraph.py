@@ -363,3 +363,120 @@ def test_anchor_text_summary(spark):
         "d2": (1, 1, None),
         "d3": (2, 2, "a"),
     }
+
+
+# --- strongly connected components ----------------------------------------
+
+RINGS = [
+    # two rings bridged one-way + a DAG tail
+    ("a", "b"), ("b", "c"), ("c", "a"),
+    ("c", "x"),
+    ("x", "y"), ("y", "x"),
+    ("y", "t1"), ("t1", "t2"),
+]
+CHAIN_OF_SCCS = [
+    ("a", "b"), ("b", "a"),
+    ("b", "c"),
+    ("c", "d"), ("d", "c"),
+    ("d", "e"),
+    ("e", "f"), ("f", "e"),
+]
+
+
+def _scc_dict(spark, edges, **kw):
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    out = LG.strongly_connected_components(edf, **kw)
+    return {r["node"]: r["scc_id"] for r in out.collect()}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        TRIANGLE,
+        WEB,
+        RINGS,
+        CHAIN_OF_SCCS,
+        [("solo", "solo")],              # self-loop only
+        [("a", "b"), ("b", "c")],        # pure DAG: all singletons
+    ],
+)
+def test_scc_matches_tarjan(spark, edges):
+    assert _scc_dict(spark, edges) == LG.scc_reference(edges)
+
+
+def test_scc_round_budget_raises(spark):
+    with pytest.raises(LG.SCCNotConverged):
+        _scc_dict(spark, CHAIN_OF_SCCS, max_rounds=1)
+
+
+def test_scc_partitioning_invariance(spark):
+    edf = spark.createDataFrame(RINGS, "src string, dst string")
+    a = {
+        r["node"]: r["scc_id"]
+        for r in LG.strongly_connected_components(
+            edf.repartition(1)
+        ).collect()
+    }
+    b = {
+        r["node"]: r["scc_id"]
+        for r in LG.strongly_connected_components(
+            edf.repartition(5, "dst")
+        ).collect()
+    }
+    assert a == b
+
+
+def test_scc_finer_than_wcc(spark):
+    """Every SCC sits inside one weakly connected component, and the
+    bridged-rings graph has strictly more SCCs than WCCs."""
+    edf = spark.createDataFrame(RINGS, "src string, dst string")
+    scc = {
+        r["node"]: r["scc_id"]
+        for r in LG.strongly_connected_components(edf).collect()
+    }
+    wcc = {
+        r["node"]: r["component"]
+        for r in LG.connected_components(edf).collect()
+    }
+    # same scc => same wcc
+    for u in scc:
+        for v in scc:
+            if scc[u] == scc[v]:
+                assert wcc[u] == wcc[v]
+    assert len(set(scc.values())) > len(set(wcc.values()))
+
+
+# --- label propagation communities ----------------------------------------
+
+TWO_CLIQUES = [
+    ("a", "b"), ("b", "c"), ("a", "c"),
+    ("x", "y"), ("y", "z"), ("x", "z"),
+    ("c", "x"),  # weak bridge
+]
+
+
+def _lpa_dict(spark, edges, iterations=4):
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    out = LG.label_propagation(edf, iterations=iterations)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+@pytest.mark.parametrize("edges", [TRIANGLE, WEB, RINGS, TWO_CLIQUES])
+@pytest.mark.parametrize("iters", [1, 4])
+def test_lpa_matches_serial(spark, edges, iters):
+    assert _lpa_dict(spark, edges, iters) == LG.label_propagation_reference(
+        edges, iters
+    )
+
+
+def test_lpa_two_cliques_split(spark):
+    labels = _lpa_dict(spark, TWO_CLIQUES, iterations=4)
+    assert labels["a"] == labels["b"] == labels["c"]
+    assert labels["x"] == labels["y"] == labels["z"]
+    assert labels["a"] != labels["x"]
+
+
+def test_lpa_isolated_node_keeps_label(spark):
+    edges = [("a", "b"), ("c", "c")]  # c only self-loops -> isolated
+    labels = _lpa_dict(spark, edges)
+    assert labels["c"] == "c"
