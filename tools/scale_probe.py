@@ -749,9 +749,86 @@ def _probe_hits(spark, d):
     )
 
 
+def _synthetic_copy_graph(spark, d):
+    """The pagerank-arm synthetic crawl graph at probe scale: each copy
+    is a closed subgraph (modular targets computed within the copy,
+    re-shifted) — shared by the pagerank/hits/scc/lpa probes."""
+    docs = load_table(spark, d, "documents").select("doc_id")
+    base_n = docs.select(
+        F.countDistinct(F.col("doc_id") % SHIFT).alias("n")
+    ).collect()[0]["n"]
+    edges = (
+        docs.filter(F.col("doc_id") % SHIFT % 17 != 0)
+        .select(
+            "doc_id",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("_j"),
+        )
+        .select(
+            F.col("doc_id").alias("src"),
+            (
+                (F.col("doc_id") - F.col("doc_id") % SHIFT)
+                + F.expr(f"((doc_id % {SHIFT}) * 31 + _j * 17) % {base_n}")
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return docs, edges
+
+
+def _probe_scc(spark, d):
+    from basic_data_pipeline_spark.operators import linkgraph
+
+    # trim/coloring/backward round COUNTS are set by one copy's
+    # structure (copies are independent closed subgraphs), so the probe
+    # measures per-round work growing with the node/edge count — the
+    # design claim is linear walls, constant round count.
+    _docs, edges = _synthetic_copy_graph(spark, d)
+    return linkgraph.strongly_connected_components(edges)
+
+
+def _probe_lpa(spark, d):
+    from basic_data_pipeline_spark.operators import linkgraph
+
+    _docs, edges = _synthetic_copy_graph(spark, d)
+    return linkgraph.label_propagation(edges, iterations=4)
+
+
+def _probe_knlm(spark, d):
+    from basic_data_pipeline_spark.operators import ngramlm
+
+    # self-trained KN over the documents table: model tables are bigram
+    # TYPE-bounded, so unperturbed 16x (identical content) should grow
+    # only the scoring side; PERTURB=1 grows the type tables too (every
+    # token distinct per copy) — the honest-corpus case.
+    docs = load_table(spark, d, "documents").select("doc_id", "text")
+    return ngramlm.kneser_ney_lm_scores(docs)
+
+
+def _probe_unigram_train_encode(spark, d):
+    from basic_data_pipeline_spark.operators import unigram
+
+    # train is distinct-word-sized (constant at unperturbed 16x, the
+    # word_freqs trick; PERTURB=1 grows the word table ~copies-fold);
+    # encode is corpus-sized in both modes. The returned aggregate
+    # forces the whole encode.
+    docs = load_table(spark, d, "documents").select("doc_id", "text")
+    model = unigram.train_unigram(
+        docs, vocab_size=500, rounds=2, max_piece_len=4, seed_size=2000
+    )
+    return unigram.encode_unigram(docs, model, ids=True).agg(
+        F.sum("n_pieces").alias("total_pieces"),
+        F.count("*").alias("n_docs"),
+    )
+
+
 EXTRA_PROBES = {
     "op_pagerank": _probe_pagerank,
     "op_hits": _probe_hits,
+    "op_scc": _probe_scc,
+    "op_lpa": _probe_lpa,
+    "op_knlm": _probe_knlm,
+    "op_unigram_train_encode": _probe_unigram_train_encode,
     "op_audio_match": _probe_audio_match,
     "op_image_near_dup": _probe_image_near_dup,
     "op_gapfill_linear": _probe_gapfill,
