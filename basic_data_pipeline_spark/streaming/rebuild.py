@@ -86,6 +86,7 @@ __all__ = [
     "rebuild_audio_index",
     "rebuild_dedup_index",
     "rebuild_entity_index",
+    "rebuild_graph_index",
     "rebuild_image_index",
     "rebuild_retrieval_index",
     "rebuild_substring_index",
@@ -453,6 +454,72 @@ def rebuild_audio_index(
         sort_cols=["fhash"],
     )
     _refresh(spark, incremental_audio._table_name(index_path))
+    report["last_epoch"], report["stale_outputs_removed"] = _finish(
+        index_path, out_root, tag
+    )
+    return report
+
+
+def rebuild_graph_index(
+    spark: SparkSession,
+    index_path: str,
+    out_root: str | None = None,
+    tag: str = "stream",
+    cutoff=None,
+) -> dict:
+    """Recover the link-graph index from a mid-append crash: drop edge
+    rows whose src is above the completed-epoch watermark (the
+    monotone-src crawl convention), label and merge-log rows whose
+    ``_wm`` sits above it (base rows carry _wm NULL and are always
+    kept), swap, clear the marker. One watermark cuts all three
+    tables, so a crash at any point of the edges→labels→merges append
+    converges to the last completed epoch's exact index content.
+    Report as in rebuild_dedup_index."""
+    from basic_data_pipeline_spark.operators import (
+        incremental_linkgraph as ilg,
+    )
+
+    meta = ilg._meta_rw(index_path)
+    state = _read_ledger(index_path).get(
+        tag, {"last_epoch": -1, "intent": None}
+    )
+    cut = _resolve_cutoff(state, meta, cutoff)
+    report: dict = {"cutoff": cut, "tables": {}}
+    for name, bcol, keep in (
+        ("edges", "src", lambda df: F.col("src") <= F.lit(cut)),
+        (
+            "labels",
+            "node",
+            lambda df: F.col("_wm").isNull() | (F.col("_wm") <= F.lit(cut)),
+        ),
+    ):
+        report["tables"][name] = _rewrite_filtered(
+            spark,
+            os.path.join(index_path, name),
+            ilg._tname(index_path, name) + "_rb",
+            keep,
+            [bcol],
+            meta["n_buckets"],
+            sort_cols=[bcol],
+        )
+        _refresh(spark, ilg._tname(index_path, name))
+
+    mg_src = os.path.join(index_path, "merges")
+    _recover_swap(mg_src)
+    mg = spark.read.parquet(mg_src)
+    before = mg.count()
+    tmp = mg_src + ".rebuild"
+    shutil.rmtree(tmp, ignore_errors=True)
+    mg.filter(F.col("_wm") <= F.lit(cut)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(mg_src)
+    os.rename(tmp, mg_src)
+    spark.catalog.refreshByPath(mg_src)
+    report["tables"]["merges"] = {
+        "rows_before": before,
+        "rows_after": spark.read.parquet(mg_src).count(),
+    }
     report["last_epoch"], report["stale_outputs_removed"] = _finish(
         index_path, out_root, tag
     )
