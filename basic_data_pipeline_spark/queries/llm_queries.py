@@ -316,13 +316,13 @@ _HITS_CTES = ",\n    ".join(
 _PG_CTES = ",\n    ".join(
     [
         "pgn AS (SELECT count(*) AS n FROM documents)",
-        """pge AS (SELECT DISTINCT doc_id AS src,
+        """pge AS MATERIALIZED (SELECT DISTINCT doc_id AS src,
                (doc_id*31 + j*17) % (SELECT n FROM pgn) AS dst
         FROM documents, (VALUES (1), (2), (3)) AS jj(j)
         WHERE doc_id % 17 <> 0
           AND (doc_id*31 + j*17) % (SELECT n FROM pgn) <> doc_id)""",
         "pgdeg AS (SELECT src, count(*) AS deg FROM pge GROUP BY src)",
-        """pgnodes AS (SELECT d.doc_id AS node, COALESCE(g.deg, 0) AS deg
+        """pgnodes AS MATERIALIZED (SELECT d.doc_id AS node, COALESCE(g.deg, 0) AS deg
         FROM documents d LEFT JOIN pgdeg g ON d.doc_id = g.src)""",
         f"pgtp AS (SELECT (15 * ({_PG_SCALE} // (SELECT n FROM pgn)))"
         " // 100 AS tp)",
@@ -345,10 +345,10 @@ _SCC_CTES = """sccreach AS (
       SELECT src, dst FROM pge
       UNION
       SELECT r.src, e.dst FROM sccreach r JOIN pge e ON r.dst = e.src),
-    sccn AS (SELECT DISTINCT node FROM
+    sccn AS MATERIALIZED (SELECT DISTINCT node FROM
                (SELECT src AS node FROM pge
                 UNION ALL SELECT dst FROM pge) tt),
-    sccp AS (SELECT a.src AS u, a.dst AS v
+    sccp AS MATERIALIZED (SELECT a.src AS u, a.dst AS v
              FROM sccreach a JOIN sccreach b
                ON a.src = b.dst AND a.dst = b.src),
     sccl AS (SELECT n.node,
@@ -378,12 +378,35 @@ def _lpa_iter_cte(k: int) -> str:
 
 _LPA_CTES = ",\n    ".join(
     [
-        "lpau AS (SELECT src AS s, dst AS d FROM pge WHERE src <> dst "
+        "lpau AS MATERIALIZED (SELECT src AS s, dst AS d FROM pge WHERE src <> dst "
         "UNION ALL SELECT dst, src FROM pge WHERE src <> dst)",
         "lpa0 AS (SELECT node, node AS label FROM sccn)",
     ]
     + [_lpa_iter_cte(k) for k in range(1, _LPA_ITERS + 1)]
 )
+
+# tri arm (r8 cont., operators/linkgraph.py): per-node triangle counts
+# of the synthetic graph, degree orientation replayed verbatim (integer
+# counts, hash-exact) — the link-farm / clustering-coefficient signal.
+_TRI_CTES = """triu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+                    greatest(src, dst) AS b FROM pge WHERE src <> dst),
+    trisym AS MATERIALIZED (SELECT a, b FROM triu UNION ALL SELECT b, a FROM triu),
+    trideg AS MATERIALIZED (SELECT a AS node, count(*) AS deg FROM trisym GROUP BY a),
+    trior AS MATERIALIZED (SELECT s.a AS u, s.b AS v FROM trisym s
+              JOIN trideg x ON s.a = x.node
+              JOIN trideg y ON s.b = y.node
+              WHERE x.deg < y.deg OR (x.deg = y.deg AND s.a < s.b)),
+    triw AS (SELECT w1.u AS x, w1.v AS y, w2.v AS z
+             FROM trior w1 JOIN trior w2 ON w1.v = w2.u),
+    trit AS (SELECT x, y, z FROM triw WHERE EXISTS
+               (SELECT 1 FROM trior o
+                WHERE o.u = triw.x AND o.v = triw.z)),
+    trin AS (SELECT node, count(*) AS tri FROM
+               (SELECT x AS node FROM trit
+                UNION ALL SELECT y FROM trit
+                UNION ALL SELECT z FROM trit) tt GROUP BY node),
+    tril AS MATERIALIZED (SELECT d.node, COALESCE(t.tri, 0) AS tri
+             FROM trideg d LEFT JOIN trin t ON d.node = t.node)"""
 
 # knlm arm (r8 cont., operators/ngramlm.py): interpolated Kneser-Ney
 # bigram LM trained on the doc_id % 3 <> 2 subset, scored over ALL
@@ -391,10 +414,10 @@ _LPA_CTES = ",\n    ".join(
 # 1/(V+1) backstop (n2 counts them, pinning the OOV path). Per-bigram
 # log2 P is rounded at 6 places and summed as DECIMAL(38,6) (the
 # dsir/lr exact-accumulation convention), so d1 hash-matches exactly.
-_KN_CTES = """knb AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+_KN_CTES = """knb AS MATERIALIZED (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
            FROM rtoks, UNNEST(range(0, len(w) - 1)) AS t(i)
            WHERE len(w) >= 2),
-    knc12 AS (SELECT w1, w2, count(*) AS c12 FROM knb
+    knc12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM knb
               WHERE doc_id % 3 <> 2 GROUP BY w1, w2),
     knctx AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f
               FROM knc12 GROUP BY w1),
@@ -435,7 +458,7 @@ _KN_CTES = """knb AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
                AS cjk,
              length(text) AS n
       FROM documents),
-    rtoks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+    rtoks AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
               FROM documents),
     g2 AS (SELECT doc_id, array_to_string(w[i+1:i+2], ' ') AS g
            FROM rtoks, UNNEST(range(0, len(w) - 1)) AS t(i)
@@ -468,7 +491,7 @@ _KN_CTES = """knb AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
             UNION ALL
             SELECT doc_id, array_to_string(w[i+1:i+2], ' ') AS g
             FROM rtoks, UNNEST(range(0, greatest(len(w) - 2, 0) + 1)) AS t(i)),
-    dcnt AS (SELECT doc_id,
+    dcnt AS MATERIALIZED (SELECT doc_id,
                     ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b,
                     count(*) AS c
              FROM dgr GROUP BY 1, 2),
@@ -575,6 +598,7 @@ _KN_CTES = """knb AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
              FROM dw k JOIN documents dd ON k.doc_id = dd.doc_id),
     {_KN_CTES},
     {_SCC_CTES},
+    {_TRI_CTES},
     {_LPA_CTES}
     SELECT 'lang' AS grp, lang AS k1,
            CASE WHEN cjk * 3 >= n THEN 'zh'
@@ -686,6 +710,11 @@ _KN_CTES = """knb AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
            1, CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM documents
+    UNION ALL
+    SELECT 'tri', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(tri AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM tril
     UNION ALL
     SELECT 'scc', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(scc_id AS BIGINT), CAST(NULL AS BIGINT),
@@ -1129,6 +1158,18 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_d.alias("d1"),
         null_d.alias("d2"),
     )
+    # tri branch (r8 cont.): per-node triangle counts via the degree
+    # orientation — the oracle replays the identical orientation.
+    tri = linkgraph.triangle_counts(pg_edges)
+    trib = tri.select(
+        F.lit("tri").alias("grp"),
+        F.col("node").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("triangles").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        null_d.alias("d1"),
+        null_d.alias("d2"),
+    )
     # scc branch (r8 cont.): the REAL distributed FW-BW decomposition
     # over the same synthetic graph; the oracle cross-checks it with an
     # independent transitive-closure formulation (see _SCC_CTES).
@@ -1190,6 +1231,7 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(urlb)
         .unionByName(pgb)
         .unionByName(hitsb)
+        .unionByName(trib)
         .unionByName(sccb)
         .unionByName(lpab)
         .unionByName(knlm)

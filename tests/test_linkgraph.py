@@ -480,3 +480,47 @@ def test_lpa_isolated_node_keeps_label(spark):
     edges = [("a", "b"), ("c", "c")]  # c only self-loops -> isolated
     labels = _lpa_dict(spark, edges)
     assert labels["c"] == "c"
+
+
+# --- triangle counting ------------------------------------------------------
+
+def _tri_dict(spark, edges):
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r["node"]: r["triangles"]
+        for r in LG.triangle_counts(edf).collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        TRIANGLE,
+        WEB,
+        RINGS,
+        TWO_CLIQUES,
+        [("a", "b"), ("b", "a"), ("a", "b")],  # multi/reciprocal, no tri
+        [("x", "x")],                           # self-loop only
+        # K4: every node in 3 triangles
+        [("a", "b"), ("a", "c"), ("a", "d"),
+         ("b", "c"), ("b", "d"), ("c", "d")],
+    ],
+)
+def test_triangles_match_reference(spark, edges):
+    want = LG.triangle_counts_reference(edges)
+    assert _tri_dict(spark, edges) == want
+
+
+def test_triangles_partitioning_invariance(spark):
+    edf = spark.createDataFrame(TWO_CLIQUES, "src string, dst string")
+    a = {r["node"]: r["triangles"]
+         for r in LG.triangle_counts(edf.repartition(1)).collect()}
+    b = {r["node"]: r["triangles"]
+         for r in LG.triangle_counts(edf.repartition(5, "src")).collect()}
+    assert a == b
+
+
+def test_triangles_direction_and_multiplicity_invariant(spark):
+    fwd = [("a", "b"), ("b", "c"), ("c", "a")]
+    rev = [("b", "a"), ("c", "b"), ("a", "c"), ("a", "c")]
+    assert _tri_dict(spark, fwd) == _tri_dict(spark, rev)
