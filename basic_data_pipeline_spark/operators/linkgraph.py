@@ -1028,3 +1028,129 @@ def triangle_counts_reference(edges: list[tuple]) -> dict:
                     out[b] += 1
                     out[c] += 1
     return out
+
+
+class CorenessNotConverged(RuntimeError):
+    """coreness() ran out of rounds before the h-index iteration
+    reached its fixpoint. Raise, never return a partial labeling."""
+
+
+def coreness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int | None = None,
+    max_iters: int = 60,
+) -> DataFrame:
+    """(node, core) — k-core numbers of the UNDIRECTED simple graph
+    (direction/multiplicity/self-loops dropped): the largest k such
+    that the node survives in the subgraph where everyone keeps ≥ k
+    neighbors. The standard density signal next to triangle_counts
+    (spam farms and boilerplate link blocks sit in high cores; honest
+    long-tail pages in low ones).
+
+    Algorithm: the h-index iteration (Lü et al. 2016): start at
+    c₀(v) = deg(v); each round every node takes the H-INDEX of its
+    neighbors' current values (the largest h with ≥ h neighbors at
+    ≥ h). The sequence is monotone non-increasing and its fixpoint is
+    exactly the coreness — which makes it the distributed formulation
+    of choice: peeling (the serial algorithm, the tests' independent
+    reference) is inherently sequential, while a round here is ONE
+    join of node-sized values against the cached symmetric edge list
+    plus one per-node window (rank the neighbor values, take
+    max(min(rank, value))), all integers.
+
+    ``iterations=None`` (default) runs to the fixpoint with a
+    convergence check per round (bounded driver actions, raises
+    CorenessNotConverged past ``max_iters`` — never a partial answer).
+    An explicit ``iterations=k`` replays exactly k rounds with no
+    check — the oracle-replay mode (extra rounds past the fixpoint are
+    no-ops, so a replay with k ≥ convergence matches bit-for-bit;
+    text_lang_token[core]).
+
+    Scale shape: the symmetrized edge set is repartitioned by the
+    neighbor key and persisted once (the label_propagation layout);
+    per-round shuffles move node-sized value frames; values end each
+    round in a tracked_local_checkpoint (flat plans, 1× storage).
+    """
+    from pyspark.sql import Window
+
+    e0 = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).where(F.col("_s") != F.col("_d"))
+    und = (
+        e0.select(F.col("_s").alias("a"), F.col("_d").alias("b"))
+        .union(e0.select(F.col("_d").alias("a"), F.col("_s").alias("b")))
+        .distinct()
+    )
+    und = und.repartition("a").persist(StorageLevel.MEMORY_AND_DISK)
+    vals = tracked_local_checkpoint(
+        und.groupBy(F.col("a").alias("node")).agg(
+            F.count("*").alias("core")
+        )
+    )
+    w = Window.partitionBy("node").orderBy(F.col("_nv").desc())
+
+    def _round(cur: DataFrame) -> DataFrame:
+        neigh = und.join(
+            cur.withColumnRenamed("node", "a").withColumnRenamed(
+                "core", "_nv"
+            ),
+            "a",
+        ).select(F.col("b").alias("node"), "_nv")
+        return (
+            neigh.withColumn("_rn", F.row_number().over(w))
+            .groupBy("node")
+            .agg(
+                F.max(F.least(F.col("_rn"), F.col("_nv"))).alias("core")
+            )
+        )
+
+    if iterations is not None:
+        for _ in range(iterations):
+            nxt = tracked_local_checkpoint(_round(vals))
+            free_local_checkpoint(vals)
+            vals = nxt
+        und.unpersist()
+        return vals
+    for _ in range(max_iters):
+        nxt = tracked_local_checkpoint(_round(vals))
+        changed = (
+            nxt.withColumnRenamed("core", "_new")
+            .join(vals, "node")
+            .where(F.col("_new") != F.col("core"))
+            .isEmpty()
+        )
+        free_local_checkpoint(vals)
+        vals = nxt
+        if changed:
+            und.unpersist()
+            return vals
+    raise CorenessNotConverged(
+        f"h-index iteration did not settle in {max_iters} rounds"
+    )
+
+
+def coreness_reference(edges: list[tuple]) -> dict:
+    """Serial peeling oracle for tests — the INDEPENDENT textbook
+    algorithm (repeatedly delete the min-degree node; its coreness is
+    the running max of the degrees at deletion time)."""
+    neigh: dict = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        neigh.setdefault(s, set()).add(d)
+        neigh.setdefault(d, set()).add(s)
+    deg = {v: len(ns) for v, ns in neigh.items()}
+    out: dict = {}
+    k = 0
+    live = set(neigh)
+    while live:
+        v = min(live, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        out[v] = k
+        live.discard(v)
+        for u in neigh[v]:
+            if u in live:
+                deg[u] -= 1
+    return out

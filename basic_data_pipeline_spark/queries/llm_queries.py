@@ -408,6 +408,33 @@ _TRI_CTES = """triu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
     tril AS MATERIALIZED (SELECT d.node, COALESCE(t.tri, 0) AS tri
              FROM trideg d LEFT JOIN trin t ON d.node = t.node)"""
 
+# core arm (r8 cont., operators/linkgraph.py): k-core numbers via the
+# h-index iteration, _CORE_ITERS fixed rounds replayed CTE-by-CTE (the
+# replay contract: rounds past the fixpoint are no-ops, so both engines
+# match bit-for-bit whether or not 8 rounds suffice to converge; true
+# coreness == serial peeling is pinned in tests/test_linkgraph.py).
+_CORE_ITERS = 8
+
+
+def _core_iter_cte(k: int) -> str:
+    return (
+        f"cor{k} AS (SELECT node, max(least(rn, nv)) AS core FROM ("
+        f"SELECT u.b AS node, c.core AS nv, "
+        f"row_number() OVER (PARTITION BY u.b ORDER BY c.core DESC) AS rn "
+        f"FROM coru u JOIN cor{k - 1} c ON u.a = c.node) t GROUP BY node)"
+    )
+
+
+_CORE_CTES = ",\n    ".join(
+    [
+        "coru AS MATERIALIZED (SELECT DISTINCT a, b FROM ("
+        "SELECT src AS a, dst AS b FROM pge WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM pge WHERE src <> dst) tt)",
+        "cor0 AS (SELECT a AS node, count(*) AS core FROM coru GROUP BY a)",
+    ]
+    + [_core_iter_cte(k) for k in range(1, _CORE_ITERS + 1)]
+)
+
 # knlm arm (r8 cont., operators/ngramlm.py): interpolated Kneser-Ney
 # bigram LM trained on the doc_id % 3 <> 2 subset, scored over ALL
 # documents — bigrams with unseen context/continuation exercise the
@@ -599,6 +626,7 @@ _KN_CTES = """knb AS MATERIALIZED (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
     {_KN_CTES},
     {_SCC_CTES},
     {_TRI_CTES},
+    {_CORE_CTES},
     {_LPA_CTES}
     SELECT 'lang' AS grp, lang AS k1,
            CASE WHEN cjk * 3 >= n THEN 'zh'
@@ -710,6 +738,11 @@ _KN_CTES = """knb AS MATERIALIZED (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
            1, CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM documents
+    UNION ALL
+    SELECT 'core', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(core AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM cor{_CORE_ITERS}
     UNION ALL
     SELECT 'tri', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(tri AS BIGINT), CAST(NULL AS BIGINT),
@@ -1158,6 +1191,18 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_d.alias("d1"),
         null_d.alias("d2"),
     )
+    # core branch (r8 cont.): k-core numbers, 8 fixed h-index rounds
+    # (the replay contract — see _CORE_CTES).
+    core = linkgraph.coreness(pg_edges, iterations=_CORE_ITERS)
+    coreb = core.select(
+        F.lit("core").alias("grp"),
+        F.col("node").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("core").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        null_d.alias("d1"),
+        null_d.alias("d2"),
+    )
     # tri branch (r8 cont.): per-node triangle counts via the degree
     # orientation — the oracle replays the identical orientation.
     tri = linkgraph.triangle_counts(pg_edges)
@@ -1231,6 +1276,7 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(urlb)
         .unionByName(pgb)
         .unionByName(hitsb)
+        .unionByName(coreb)
         .unionByName(trib)
         .unionByName(sccb)
         .unionByName(lpab)

@@ -105,7 +105,14 @@ _LOADED = False
 #   dedup_exact_fp        (raw/fingerprint + line_* r6 + substr_* r7)
 #   text_lang_token       (lang/token + psi r6 + lr r7 + dom*/dsir/
 #                          blockphrase r8 + c4line/gopher/pplbucket/
-#                          url r8-close + pagerank/hits r8-close)
+#                          url r8-close + pagerank/hits r8-close +
+#                          knlm/scc/lpa/tri/core r8 cont. — NOTE: its
+#                          oracle is now WITH RECURSIVE, under which
+#                          DuckDB treats any top-level-set-op CTE as
+#                          recursive (plain UNION stops deduplicating:
+#                          wrap as DISTINCT over UNION ALL) and
+#                          re-inlines plain CTEs per reference (mark
+#                          multiply-referenced ones AS MATERIALIZED))
 #   dedup_jaccard_truth   (pair/survivor + split r8 + winnow/hamband/
 #                          hamming r8-close — the oracle side may even
 #                          use WITH RECURSIVE, see the

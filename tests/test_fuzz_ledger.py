@@ -367,3 +367,67 @@ def test_fuzz_retrieval_stream_crash_recovery(spark, picks, cuts, crash):
     }
     assert got == want
     _cleanup([os.path.dirname(i1), os.path.dirname(i2)])
+
+
+# --- link graph ------------------------------------------------------------
+
+# dst pool mixes base nodes (component merges), fresh never-seen nodes,
+# and "forward" references to pages not yet crawled — every structural
+# case the incremental WCC maintenance handles
+_GRAPH_DSTS = [0, 1, 4, 777, 888, 150, 151]
+_GRAPH_BASE = [(0, 1), (1, 2), (3, 4)]
+
+
+@given(
+    picks=st.lists(
+        st.integers(min_value=0, max_value=len(_GRAPH_DSTS) - 1),
+        min_size=4, max_size=8,
+    ),
+    cuts=_splits(4),
+    crash=_CRASH,
+)
+@settings(**_SET)
+def test_fuzz_graph_stream_crash_recovery(spark, picks, cuts, crash):
+    """Beyond never-silent-divergence of the per-epoch resolved
+    outputs, the recovered index's component view must equal the batch
+    connected_components over base + every streamed edge — a crash that
+    survived into the labels table or merge log would mislabel every
+    future lookup in the affected components."""
+    from basic_data_pipeline_spark.operators import (
+        incremental_linkgraph as G,
+        linkgraph as LG,
+    )
+    from basic_data_pipeline_spark.streaming import graph_stream
+
+    cuts = [c for c in cuts if c < len(picks)]
+    # srcs monotone across the sequence (the crawl convention the
+    # rebuild watermark cut relies on)
+    rows = [(100 + i, _GRAPH_DSTS[p]) for i, p in enumerate(picks)]
+    batches = _batchify(
+        rows, cuts,
+        lambda rs: spark.createDataFrame(rs, "src long, dst long"),
+    )
+    base = spark.createDataFrame(_GRAPH_BASE, "src long, dst long")
+    gen = _drive(
+        spark, batches,
+        graph_stream.make_graph_batch_fn,
+        lambda idx: G.build_graph_index(spark, base, idx),
+        rebuild.rebuild_graph_index,
+        crash,
+    )
+    (crashed_rows, i1), (clean_rows, i2) = gen
+    assert crashed_rows == clean_rows
+    got = {
+        (r["node"], r["component"])
+        for r in G.components(spark, i1).collect()
+    }
+    want = {
+        (r["node"], r["component"])
+        for r in LG.connected_components(
+            spark.createDataFrame(
+                _GRAPH_BASE + rows, "src long, dst long"
+            )
+        ).collect()
+    }
+    assert got == want
+    _cleanup([os.path.dirname(i1), os.path.dirname(i2)])

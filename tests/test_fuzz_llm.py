@@ -388,3 +388,95 @@ def test_fuzz_hits_matches_serial(spark, edges, extra_nodes, iters):
         for r in LG.hits(edf, nodes=ndf, iterations=iters).collect()
     }
     assert got == LG.hits_reference(edges, node_list, iterations=iters)
+
+
+# --- graph analytics: scc / lpa / triangles / coreness ---------------------
+
+
+@settings(**_SET)
+@given(edges=_pg_edges)
+def test_fuzz_scc_matches_tarjan(spark, edges):
+    """Distributed FW-BW SCC == iterative Tarjan on random multigraphs
+    (self-loops, parallel edges, chains of tiny SCCs)."""
+    from basic_data_pipeline_spark.operators import linkgraph as LG
+
+    if not edges:
+        return
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["scc_id"]
+        for r in LG.strongly_connected_components(edf).collect()
+    }
+    assert got == LG.scc_reference(edges)
+
+
+@settings(**_SET)
+@given(edges=_pg_edges, iters=st.integers(1, 3))
+def test_fuzz_lpa_matches_serial(spark, edges, iters):
+    from basic_data_pipeline_spark.operators import linkgraph as LG
+
+    if not edges:
+        return
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["label"]
+        for r in LG.label_propagation(edf, iterations=iters).collect()
+    }
+    assert got == LG.label_propagation_reference(edges, iters)
+
+
+@settings(**_SET)
+@given(edges=_pg_edges)
+def test_fuzz_triangles_and_coreness_match_serial(spark, edges):
+    """Degree-oriented triangle counts == brute force AND converged
+    h-index coreness == serial peeling, on the same random graphs (the
+    two density signals share the symmetrized-simple-graph semantics)."""
+    from basic_data_pipeline_spark.operators import linkgraph as LG
+
+    if not edges:
+        return
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    tri = {
+        r["node"]: r["triangles"]
+        for r in LG.triangle_counts(edf).collect()
+    }
+    assert tri == LG.triangle_counts_reference(edges)
+    core = {r["node"]: r["core"] for r in LG.coreness(edf).collect()}
+    assert core == LG.coreness_reference(edges)
+
+
+# --- Kneser-Ney LM ----------------------------------------------------------
+
+_kn_word = st.integers(0, 5).map(lambda i: f"w{i}")
+_kn_docs = st.lists(
+    st.lists(_kn_word, min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(**_SET)
+@given(texts=_kn_docs, split=st.integers(2, 4))
+def test_fuzz_knlm_matches_serial(spark, texts, split):
+    """Distributed interpolated-KN scoring == the serial reference
+    term-for-term (exact DECIMAL sums) on random corpora with a random
+    train/score split — OOV backstop included when the split hides
+    vocabulary."""
+    from tests.test_ngramlm import kn_reference
+    from basic_data_pipeline_spark.operators import ngramlm
+
+    corpus = dict(enumerate(texts))
+    train = {i: t for i, t in corpus.items() if i % split != 0}
+    if not train:
+        return
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    tdf = spark.createDataFrame(
+        list(train.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_backstop"], r["sum_lp"])
+        for r in ngramlm.kneser_ney_lm_scores(docs, train=tdf).collect()
+    }
+    assert got == kn_reference(corpus, train)

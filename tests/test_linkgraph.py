@@ -524,3 +524,45 @@ def test_triangles_direction_and_multiplicity_invariant(spark):
     fwd = [("a", "b"), ("b", "c"), ("c", "a")]
     rev = [("b", "a"), ("c", "b"), ("a", "c"), ("a", "c")]
     assert _tri_dict(spark, fwd) == _tri_dict(spark, rev)
+
+
+# --- coreness ---------------------------------------------------------------
+
+K4_TAIL = [("a", "b"), ("a", "c"), ("a", "d"),
+           ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+
+
+def _core_dict(spark, edges, **kw):
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    return {r["node"]: r["core"] for r in LG.coreness(edf, **kw).collect()}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [TRIANGLE, WEB, RINGS, TWO_CLIQUES, K4_TAIL,
+     [("a", "b"), ("b", "c")],     # path: all core 1
+     [("x", "x")]],                # self-loop only: no undirected edges
+)
+def test_coreness_matches_peeling(spark, edges):
+    assert _core_dict(spark, edges) == LG.coreness_reference(edges)
+
+
+def test_coreness_fixed_rounds_replay_matches_converged(spark):
+    """Extra rounds past the fixpoint are no-ops — the oracle-replay
+    contract."""
+    conv = _core_dict(spark, K4_TAIL)
+    assert _core_dict(spark, K4_TAIL, iterations=12) == conv
+
+
+def test_coreness_round_budget_raises(spark):
+    with pytest.raises(LG.CorenessNotConverged):
+        _core_dict(spark, K4_TAIL, max_iters=1)
+
+
+def test_coreness_partitioning_invariance(spark):
+    edf = spark.createDataFrame(K4_TAIL, "src string, dst string")
+    a = {r["node"]: r["core"]
+         for r in LG.coreness(edf.repartition(1)).collect()}
+    b = {r["node"]: r["core"]
+         for r in LG.coreness(edf.repartition(5, "dst")).collect()}
+    assert a == b

@@ -794,6 +794,24 @@ def _probe_lpa(spark, d):
     return linkgraph.label_propagation(edges, iterations=4)
 
 
+def _probe_triangles(spark, d):
+    from basic_data_pipeline_spark.operators import linkgraph
+
+    # the degree orientation's O(sqrt m) wedge bound is the claim under
+    # test: the wedge join must grow with edges, not with degree^2
+    _docs, edges = _synthetic_copy_graph(spark, d)
+    return linkgraph.triangle_counts(edges)
+
+
+def _probe_coreness(spark, d):
+    from basic_data_pipeline_spark.operators import linkgraph
+
+    # fixed-round replay mode (8): measures the per-round join+window
+    # geometry without convergence-dependent round counts
+    _docs, edges = _synthetic_copy_graph(spark, d)
+    return linkgraph.coreness(edges, iterations=8)
+
+
 def _probe_knlm(spark, d):
     from basic_data_pipeline_spark.operators import ngramlm
 
@@ -827,6 +845,8 @@ EXTRA_PROBES = {
     "op_hits": _probe_hits,
     "op_scc": _probe_scc,
     "op_lpa": _probe_lpa,
+    "op_triangles": _probe_triangles,
+    "op_coreness": _probe_coreness,
     "op_knlm": _probe_knlm,
     "op_unigram_train_encode": _probe_unigram_train_encode,
     "op_audio_match": _probe_audio_match,
