@@ -739,6 +739,27 @@ _KN_CTES = """knb AS MATERIALIZED (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM documents
     UNION ALL
+    -- links arm: EXPECTED crawl edges from the construction rules (the
+    -- url-arm pattern): relative hrefs resolve to scheme+host+/p/N,
+    -- the ../ traversal lands on /q/N, &amp; decodes, mailto: dropped
+    SELECT 'links',
+           'https://site' || (doc_id % 7) || '.example.com/d/'
+             || CAST(doc_id AS VARCHAR),
+           'https://site' || (doc_id % 7) || '.example.com/p/'
+             || ((doc_id * 7 + j) % 100) || '|anchor & ' || j,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM documents, UNNEST(range(1, (doc_id % 3) + 2)) AS t(j)
+    UNION ALL
+    SELECT 'links',
+           'https://site' || (doc_id % 7) || '.example.com/d/'
+             || CAST(doc_id AS VARCHAR),
+           'https://site' || (doc_id % 7) || '.example.com/q/'
+             || (doc_id % 5) || '|up',
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM documents
+    UNION ALL
     SELECT 'core', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(core AS BIGINT), CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
@@ -1133,13 +1154,62 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_d.alias("d1"),
         null_d.alias("d2"),
     )
+    # links branch (r8 cont., operators/linkgraph.py extract_links):
+    # the REAL crawl-edge path — synthetic HTML both engines' rules
+    # agree on is pushed through the Arrow mapInPandas stdlib parser +
+    # urljoin resolution; the oracle emits the EXPECTED (src, dst,
+    # anchor) rows from the construction arithmetic (the url-arm
+    # cross-check pattern): doc_id%3+1 relative links (/p/N resolved
+    # against the page URL), one ../ traversal link, one mailto: the
+    # parser must DROP. Entity decoding (&amp;) is pinned via the
+    # anchor text.
+    from basic_data_pipeline_spark.operators import linkgraph
+
+    page_url = F.concat(
+        F.lit("https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    rel = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(1), (F.col("doc_id") % 3).cast("int") + 1),
+            lambda j: F.concat(
+                F.lit('<a href="/p/'),
+                ((F.col("doc_id") * 7 + j) % 100).cast("string"),
+                F.lit('">anchor &amp; '),
+                j.cast("string"),
+                F.lit("</a>"),
+            ),
+        ),
+    )
+    html = F.concat(
+        F.lit("<html><body>"),
+        rel,
+        F.lit('<a href="../q/'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('">up</a><a href="mailto:x@y.z">mail</a>'),
+        F.lit("</body></html>"),
+    )
+    pages_syn = d.select(
+        page_url.alias("target_uri"), html.alias("body")
+    )
+    linksb = linkgraph.extract_links(pages_syn).select(
+        F.lit("links").alias("grp"),
+        F.col("src").alias("k1"),
+        F.concat_ws("|", F.col("dst"), F.col("anchor")).alias("k2"),
+        F.lit(None).cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        null_d.alias("d1"),
+        null_d.alias("d2"),
+    )
     # pagerank branch (r8-close, operators/linkgraph.py): the module's
     # REAL iterative pagerank — cached src-partitioned edges, per-round
     # checkpointed node-sized ranks, in-plan dangling broadcast — driven
     # over the synthetic doc_id crawl graph described at _PG_CTES; the
     # oracle replays the identical integer recurrence as chained CTEs,
     # so every rank and out-degree hash-matches with NO rounding.
-    from basic_data_pipeline_spark.operators import linkgraph
 
     pg_cnt = d.agg(F.count("*").alias("_n"))
     pg_edges = (
@@ -1274,6 +1344,7 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(gopher)
         .unionByName(pplbucket)
         .unionByName(urlb)
+        .unionByName(linksb)
         .unionByName(pgb)
         .unionByName(hitsb)
         .unionByName(coreb)
