@@ -215,7 +215,8 @@ def add_edges(
     )
     if wm is None:
         wm = fresh.agg(F.max("src")).first()[0]
-        if wm is None:  # empty batch
+        if wm is None:  # empty batch — free the checkpoint just taken
+            free_local_checkpoint(fresh)
             return spark.createDataFrame(
                 [], idx_l.select("node", "label").schema
             ).withColumnRenamed("label", "component")

@@ -640,10 +640,28 @@ def strongly_connected_components(
         .union(e0.select(F.col("_d").alias("node")))
         .distinct()
     )
-    active = tracked_local_checkpoint(nodes)
+    # Checkpoint hygiene on EVERY exit path (incl. SCCNotConverged and
+    # the edgeless early return): every tracked checkpoint goes through
+    # _ckpt into `held`; the final `out` checkpoint is taken OUTSIDE
+    # held, so the finally block can blanket-free whatever is still
+    # live and unpersist both edge layouts without touching the result.
+    held: list[DataFrame] = []
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        c = tracked_local_checkpoint(df)
+        held.append(c)
+        return c
+
+    def _free(df: DataFrame) -> None:
+        free_local_checkpoint(df)
+        try:
+            held.remove(df)
+        except ValueError:
+            pass
+
+    active = _ckpt(nodes)
     ae_s, ae_d = e_src, e_dst
     done: list[DataFrame] = []
-    spent: list[DataFrame] = []  # checkpoints the result still reads
 
     def _restrict(live: DataFrame):
         """Live-subgraph edge views, keeping each base layout."""
@@ -659,113 +677,111 @@ def strongly_connected_components(
         )
         return es, ed
 
-    for _round in range(max_rounds):
-        if active.isEmpty():
-            break
-        # -- 1. trim to fixpoint ---------------------------------------
-        while True:
-            has_out = ae_s.select(F.col("_s").alias("node")).distinct()
-            has_in = ae_d.select(F.col("_d").alias("node")).distinct()
-            both = has_out.join(has_in, "node", "left_semi")
-            trivial = active.join(both, "node", "left_anti")
-            trivial = tracked_local_checkpoint(trivial)
-            if trivial.isEmpty():
-                free_local_checkpoint(trivial)
+    try:
+        for _round in range(max_rounds):
+            if active.isEmpty():
                 break
+            # -- 1. trim to fixpoint -----------------------------------
+            while True:
+                has_out = ae_s.select(F.col("_s").alias("node")).distinct()
+                has_in = ae_d.select(F.col("_d").alias("node")).distinct()
+                both = has_out.join(has_in, "node", "left_semi")
+                trivial = _ckpt(active.join(both, "node", "left_anti"))
+                if trivial.isEmpty():
+                    _free(trivial)
+                    break
+                done.append(
+                    trivial.select("node", F.col("node").alias("scc_id"))
+                )
+                nxt = _ckpt(active.join(trivial, "node", "left_anti"))
+                _free(active)
+                active = nxt
+                ae_s, ae_d = _restrict(active)
+            if active.isEmpty():
+                break
+            # -- 2. forward min-color fixpoint -------------------------
+            color = _ckpt(
+                active.select("node", F.col("node").alias("color"))
+            )
+            for _it in range(max_prop_iters):
+                incoming = (
+                    ae_s.join(color, ae_s._s == color.node)
+                    .groupBy(F.col("_d").alias("node"))
+                    .agg(F.min("color").alias("_in_min"))
+                )
+                nxt = _ckpt(
+                    color.join(incoming, "node", "left").select(
+                        "node",
+                        F.least(
+                            F.col("color"),
+                            F.coalesce("_in_min", F.col("color")),
+                        ).alias("color"),
+                    )
+                )
+                changed = (
+                    nxt.alias("n")
+                    .join(color.alias("o"), "node")
+                    .where(F.col("n.color") != F.col("o.color"))
+                    .isEmpty()
+                )
+                _free(color)
+                color = nxt
+                if changed:
+                    break
+            else:
+                raise SCCNotConverged(
+                    f"forward coloring did not settle in "
+                    f"{max_prop_iters} iters"
+                )
+            # -- 3. backward sweep within color ------------------------
+            mark = _ckpt(color.where(F.col("color") == F.col("node")))
+            while True:
+                reached = (
+                    ae_d.join(mark, ae_d._d == mark.node)
+                    .select(F.col("_s").alias("node"), "color")
+                    .distinct()
+                )
+                grew = (
+                    reached.withColumnRenamed("color", "_c")
+                    .join(color, "node")
+                    .where(F.col("_c") == F.col("color"))
+                    .select("node", "color")
+                    .join(mark, "node", "left_anti")
+                )
+                grew = _ckpt(grew)
+                if grew.isEmpty():
+                    _free(grew)
+                    break
+                nxt = _ckpt(mark.union(grew))
+                _free(mark)
+                _free(grew)
+                mark = nxt
             done.append(
-                trivial.select("node", F.col("node").alias("scc_id"))
+                mark.select("node", F.col("color").alias("scc_id"))
             )
-            spent.append(trivial)
-            nxt = tracked_local_checkpoint(
-                active.join(trivial, "node", "left_anti")
+            nxt = _ckpt(
+                active.join(mark.select("node"), "node", "left_anti")
             )
-            free_local_checkpoint(active)
+            _free(active)
+            _free(color)
             active = nxt
             ae_s, ae_d = _restrict(active)
-        if active.isEmpty():
-            break
-        # -- 2. forward min-color fixpoint -----------------------------
-        color = tracked_local_checkpoint(
-            active.select("node", F.col("node").alias("color"))
-        )
-        for _it in range(max_prop_iters):
-            incoming = (
-                ae_s.join(color, ae_s._s == color.node)
-                .groupBy(F.col("_d").alias("node"))
-                .agg(F.min("color").alias("_in_min"))
-            )
-            nxt = tracked_local_checkpoint(
-                color.join(incoming, "node", "left").select(
-                    "node",
-                    F.least(
-                        F.col("color"), F.coalesce("_in_min", F.col("color"))
-                    ).alias("color"),
-                )
-            )
-            changed = (
-                nxt.alias("n")
-                .join(color.alias("o"), "node")
-                .where(F.col("n.color") != F.col("o.color"))
-                .isEmpty()
-            )
-            free_local_checkpoint(color)
-            color = nxt
-            if changed:
-                break
-        else:
+        if not active.isEmpty():
             raise SCCNotConverged(
-                f"forward coloring did not settle in {max_prop_iters} iters"
+                f"condensation deeper than max_rounds={max_rounds}"
             )
-        # -- 3. backward sweep within color ----------------------------
-        mark = tracked_local_checkpoint(
-            color.where(F.col("color") == F.col("node"))
-        )
-        while True:
-            reached = (
-                ae_d.join(mark, ae_d._d == mark.node)
-                .select(F.col("_s").alias("node"), "color")
-                .distinct()
-            )
-            grew = (
-                reached.withColumnRenamed("color", "_c")
-                .join(color, "node")
-                .where(F.col("_c") == F.col("color"))
-                .select("node", "color")
-                .join(mark, "node", "left_anti")
-            )
-            grew = tracked_local_checkpoint(grew)
-            if grew.isEmpty():
-                free_local_checkpoint(grew)
-                break
-            nxt = tracked_local_checkpoint(mark.union(grew))
-            free_local_checkpoint(mark)
-            free_local_checkpoint(grew)
-            mark = nxt
-        done.append(mark.select("node", F.col("color").alias("scc_id")))
-        spent.append(mark)
-        nxt = tracked_local_checkpoint(
-            active.join(mark.select("node"), "node", "left_anti")
-        )
-        free_local_checkpoint(active)
-        free_local_checkpoint(color)
-        active = nxt
-        ae_s, ae_d = _restrict(active)
-    if not active.isEmpty():
-        raise SCCNotConverged(
-            f"condensation deeper than max_rounds={max_rounds}"
-        )
-    free_local_checkpoint(active)
-    if not done:  # edgeless input: no nodes, empty labeling
-        return nodes.select("node", F.col("node").alias("scc_id"))
-    out = done[0]
-    for d in done[1:]:
-        out = out.union(d)
-    out = tracked_local_checkpoint(out)
-    for f in spent:
-        free_local_checkpoint(f)
-    e_src.unpersist()
-    e_dst.unpersist()
-    return out
+        if not done:  # edgeless input: no nodes, empty labeling
+            return nodes.select("node", F.col("node").alias("scc_id"))
+        out = done[0]
+        for d in done[1:]:
+            out = out.union(d)
+        # taken OUTSIDE `held` — the one checkpoint that must survive
+        return tracked_local_checkpoint(out)
+    finally:
+        for f in list(held):
+            free_local_checkpoint(f)
+        e_src.unpersist()
+        e_dst.unpersist()
 
 
 def label_propagation(

@@ -70,6 +70,7 @@ from typing import NamedTuple, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from basic_data_pipeline_spark.caching import tracked_persist
 from basic_data_pipeline_spark.partitioning import spread
 
 #: exact accumulation type for rounded per-bigram log-probs
@@ -94,6 +95,14 @@ class KNBigramModel(NamedTuple):
     n_bigram_types: int
     n_unigram_types: int
     discount: tuple[int, int]
+
+    def unpersist(self) -> "KNBigramModel":
+        """Release the persisted pair table (kn_bigram_model persists it
+        so ctx/cont and every kn_score action reuse one materialization
+        instead of re-running the corpus explode). The model stays
+        usable — a released frame recomputes from lineage."""
+        self.pairs.unpersist()
+        return self
 
 
 def _doc_bigrams(
@@ -138,7 +147,14 @@ def kn_bigram_model(
     if not (0 < num < den):
         raise ValueError(f"discount must satisfy 0 < num < den: {discount}")
     bi = spread(_doc_bigrams(train, id_col, text_col), "w1", "w2")
-    pairs = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # persist the type-bounded pair table: ctx, cont, n_bigram_types and
+    # every later kn_score action would otherwise each re-run the full
+    # corpus explode+groupBy (exchange reuse only helps within ONE
+    # plan). The count() below materializes it immediately; callers
+    # release via model.unpersist() (or caching.release_persisted()).
+    pairs = tracked_persist(
+        bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    )
     ctx = pairs.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count("*").alias("n1f")
     )

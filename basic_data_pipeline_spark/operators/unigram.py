@@ -264,6 +264,19 @@ def train_unigram(
         )
         for r in singles:
             counts.setdefault(r["piece"], r["cnt"])
+        # the alphabet is never pruned (segmentability), so a corpus
+        # whose distinct-char count exceeds vocab_size could only end
+        # OVER budget while UnigramModel.vocab_size claimed otherwise —
+        # SentencePiece errors here ("Vocabulary size too small"), and
+        # so do we.
+        n_alphabet = sum(1 for p in counts if len(p) == 1)
+        if n_alphabet > vocab_size:
+            raise ValueError(
+                f"vocab_size={vocab_size} is smaller than the corpus "
+                f"alphabet ({n_alphabet} distinct characters, which are "
+                "never pruned); raise vocab_size to at least the "
+                "alphabet size"
+            )
         scores = _round_scores(counts)
         # -- EM rounds with pruning ------------------------------------
         size = len(scores)

@@ -89,6 +89,27 @@ def test_duplicate_edges_are_noops(spark, tmp_path):
     )
 
 
+def test_empty_batch_frees_its_checkpoint(spark, tmp_path):
+    """The all-duplicate / empty-batch early return must free the
+    `fresh` checkpoint taken just above it (r8 ADVICE): a stream of
+    no-op batches must not accumulate dead checkpoint blocks."""
+    import time
+
+    idx = str(tmp_path / "idx")
+    G.build_graph_index(spark, _edf(spark, BASE), idx)
+    sc = spark.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    for _ in range(3):
+        out = G.add_edges(spark, _edf(spark, BASE), idx)  # wm=None path
+        assert out.count() == 0
+    for _ in range(50):
+        after = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+        if after <= before:
+            break
+        time.sleep(0.1)
+    assert after <= before
+
+
 def test_compaction_folds_merges_and_preserves_labels(spark, tmp_path):
     idx = str(tmp_path / "idx")
     G.build_graph_index(spark, _edf(spark, BASE), idx)

@@ -409,6 +409,44 @@ def test_scc_round_budget_raises(spark):
         _scc_dict(spark, CHAIN_OF_SCCS, max_rounds=1)
 
 
+def _poll_storage_clean(sc, before, tries=50):
+    import time
+
+    for _ in range(tries):
+        after = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+        if after <= before:
+            return after
+        time.sleep(0.1)
+    return after
+
+
+def test_scc_failure_frees_checkpoints(spark):
+    """SCCNotConverged must not leak the persisted edge layouts or the
+    loop's tracked checkpoints (r8 ADVICE): the non-happy exit paths go
+    through the same finally cleanup as success."""
+    sc = spark.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    with pytest.raises(LG.SCCNotConverged):
+        _scc_dict(spark, CHAIN_OF_SCCS, max_rounds=1)
+    after = _poll_storage_clean(sc, before)
+    assert after <= before
+
+
+def test_scc_success_frees_checkpoints(spark):
+    """On success only the result checkpoint survives; freeing it
+    returns storage to the pre-call set."""
+    from basic_data_pipeline_spark.caching import free_local_checkpoint
+
+    sc = spark.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    edf = spark.createDataFrame(RINGS, "src string, dst string")
+    out = LG.strongly_connected_components(edf)
+    out.collect()
+    free_local_checkpoint(out)
+    after = _poll_storage_clean(sc, before)
+    assert after <= before
+
+
 def test_scc_partitioning_invariance(spark):
     edf = spark.createDataFrame(RINGS, "src string, dst string")
     a = {

@@ -171,3 +171,22 @@ def test_kn_natural_beats_shuffled(spark, sf_dir):
 def test_kn_bad_discount_rejected(spark):
     with pytest.raises(ValueError):
         ngramlm.kn_bigram_model(_df(spark, TRAIN_IDS), discount=(4, 3))
+
+
+def test_kn_model_pairs_persisted_with_release_hook(spark):
+    """kn_bigram_model persists the type-bounded pair table so ctx/cont
+    and repeated kn_score actions reuse one materialization instead of
+    re-running the corpus explode (r8 ADVICE); model.unpersist()
+    releases it and the model stays usable via lineage."""
+    m = ngramlm.kn_bigram_model(_df(spark, TRAIN_IDS))
+    assert m.pairs.storageLevel.useMemory or m.pairs.storageLevel.useDisk
+    docs = _df(spark, CORPUS)
+    before = {r["doc_id"]: r["sum_lp"] for r in
+              ngramlm.kn_score(docs, m).collect()}
+    ret = m.unpersist()
+    assert ret is m
+    assert not (m.pairs.storageLevel.useMemory
+                or m.pairs.storageLevel.useDisk)
+    after = {r["doc_id"]: r["sum_lp"] for r in
+             ngramlm.kn_score(docs, m).collect()}
+    assert before == after

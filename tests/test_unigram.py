@@ -161,11 +161,13 @@ def test_model_df_round_trip(spark):
 
 
 def test_singles_never_pruned(spark):
+    # tightest legal budget: vocab_size == alphabet size (anything
+    # smaller raises — see test_vocab_smaller_than_alphabet_raises)
+    chars = {c for t in CORPUS for c in t.lower() if c != " "}
     model = U.train_unigram(
-        _docs(spark), vocab_size=5, rounds=2, max_piece_len=4,
+        _docs(spark), vocab_size=len(chars), rounds=2, max_piece_len=4,
         seed_size=40,
     )
-    chars = {c for t in CORPUS for c in t.lower() if c != " "}
     assert chars <= set(model.pieces)
 
 
@@ -174,6 +176,27 @@ def test_bad_params_rejected(spark):
         U.train_unigram(_docs(spark), vocab_size=100, seed_size=50)
     with pytest.raises(ValueError):
         U.train_unigram(_docs(spark), shrink=0.0)
+
+
+def test_vocab_smaller_than_alphabet_raises(spark):
+    """Single chars are never pruned, so vocab_size below the corpus
+    alphabet could only end over budget while the model claimed the
+    requested size — SentencePiece errors here, and so do we (r8
+    ADVICE)."""
+    n_alphabet = len(set("".join(CORPUS)) - {" "})
+    assert n_alphabet > 10  # fixture sanity
+    with pytest.raises(ValueError, match="alphabet"):
+        U.train_unigram(
+            _docs(spark), vocab_size=10, seed_size=10, max_piece_len=4
+        )
+    # at exactly the alphabet size training succeeds with a pure
+    # single-char vocabulary of the claimed size
+    m = U.train_unigram(
+        _docs(spark), vocab_size=n_alphabet, seed_size=n_alphabet,
+        max_piece_len=4, rounds=2,
+    )
+    assert len(m.pieces) == n_alphabet
+    assert all(len(p) == 1 for p in m.pieces)
 
 
 @settings(max_examples=12, deadline=None)
