@@ -244,197 +244,6 @@ _LR_SELECT = "\n    UNION ALL\n".join(
     ]
 )
 
-# pagerank arm (r8-close, operators/linkgraph.py): _PG_ITERS rounds of
-# INTEGER fixed-point PageRank over a synthetic crawl graph both engines
-# derive identically from doc_id (each doc links to (id*31 + j*17) % N
-# for j = 1..3; docs with id % 17 == 0 keep no out-links and stay
-# DANGLING — their mass redistributes uniformly; self-loops dropped,
-# edges distinct). Every step is BIGINT multiply/divide (// in DuckDB,
-# div in Spark; all operands non-negative, so floor == truncate), which
-# makes the 5-iteration recurrence associative and hash-exact with no
-# rounding convention at all — the same chained-CTE replay strategy as
-# the lr fit above, but in integers. Ranks are micro-units of
-# _PG_SCALE; deg doubles as the dangling indicator (deg = 0).
-_PG_ITERS = 5
-_PG_SCALE = 1_000_000_000_000
-
-
-def _pg_iter_cte(k: int) -> str:
-    return (
-        f"pgd{k - 1} AS (SELECT COALESCE(sum(rank), 0) AS dm "
-        f"FROM pgit{k - 1} WHERE deg = 0),\n    "
-        f"pgit{k} AS (SELECT n.node, n.deg, "
-        f"(SELECT tp FROM pgtp) + (85 * (COALESCE(c.contrib, 0) "
-        f"+ (SELECT dm FROM pgd{k - 1}) // (SELECT n FROM pgn))) // 100 "
-        f"AS rank "
-        f"FROM pgnodes n LEFT JOIN ("
-        f"SELECT e.dst AS node, sum(r.rank // r.deg) AS contrib "
-        f"FROM pge e JOIN pgit{k - 1} r ON e.src = r.node "
-        f"GROUP BY e.dst) c ON n.node = c.node)"
-    )
-
-
-# hits arm (r8-close, operators/linkgraph.py): Kleinberg HITS over the
-# same synthetic graph — _HITS_ITERS integer power-iteration rounds,
-# each half-step renormalized by a POWER-OF-TWO shift derived from the
-# half-step's max raw sum (s = max(0, length(bin(max)) - keep_bits)):
-# both engines express the shift exactly (bin() exists in Spark and
-# DuckDB, and length(bin(0)) = 1 on both), sums stay far from 2^63, and
-# every hub/authority score hash-matches with no rounding convention —
-# the pagerank arm's strategy with a different normalizer.
-_HITS_ITERS = 3
-_HITS_BITS = 40
-
-
-def _hits_iter_cte(k: int) -> str:
-    sh = (
-        "(1::BIGINT << greatest(length(bin((SELECT mx FROM {m}))) - "
-        f"{_HITS_BITS}, 0))"
-    )
-    return (
-        f"atr{k} AS (SELECT e.dst AS node, sum(h.hub) AS raw "
-        f"FROM pge e JOIN ht{k - 1} h ON e.src = h.node GROUP BY e.dst),\n"
-        f"    atm{k} AS (SELECT COALESCE(max(raw), 0) AS mx FROM atr{k}),\n"
-        f"    at{k} AS (SELECT n.node, COALESCE(r.raw, 0) // "
-        + sh.format(m=f"atm{k}")
-        + f" AS auth FROM pgnodes n LEFT JOIN atr{k} r ON n.node = r.node),\n"
-        f"    htr{k} AS (SELECT e.src AS node, sum(a.auth) AS raw "
-        f"FROM pge e JOIN at{k} a ON e.dst = a.node GROUP BY e.src),\n"
-        f"    htm{k} AS (SELECT COALESCE(max(raw), 0) AS mx FROM htr{k}),\n"
-        f"    ht{k} AS (SELECT n.node, COALESCE(r.raw, 0) // "
-        + sh.format(m=f"htm{k}")
-        + f" AS hub FROM pgnodes n LEFT JOIN htr{k} r ON n.node = r.node)"
-    )
-
-
-_HITS_CTES = ",\n    ".join(
-    [f"ht0 AS (SELECT node, (1::BIGINT << {_HITS_BITS}) AS hub FROM pgnodes)"]
-    + [_hits_iter_cte(k) for k in range(1, _HITS_ITERS + 1)]
-)
-
-
-_PG_CTES = ",\n    ".join(
-    [
-        "pgn AS (SELECT count(*) AS n FROM documents)",
-        """pge AS MATERIALIZED (SELECT DISTINCT doc_id AS src,
-               (doc_id*31 + j*17) % (SELECT n FROM pgn) AS dst
-        FROM documents, (VALUES (1), (2), (3)) AS jj(j)
-        WHERE doc_id % 17 <> 0
-          AND (doc_id*31 + j*17) % (SELECT n FROM pgn) <> doc_id)""",
-        "pgdeg AS (SELECT src, count(*) AS deg FROM pge GROUP BY src)",
-        """pgnodes AS MATERIALIZED (SELECT d.doc_id AS node, COALESCE(g.deg, 0) AS deg
-        FROM documents d LEFT JOIN pgdeg g ON d.doc_id = g.src)""",
-        f"pgtp AS (SELECT (15 * ({_PG_SCALE} // (SELECT n FROM pgn)))"
-        " // 100 AS tp)",
-        f"pgit0 AS (SELECT node, deg, {_PG_SCALE} // (SELECT n FROM pgn)"
-        " AS rank FROM pgnodes)",
-    ]
-    + [_pg_iter_cte(k) for k in range(1, _PG_ITERS + 1)]
-)
-
-
-# scc arm (r8 cont., operators/linkgraph.py): strongly connected
-# components of the same synthetic crawl graph as the pagerank arm.
-# The Spark side runs the REAL distributed FW-BW decomposition (trim /
-# forward min-coloring / backward sweep); the oracle derives the same
-# labeling from an INDEPENDENT formulation — WITH RECURSIVE transitive
-# closure, then scc_id(v) = min over {v} ∪ {u : v↔u mutually reachable}
-# — so the two algorithms cross-check rather than replaying each other.
-# Node universe = src ∪ dst of the edge set (the operator's contract).
-_SCC_CTES = """sccreach AS (
-      SELECT src, dst FROM pge
-      UNION
-      SELECT r.src, e.dst FROM sccreach r JOIN pge e ON r.dst = e.src),
-    sccn AS MATERIALIZED (SELECT DISTINCT node FROM
-               (SELECT src AS node FROM pge
-                UNION ALL SELECT dst FROM pge) tt),
-    sccp AS MATERIALIZED (SELECT a.src AS u, a.dst AS v
-             FROM sccreach a JOIN sccreach b
-               ON a.src = b.dst AND a.dst = b.src),
-    sccl AS (SELECT n.node,
-                    least(n.node, COALESCE(min(p.v), n.node)) AS scc_id
-             FROM sccn n LEFT JOIN sccp p ON n.node = p.u
-             GROUP BY n.node)"""
-
-# lpa arm (r8 cont., operators/linkgraph.py): deterministic synchronous
-# label propagation (ties -> smallest label) over the symmetrized graph,
-# _LPA_ITERS fixed rounds replayed CTE-by-CTE (the pagerank strategy —
-# same recurrence, both engines, integer labels, no rounding at all).
-_LPA_ITERS = 3
-
-
-def _lpa_iter_cte(k: int) -> str:
-    return (
-        f"lpa{k} AS (SELECT p.node, COALESCE(b.label, p.label) AS label "
-        f"FROM lpa{k - 1} p LEFT JOIN ("
-        f"SELECT node, label FROM ("
-        f"SELECT u.d AS node, q.label, "
-        f"row_number() OVER (PARTITION BY u.d "
-        f"ORDER BY count(*) DESC, q.label ASC) AS rn "
-        f"FROM lpau u JOIN lpa{k - 1} q ON u.s = q.node "
-        f"GROUP BY u.d, q.label) t WHERE rn = 1) b ON b.node = p.node)"
-    )
-
-
-_LPA_CTES = ",\n    ".join(
-    [
-        "lpau AS MATERIALIZED (SELECT src AS s, dst AS d FROM pge WHERE src <> dst "
-        "UNION ALL SELECT dst, src FROM pge WHERE src <> dst)",
-        "lpa0 AS (SELECT node, node AS label FROM sccn)",
-    ]
-    + [_lpa_iter_cte(k) for k in range(1, _LPA_ITERS + 1)]
-)
-
-# tri arm (r8 cont., operators/linkgraph.py): per-node triangle counts
-# of the synthetic graph, degree orientation replayed verbatim (integer
-# counts, hash-exact) — the link-farm / clustering-coefficient signal.
-_TRI_CTES = """triu AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
-                    greatest(src, dst) AS b FROM pge WHERE src <> dst),
-    trisym AS MATERIALIZED (SELECT a, b FROM triu UNION ALL SELECT b, a FROM triu),
-    trideg AS MATERIALIZED (SELECT a AS node, count(*) AS deg FROM trisym GROUP BY a),
-    trior AS MATERIALIZED (SELECT s.a AS u, s.b AS v FROM trisym s
-              JOIN trideg x ON s.a = x.node
-              JOIN trideg y ON s.b = y.node
-              WHERE x.deg < y.deg OR (x.deg = y.deg AND s.a < s.b)),
-    triw AS (SELECT w1.u AS x, w1.v AS y, w2.v AS z
-             FROM trior w1 JOIN trior w2 ON w1.v = w2.u),
-    trit AS (SELECT x, y, z FROM triw WHERE EXISTS
-               (SELECT 1 FROM trior o
-                WHERE o.u = triw.x AND o.v = triw.z)),
-    trin AS (SELECT node, count(*) AS tri FROM
-               (SELECT x AS node FROM trit
-                UNION ALL SELECT y FROM trit
-                UNION ALL SELECT z FROM trit) tt GROUP BY node),
-    tril AS MATERIALIZED (SELECT d.node, COALESCE(t.tri, 0) AS tri
-             FROM trideg d LEFT JOIN trin t ON d.node = t.node)"""
-
-# core arm (r8 cont., operators/linkgraph.py): k-core numbers via the
-# h-index iteration, _CORE_ITERS fixed rounds replayed CTE-by-CTE (the
-# replay contract: rounds past the fixpoint are no-ops, so both engines
-# match bit-for-bit whether or not 8 rounds suffice to converge; true
-# coreness == serial peeling is pinned in tests/test_linkgraph.py).
-_CORE_ITERS = 8
-
-
-def _core_iter_cte(k: int) -> str:
-    return (
-        f"cor{k} AS (SELECT node, max(least(rn, nv)) AS core FROM ("
-        f"SELECT u.b AS node, c.core AS nv, "
-        f"row_number() OVER (PARTITION BY u.b ORDER BY c.core DESC) AS rn "
-        f"FROM coru u JOIN cor{k - 1} c ON u.a = c.node) t GROUP BY node)"
-    )
-
-
-_CORE_CTES = ",\n    ".join(
-    [
-        "coru AS MATERIALIZED (SELECT DISTINCT a, b FROM ("
-        "SELECT src AS a, dst AS b FROM pge WHERE src <> dst "
-        "UNION ALL SELECT dst, src FROM pge WHERE src <> dst) tt)",
-        "cor0 AS (SELECT a AS node, count(*) AS core FROM coru GROUP BY a)",
-    ]
-    + [_core_iter_cte(k) for k in range(1, _CORE_ITERS + 1)]
-)
-
 # knlm arm (r8 cont., operators/ngramlm.py): interpolated Kneser-Ney
 # bigram LM trained on the doc_id % 3 <> 2 subset, scored over ALL
 # documents — bigrams with unseen context/continuation exercise the
@@ -474,9 +283,7 @@ _KN_CTES = """knb AS MATERIALIZED (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
 @query(
     "text_lang_token",
     oracle=f"""
-    WITH RECURSIVE {_LR_CTES},
-    {_PG_CTES},
-    {_HITS_CTES},
+    WITH {_LR_CTES},
     h AS (
       SELECT lang,
              {_DUCK_HITS['en']} AS en, {_DUCK_HITS['de']} AS de,
@@ -546,10 +353,11 @@ _KN_CTES = """knb AS MATERIALIZED (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
            FROM dw),
     dsel AS (SELECT doc_id FROM dk ORDER BY g DESC, doc_id LIMIT 150),
     bph AS (SELECT DISTINCT phrase FROM
-              -- DISTINCT over UNION ALL, not a top-level UNION: under
-              -- WITH RECURSIVE (the scc arm) DuckDB treats any
-              -- set-op-shaped CTE as a recursive definition and stops
-              -- deduplicating plain UNION
+              -- DISTINCT over UNION ALL (kept from the WITH RECURSIVE
+              -- era: under RECURSIVE DuckDB treats any set-op-shaped
+              -- CTE as a recursive definition and stops deduplicating
+              -- plain UNION; the scc arm now lives in
+              -- rollup_hourly_to_daily but the robust form stays)
               (SELECT array_to_string(w[1:3], ' ') AS phrase
                FROM rtoks WHERE doc_id % 97 = 0
                UNION ALL
@@ -623,11 +431,7 @@ _KN_CTES = """knb AS MATERIALIZED (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
                                    ORDER BY k.log_w, k.doc_id) AS tile,
                     k.log_w
              FROM dw k JOIN documents dd ON k.doc_id = dd.doc_id),
-    {_KN_CTES},
-    {_SCC_CTES},
-    {_TRI_CTES},
-    {_CORE_CTES},
-    {_LPA_CTES}
+    {_KN_CTES}
     SELECT 'lang' AS grp, lang AS k1,
            CASE WHEN cjk * 3 >= n THEN 'zh'
                 WHEN en >= greatest(en, de, es, fr) THEN 'en'
@@ -760,40 +564,10 @@ _KN_CTES = """knb AS MATERIALIZED (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
     FROM documents
     UNION ALL
-    SELECT 'core', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
-           CAST(core AS BIGINT), CAST(NULL AS BIGINT),
-           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
-    FROM cor{_CORE_ITERS}
-    UNION ALL
-    SELECT 'tri', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
-           CAST(tri AS BIGINT), CAST(NULL AS BIGINT),
-           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
-    FROM tril
-    UNION ALL
-    SELECT 'scc', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
-           CAST(scc_id AS BIGINT), CAST(NULL AS BIGINT),
-           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
-    FROM sccl
-    UNION ALL
-    SELECT 'lpa', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
-           CAST(label AS BIGINT), CAST(NULL AS BIGINT),
-           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
-    FROM lpa{_LPA_ITERS}
-    UNION ALL
     SELECT 'knlm', CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR),
            CAST(nb AS BIGINT), CAST(nbs AS BIGINT),
            CAST(slp AS DOUBLE) + 0.0, CAST(NULL AS DOUBLE)
     FROM knagg
-    UNION ALL
-    SELECT 'pagerank', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
-           CAST(rank AS BIGINT), CAST(deg AS BIGINT),
-           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
-    FROM pgit{_PG_ITERS}
-    UNION ALL
-    SELECT 'hits', CAST(h.node AS VARCHAR), CAST(NULL AS VARCHAR),
-           CAST(h.hub AS BIGINT), CAST(a.auth AS BIGINT),
-           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
-    FROM ht{_HITS_ITERS} h JOIN at{_HITS_ITERS} a ON h.node = a.node
     UNION ALL
 {_LR_SELECT}
     """,
@@ -1204,112 +978,6 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_d.alias("d1"),
         null_d.alias("d2"),
     )
-    # pagerank branch (r8-close, operators/linkgraph.py): the module's
-    # REAL iterative pagerank — cached src-partitioned edges, per-round
-    # checkpointed node-sized ranks, in-plan dangling broadcast — driven
-    # over the synthetic doc_id crawl graph described at _PG_CTES; the
-    # oracle replays the identical integer recurrence as chained CTEs,
-    # so every rank and out-degree hash-matches with NO rounding.
-
-    pg_cnt = d.agg(F.count("*").alias("_n"))
-    pg_edges = (
-        d.select("doc_id")
-        .crossJoin(F.broadcast(pg_cnt))
-        .filter(F.col("doc_id") % 17 != 0)
-        .select(
-            "doc_id",
-            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("_j"),
-            "_n",
-        )
-        .select(
-            F.col("doc_id").alias("src"),
-            F.expr("(doc_id * 31 + _j * 17) % _n").alias("dst"),
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    pg = linkgraph.pagerank(
-        pg_edges,
-        nodes=d.select(F.col("doc_id").alias("node")),
-        iterations=_PG_ITERS,
-        scale=_PG_SCALE,
-    )
-    pgb = pg.select(
-        F.lit("pagerank").alias("grp"),
-        F.col("node").cast("string").alias("k1"),
-        F.lit(None).cast("string").alias("k2"),
-        F.col("rank").alias("n1"),
-        F.col("out_deg").cast("long").alias("n2"),
-        null_d.alias("d1"),
-        null_d.alias("d2"),
-    )
-    # hits branch (r8-close, operators/linkgraph.py): hubs/authorities
-    # over the same graph — the oracle replays the power iteration with
-    # the power-of-two renormalizer (see _HITS_CTES), hash-exact.
-    ht = linkgraph.hits(
-        pg_edges,
-        nodes=d.select(F.col("doc_id").alias("node")),
-        iterations=_HITS_ITERS,
-        keep_bits=_HITS_BITS,
-    )
-    hitsb = ht.select(
-        F.lit("hits").alias("grp"),
-        F.col("node").cast("string").alias("k1"),
-        F.lit(None).cast("string").alias("k2"),
-        F.col("hub").alias("n1"),
-        F.col("auth").alias("n2"),
-        null_d.alias("d1"),
-        null_d.alias("d2"),
-    )
-    # core branch (r8 cont.): k-core numbers, 8 fixed h-index rounds
-    # (the replay contract — see _CORE_CTES).
-    core = linkgraph.coreness(pg_edges, iterations=_CORE_ITERS)
-    coreb = core.select(
-        F.lit("core").alias("grp"),
-        F.col("node").cast("string").alias("k1"),
-        F.lit(None).cast("string").alias("k2"),
-        F.col("core").alias("n1"),
-        F.lit(None).cast("long").alias("n2"),
-        null_d.alias("d1"),
-        null_d.alias("d2"),
-    )
-    # tri branch (r8 cont.): per-node triangle counts via the degree
-    # orientation — the oracle replays the identical orientation.
-    tri = linkgraph.triangle_counts(pg_edges)
-    trib = tri.select(
-        F.lit("tri").alias("grp"),
-        F.col("node").cast("string").alias("k1"),
-        F.lit(None).cast("string").alias("k2"),
-        F.col("triangles").alias("n1"),
-        F.lit(None).cast("long").alias("n2"),
-        null_d.alias("d1"),
-        null_d.alias("d2"),
-    )
-    # scc branch (r8 cont.): the REAL distributed FW-BW decomposition
-    # over the same synthetic graph; the oracle cross-checks it with an
-    # independent transitive-closure formulation (see _SCC_CTES).
-    scc = linkgraph.strongly_connected_components(pg_edges)
-    sccb = scc.select(
-        F.lit("scc").alias("grp"),
-        F.col("node").cast("string").alias("k1"),
-        F.lit(None).cast("string").alias("k2"),
-        F.col("scc_id").alias("n1"),
-        F.lit(None).cast("long").alias("n2"),
-        null_d.alias("d1"),
-        null_d.alias("d2"),
-    )
-    # lpa branch (r8 cont.): deterministic synchronous label propagation,
-    # _LPA_ITERS rounds — the oracle replays the identical recurrence.
-    lp = linkgraph.label_propagation(pg_edges, iterations=_LPA_ITERS)
-    lpab = lp.select(
-        F.lit("lpa").alias("grp"),
-        F.col("node").cast("string").alias("k1"),
-        F.lit(None).cast("string").alias("k2"),
-        F.col("label").alias("n1"),
-        F.lit(None).cast("long").alias("n2"),
-        null_d.alias("d1"),
-        null_d.alias("d2"),
-    )
     # knlm branch (r8 cont., operators/ngramlm.py): the module's REAL
     # train/score split — KN bigram model fit on doc_id % 3 != 2, scored
     # over everything; n2 pins the uniform-backstop (OOV) path, d1 is
@@ -1345,12 +1013,6 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pplbucket)
         .unionByName(urlb)
         .unionByName(linksb)
-        .unionByName(pgb)
-        .unionByName(hitsb)
-        .unionByName(coreb)
-        .unionByName(trib)
-        .unionByName(sccb)
-        .unionByName(lpab)
         .unionByName(knlm)
     )
 
@@ -1912,7 +1574,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM dtoks, UNNEST(w) AS u(t) GROUP BY 1, 2, 3),
     bdf AS (SELECT term, count(*) AS df FROM bpost GROUP BY 1),
     bdf2 AS (SELECT term, df FROM bdf, bstat
-             WHERE df <= n_docs * CAST(0.5 AS DOUBLE)),
+             WHERE df <= n_docs * CAST(0.9 AS DOUBLE)),
     qt AS (SELECT DISTINCT doc_id AS query_id, t AS term
            FROM dtoks, UNNEST(w) AS u(t) WHERE doc_id < 5),
     bcon AS (SELECT query_id, neighbor_id,
@@ -2039,8 +1701,17 @@ def sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdocs = d.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
     )
+    # max_df_frac=0.9: the fixture's synthetic vocabulary is uniformly
+    # COMMON (every query term's df fraction sits at 0.75-0.80 at every
+    # sf), so the conventional 0.5 stopword cut silently emptied this
+    # arm — the oracle was "verifying" an empty-vs-empty match and rrf
+    # degenerated to dense-only (r9 finding, caught by the per-arm
+    # bench walls). 0.9 keeps the terms so the full scoring pipeline
+    # (postings, Lucene idf, round-6 DECIMAL sums, top-k) is actually
+    # hash-checked; the cut semantics themselves are pinned in
+    # tests/test_retrieval.py.
     bm25_ranks = retrieval.bm25_topk(
-        d, qdocs, 5, exclude_self=True, max_df_frac=0.5
+        d, qdocs, 5, exclude_self=True, max_df_frac=0.9
     )
     bm25 = bm25_ranks.select(
         F.lit("bm25").alias("method"), "query_id", "neighbor_id", "rank"

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from basic_data_pipeline_spark.catalog import load_table
 from basic_data_pipeline_spark.operators import rollup
+from basic_data_pipeline_spark.queries import graph_ctes as GC
 from basic_data_pipeline_spark.registry import query
 
 
@@ -22,8 +23,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @query(
     "rollup_hourly_to_daily",
-    oracle="""
-    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+    oracle=f"""
+    WITH RECURSIVE {GC._EDGE_CTES},
+    {GC._SCC_CTES},
+    {GC._LPA_CTES},
+    e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
                       event_type, value
                FROM events),
     lagged AS (
@@ -167,6 +171,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT 'anom', CAST(user_id AS VARCHAR), CAST(b AS VARCHAR),
            CAST(fl AS BIGINT), round(score, 6) + 0.0
     FROM lanom
+    UNION ALL
+    SELECT 'scc', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(scc_id AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM sccl
+    UNION ALL
+    SELECT 'lpa', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(label AS BIGINT), CAST(NULL AS DOUBLE)
+    FROM lpa{GC._LPA_ITERS}
     """,
 )
 def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +280,33 @@ def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_anomaly").cast("long").alias("n"),
         (F.round("score", 6) + F.lit(0.0)).alias("v"),
     )
+    # scc/lpa branches (moved from text_lang_token in round 9 — see
+    # queries/graph_ctes.py): the REAL distributed FW-BW SCC
+    # decomposition and the deterministic synchronous label propagation
+    # over the synthetic doc_id crawl graph. The oracle cross-checks scc
+    # with an independent WITH RECURSIVE transitive-closure formulation
+    # and replays lpa's fixed-round recurrence CTE-by-CTE.
+    from basic_data_pipeline_spark.operators import linkgraph
+
+    d = _t(spark, sf_dir, "documents")
+    pg_edges = GC.synthetic_crawl_edges(d)
+    nv = F.lit(None).cast("double")
+    sccb = linkgraph.strongly_connected_components(pg_edges).select(
+        F.lit("scc").alias("branch"),
+        F.col("node").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("scc_id").alias("n"),
+        nv.alias("v"),
+    )
+    lpab = linkgraph.label_propagation(
+        pg_edges, iterations=GC._LPA_ITERS
+    ).select(
+        F.lit("lpa").alias("branch"),
+        F.col("node").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("label").alias("n"),
+        nv.alias("v"),
+    )
     return (
         daily.unionByName(sess)
         .unionByName(fun)
@@ -275,6 +314,8 @@ def rollup_hourly_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_gf_rows("linear", "gfi"))
         .unionByName(lttb)
         .unionByName(anom)
+        .unionByName(sccb)
+        .unionByName(lpab)
     )
 
 
@@ -347,20 +388,58 @@ def join_asof_union_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_salted_skew",
-    oracle="""
-    SELECT e.event_id, e.event_type, d.type_rank
+    oracle=f"""
+    WITH {GC._PG_CTES},
+    {GC._HITS_CTES},
+    {GC._TRI_CTES},
+    {GC._CORE_CTES}
+    SELECT 'join' AS kind, CAST(e.event_id AS VARCHAR) AS k1,
+           e.event_type AS k2, CAST(d.type_rank AS BIGINT) AS n1,
+           CAST(NULL AS BIGINT) AS n2
     FROM events e
     JOIN (SELECT event_type, row_number() OVER (ORDER BY event_type)
             AS type_rank
           FROM (SELECT DISTINCT event_type FROM events)) d
       ON e.event_type = d.event_type
+    UNION ALL
+    SELECT 'pagerank', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(rank AS BIGINT), CAST(deg AS BIGINT)
+    FROM pgit{GC._PG_ITERS}
+    UNION ALL
+    SELECT 'hits', CAST(h.node AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(h.hub AS BIGINT), CAST(a.auth AS BIGINT)
+    FROM ht{GC._HITS_ITERS} h JOIN at{GC._HITS_ITERS} a ON h.node = a.node
+    UNION ALL
+    SELECT 'core', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(core AS BIGINT), CAST(NULL AS BIGINT)
+    FROM cor{GC._CORE_ITERS}
+    UNION ALL
+    SELECT 'tri', CAST(node AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(tri AS BIGINT), CAST(NULL AS BIGINT)
+    FROM tril
     """,
 )
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted fact⋈dim join on a 5-value key — the worst-skew shape where
-    an unsalted shuffle join puts every row on ≤5 reducers. The salt
-    spreads each hot key over 32 sub-keys; the oracle is the plain join
-    (salting must change execution, never results)."""
+    """Tag union of the salted skew join plus the non-iterative-driver
+    link-graph arms (pagerank/hits/tri/core moved here from
+    `text_lang_token` in round 9 — that slot had grown to 23 arms and
+    ~80 s warm construction; see queries/graph_ctes.py).
+
+    `join`: salted fact⋈dim join on a 5-value key — the worst-skew
+    shape where an unsalted shuffle join puts every row on ≤5 reducers.
+    The salt spreads each hot key over 32 sub-keys; the oracle is the
+    plain join (salting must change execution, never results).
+
+    `pagerank`/`hits`: the module's REAL iterative implementations —
+    cached src-partitioned edges, per-round checkpointed node-sized
+    rank frames, integer fixed-point arithmetic — over the synthetic
+    doc_id crawl graph; the oracle replays the identical integer
+    recurrences as chained CTEs, hash-exact with no rounding.
+
+    `core`/`tri`: k-core numbers (fixed h-index rounds) and per-node
+    triangle counts (degree orientation), replayed verbatim by the
+    oracle."""
+    from basic_data_pipeline_spark.operators import linkgraph
     from basic_data_pipeline_spark.operators.rollup import salted_join
     from pyspark.sql.window import Window as W
 
@@ -372,9 +451,63 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_rank", F.row_number().over(W.orderBy("event_type"))
         )
     )
-    return salted_join(
-        e.select("event_id", "event_type"), dim, "event_type"
-    ).select("event_id", "event_type", "type_rank")
+    nl = F.lit(None).cast("long")
+    joinb = (
+        salted_join(
+            e.select("event_id", "event_type"), dim, "event_type"
+        )
+        .select(
+            F.lit("join").alias("kind"),
+            F.col("event_id").cast("string").alias("k1"),
+            F.col("event_type").alias("k2"),
+            F.col("type_rank").cast("long").alias("n1"),
+            nl.alias("n2"),
+        )
+    )
+    d = _t(spark, sf_dir, "documents")
+    pg_edges = GC.synthetic_crawl_edges(d)
+    nodes = d.select(F.col("doc_id").alias("node"))
+    pgb = linkgraph.pagerank(
+        pg_edges, nodes=nodes, iterations=GC._PG_ITERS, scale=GC._PG_SCALE
+    ).select(
+        F.lit("pagerank").alias("kind"),
+        F.col("node").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("rank").alias("n1"),
+        F.col("out_deg").cast("long").alias("n2"),
+    )
+    hitsb = linkgraph.hits(
+        pg_edges, nodes=nodes, iterations=GC._HITS_ITERS,
+        keep_bits=GC._HITS_BITS,
+    ).select(
+        F.lit("hits").alias("kind"),
+        F.col("node").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("hub").alias("n1"),
+        F.col("auth").alias("n2"),
+    )
+    coreb = linkgraph.coreness(
+        pg_edges, iterations=GC._CORE_ITERS
+    ).select(
+        F.lit("core").alias("kind"),
+        F.col("node").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("core").alias("n1"),
+        nl.alias("n2"),
+    )
+    trib = linkgraph.triangle_counts(pg_edges).select(
+        F.lit("tri").alias("kind"),
+        F.col("node").cast("string").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        F.col("triangles").alias("n1"),
+        nl.alias("n2"),
+    )
+    return (
+        joinb.unionByName(pgb)
+        .unionByName(hitsb)
+        .unionByName(coreb)
+        .unionByName(trib)
+    )
 
 
 @query(

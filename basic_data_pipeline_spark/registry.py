@@ -105,14 +105,23 @@ _LOADED = False
 #   dedup_exact_fp        (raw/fingerprint + line_* r6 + substr_* r7)
 #   text_lang_token       (lang/token + psi r6 + lr r7 + dom*/dsir/
 #                          blockphrase r8 + c4line/gopher/pplbucket/
-#                          url r8-close + pagerank/hits r8-close +
-#                          knlm/scc/lpa/tri/core r8 cont. — NOTE: its
-#                          oracle is now WITH RECURSIVE, under which
-#                          DuckDB treats any top-level-set-op CTE as
-#                          recursive (plain UNION stops deduplicating:
-#                          wrap as DISTINCT over UNION ALL) and
-#                          re-inlines plain CTEs per reference (mark
-#                          multiply-referenced ones AS MATERIALIZED))
+#                          url/links/knlm r8 — REBALANCED r9: the six
+#                          graph arms moved out (see below) after the
+#                          slot hit 23 arms / ~80 s warm construction;
+#                          its oracle is plain WITH again. DuckDB
+#                          WITH RECURSIVE gotchas, wherever the scc arm
+#                          lives: any top-level-set-op CTE is treated
+#                          as recursive (plain UNION stops
+#                          deduplicating: wrap as DISTINCT over UNION
+#                          ALL) and plain CTEs re-inline per reference
+#                          (mark multiply-referenced ones AS
+#                          MATERIALIZED))
+#   join_salted_skew      (tag union since r9: join + pagerank/hits/
+#                          tri/core — the non-driver-loop graph arms,
+#                          shared fixtures in queries/graph_ctes.py)
+#   rollup_hourly_to_daily(also carries scc + lpa since r9 — the
+#                          driver-loop graph arms; its oracle is the
+#                          WITH RECURSIVE one now)
 #   dedup_jaccard_truth   (pair/survivor + split r8 + winnow/hamband/
 #                          hamming r8-close — the oracle side may even
 #                          use WITH RECURSIVE, see the
@@ -125,7 +134,6 @@ _LOADED = False
 #   cdc_schema_drift_union(union + diff r5)
 #   cdc_delete_apply      (applied + scd2 r4)
 #   join_range_cross      (theta/cross + binned r3 + fuzzy r5)
-#   rollup_hourly_to_daily(rollup + sess/funnel r5)
 #   order_pick            (ordered + random_pick r3)
 #   sim_topk_methods      (brute/blocked + bm25/rrf r8 + sq8/
 #                          audiomatch r8-close — any new similarity,

@@ -27,6 +27,16 @@ query read 6-29% slower with all plan fingerprints pinned and unchanged):
   the code; a query that moves WITHOUT session_norm moving is a real
   change. See README.md "Benchmarking".
 
+Per-arm walls (round 9 — the r8 lesson where sim_topk_methods' +220%
+was invisible-by-construction because the slot had gained 4 arms):
+tag-union headliners (leading `kind`/`grp`/`branch`/`method` column
+with >= 4 distinct values) are ALSO timed one arm at a time — the query
+is rebuilt with a `filter(tag == arm)` appended, which constant-folds
+every other union branch away, so each arm's wall is the shared input
+scan plus that arm's own work. Bests ride in `queries_arms`; the
+headline `queries` numbers stay untouched and comparable. Arm passes
+run min(3, runs) times to bound added wall time.
+
 `value` is the sum of the per-query bests; `runs` records the repeat
 count."""
 
@@ -70,6 +80,31 @@ def _timed_noop(df) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+#: leading columns that mark a tag-union query; >= this many distinct
+#: values makes the slot's cross-round deltas unattributable without
+#: per-arm walls
+_TAG_COLS = ("kind", "grp", "branch", "method")
+_MIN_ARMS = 4
+
+
+def _detect_arms(spark, qs) -> dict[str, tuple[str, list]]:
+    """{query: (tag_col, [arm...])} for tag-union headliners. One build
+    + one distinct-collect per query — a single extra warm pass."""
+    out: dict[str, tuple[str, list]] = {}
+    for name, fn in qs.items():
+        try:
+            df = fn(spark, SF_DIR)
+            lead = df.columns[0]
+            if lead not in _TAG_COLS:
+                continue
+            vals = sorted(r[0] for r in df.select(lead).distinct().collect())
+        except Exception:  # noqa: BLE001 — detection is best-effort
+            continue
+        if len(vals) >= _MIN_ARMS:
+            out[name] = (lead, vals)
+    return out
+
+
 def main() -> None:
     spark = get_spark("bench")
     qs = headline_queries()
@@ -104,9 +139,39 @@ def main() -> None:
                 continue
             samples.setdefault(name, []).append(dt)
 
+    # per-arm walls for tag-union headliners (see module docstring)
+    from pyspark.sql import functions as F
+
+    arm_samples: dict[str, dict[str, list[float]]] = {}
+    try:
+        armed = _detect_arms(spark, qs)
+    except Exception as exc:  # noqa: BLE001
+        errors["_arms"] = f"{type(exc).__name__}: {exc}"[:500]
+        armed = {}
+    for _ in range(min(3, N_RUNS)):
+        for name, (tag, arms) in armed.items():
+            if name in errors:
+                continue
+            per = arm_samples.setdefault(name, {})
+            for arm in arms:
+                try:
+                    dt = _timed_noop(
+                        qs[name](spark, SF_DIR).filter(F.col(tag) == arm)
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    errors[f"{name}[{arm}]"] = (
+                        f"{type(exc).__name__}: {exc}"[:500]
+                    )
+                    continue
+                per.setdefault(str(arm), []).append(dt)
+
     best = {n: min(v) for n, v in samples.items()}
     median = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     total = round(sum(best.values()), 3)
+    arms_best = {
+        n: {a: min(v) for a, v in per.items() if v}
+        for n, per in arm_samples.items()
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
@@ -123,6 +188,7 @@ def main() -> None:
             if norm_samples
             else None
         ),
+        "queries_arms": arms_best,
         "runs": N_RUNS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
