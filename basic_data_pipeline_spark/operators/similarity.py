@@ -186,6 +186,7 @@ def ann_topk_lsh(
     max_bucket_df: int | None = None,
     broadcast_vectors: bool | None = None,
     broadcast_vectors_max_bytes: int = 512 << 20,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cos): approximate top-k via
     MULTI-TABLE random-hyperplane LSH — candidates are the union over
@@ -227,9 +228,31 @@ def ann_topk_lsh(
     exists because the 256× tier's 512 k×64-double table estimates at
     283 MB — a 256 MB cut re-ran the wide shuffle join and refilled the
     disk, the exact failure the knob prevents); pairs then stay
-    ~24 B each end to end. Beyond that size the shuffle join stands —
-    and the honest answer at billions of vectors is the IVF-PQ path,
-    whose codes are 32× smaller by construction."""
+    ~24 B each end to end.
+
+    BEYOND the broadcast ceiling (broadcast_vectors False, by auto-cut
+    or forced), the r8 design — "the wide shuffle join stands" — is
+    retired (r8 verdict item #1: it dies on disk, the exact 256× honest
+    failure `broadcast_vectors` was added for). The width-safe path:
+
+    1. **SQ8 code attach**: fit the per-dimension 8-bit quantizer
+       (embeddings.sq8_fit — a dim-row model), attach CODES to the
+       candidate pairs instead of raw double arrays. Codes broadcast
+       when the code table fits the same byte ceiling (raising the
+       effective ceiling ~4×); past that they shuffle-attach at ~4×
+       less width than raw — and the honest answer at billions of
+       vectors remains the IVF-PQ path, whose codes are 32× smaller.
+    2. **Shortlist**: top ``k·rerank_factor`` per query by
+       reconstructed-cosine (decode is arithmetic on the broadcast
+       1-row scale arrays; SQ8's per-coordinate error is bounded by
+       (hi-lo)/510, so the true top-k virtually never falls outside a
+       4× shortlist).
+    3. **Exact rerank**: attach RAW vectors only to the shortlist —
+       n·k·rerank_factor rows, linear in n and k-bounded, never
+       candidate-bounded — and window the final top-k on exact cosine.
+       The arrays are projected away before the top-k window, so no
+       exchange anywhere carries two raw vectors on a pair row
+       (plan-asserted in tests/test_ann_width.py)."""
     n_vec = None
     if n_planes is None:
         n_vec = vectors.count()
@@ -315,11 +338,91 @@ def ann_topk_lsh(
         F.col("norm").alias("cn"),
     )
     if broadcast_vectors:
-        qside, nside = F.broadcast(qside), F.broadcast(nside)
+        return (
+            cand.join(F.broadcast(qside), "query_id")
+            .join(F.broadcast(nside), "neighbor_id")
+            .withColumn(
+                "cos",
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos")
+        )
+    # ---- width-safe path (raw table beyond the broadcast ceiling) ----
+    # SQ8 code attach -> k·rerank_factor shortlist -> exact rerank; no
+    # exchange ever carries two raw vectors on a pair row (docstring §).
+    from basic_data_pipeline_spark.operators import embeddings as E
+
+    if rerank_factor < 1:
+        raise ValueError(f"rerank_factor must be >= 1: {rerank_factor}")
+    model = E.sq8_fit(vecs, vec_col="v")
+    coded = E.sq8_decode(
+        E.sq8_encode(vecs, model, vec_col="v", code_col="_codes"),
+        model,
+        code_col="_codes",
+        out_col="_xhat",
+    ).select(
+        "vec_id",
+        "_codes",
+        # reconstructed norm folded ONCE per vector — the per-pair work
+        # below is one decode-dot fold, not decode + two norm folds
+        F.sqrt(dot(F.col("_xhat"), F.col("_xhat"))).alias("_nhat"),
+    )
+    qc = coded.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_codes").alias("_qc"),
+        F.col("_nhat").alias("_qn"),
+    )
+    nc = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("_codes").alias("_cc"),
+        F.col("_nhat").alias("_cn"),
+    )
+    if n_vec is None:
+        n_vec = vectors.count()
+    # codes are ~4x narrower than raw doubles: broadcast them under the
+    # same byte ceiling (raising the effective ceiling ~4x); past that
+    # they shuffle-attach — still 4x less width than the r8 failure mode
+    if n_vec * (2 * dim + 48) <= broadcast_vectors_max_bytes:
+        qc, nc = F.broadcast(qc), F.broadcast(nc)
+
+    def _rec(code_col: str) -> Column:
+        # lo_d + code * scale_d against the broadcast 1-row scale arrays
+        return F.transform(
+            F.col(code_col),
+            lambda c, d: E._sq8_scale(d)[0]
+            + c.cast("double") * E._sq8_scale(d)[1],
+        )
+
+    shortlist = (
+        cand.join(qc, "query_id")
+        .join(nc, "neighbor_id")
+        .crossJoin(F.broadcast(E._sq8_arrays(model)))
+        .withColumn(
+            "_acos",
+            dot(_rec("_qc"), _rec("_cc")) / (F.col("_qn") * F.col("_cn")),
+        )
+        .withColumn(
+            "_ar",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc("_acos"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("_ar") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
     return (
-        cand.join(qside, "query_id")
+        shortlist.join(qside, "query_id")
         .join(nside, "neighbor_id")
-        .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .withColumn(
+            "cos",
+            dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
+        # arrays projected away BEFORE the top-k window's exchange
+        .select("query_id", "neighbor_id", "cos")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")

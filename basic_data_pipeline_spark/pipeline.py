@@ -23,6 +23,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -54,10 +55,13 @@ _FP_VERSION = 6
 @dataclass
 class CorpusPrepResult:
     """Surviving docs (with `seq_bin`/`bin_pos` packing assignments) plus
-    the per-stage row ledger."""
+    the per-stage row ledger and per-stage wall times (seconds; stage
+    construction + materialization + ledger count — the numbers the
+    16×/64× end-to-end scale probe records in SCALING.md)."""
 
     docs: DataFrame
     ledger: dict[str, int] = field(default_factory=dict)
+    walls: dict[str, float] = field(default_factory=dict)
 
 
 def prepare_training_corpus(
@@ -306,6 +310,17 @@ def prepare_training_corpus(
         return spark.read.parquet(path)
 
     ledger = {"input": n_input}
+    walls: dict[str, float] = {}
+
+    def timed_stage(thunk, name: str) -> DataFrame:
+        # wall = stage construction (some constructors run eager jobs) +
+        # materialization + the ledger count — what the end-to-end scale
+        # probe reads per stage
+        t0 = time.perf_counter()
+        df = stage(thunk, name)
+        ledger[name] = df.count()
+        walls[name] = round(time.perf_counter() - t0, 3)
+        return df
 
     # 0. per-domain quota cap (optional): RefinedWeb-style — at most
     # max_per_domain docs per domain_col value, a deterministic
@@ -316,13 +331,12 @@ def prepare_training_corpus(
     # independent of input order, so the pipeline stays deterministic.
     d0 = docs
     if domain_col is not None:
-        d0 = stage(
+        d0 = timed_stage(
             lambda: domains.domain_cap(
                 docs, domain_col, max_per_domain, id_col=id_col
             ),
             "domain_cap",
         )
-        ledger["domain_cap"] = d0.count()
 
     # 0b. phrase blocklist (optional): drop documents containing any
     # banned phrase (operators/domains.py phrase_blocklist_filter —
@@ -332,13 +346,12 @@ def prepare_training_corpus(
     # downstream stage.
     if blocklist_phrases is not None:
         prev0 = d0
-        d0 = stage(
+        d0 = timed_stage(
             lambda: domains.phrase_blocklist_filter(
                 prev0, blocklist_phrases, id_col, text_col
             ),
             "blocklist",
         )
-        ledger["blocklist"] = d0.count()
 
     # 0c. C4 line cleaning (optional): rewrite each doc to its kept
     # lines and drop documents failing the C4 document rules. BEFORE
@@ -359,26 +372,28 @@ def prepare_training_corpus(
                 .withColumnRenamed("_c4_text", text_col)
             )
 
-        d0 = stage(_c4_stage, "c4_clean")
-        ledger["c4_clean"] = d0.count()
+        d0 = timed_stage(
+            _c4_stage,
+            "c4_clean",
+        )
 
     # 1. exact dedup under the canonical fingerprint (formatting-proof)
     survivors = dedup.exact_dedup_survivors(
         d0, id_col, text.fingerprint(F.col(text_col))
     ).select(id_col)
-    d = stage(lambda: d0.join(survivors, id_col, "left_semi"),
-              "exact_dedup")
-    ledger["exact_dedup"] = d.count()
+    d = timed_stage(
+        lambda: d0.join(survivors, id_col, "left_semi"),
+        "exact_dedup",
+    )
 
     # 2. near dedup: LSH candidates → exact verify → cluster survivors
     prev = d
-    d = stage(
+    d = timed_stage(
         lambda: dedup.near_dedup_corpus(
             prev, id_col, text_col, threshold=near_dup_threshold
         ),
         "near_dedup",
     )
-    ledger["near_dedup"] = d.count()
 
     # 2b. exact substring dedup (Lee et al.): repeated ≥k-token spans cut
     # everywhere but their first occurrence; a fully-covered doc drops.
@@ -393,8 +408,10 @@ def prepare_training_corpus(
             ).select(id_col, text_col)
             return prev.drop(text_col).join(rewritten, id_col)
 
-        d = stage(_substr_stage, "substring_dedup")
-        ledger["substring_dedup"] = d.count()
+        d = timed_stage(
+            _substr_stage,
+            "substring_dedup",
+        )
 
     # 2c. Gopher document-rule gate (optional): the full Rae et al.
     # A.1.1 battery as a hard filter — the MassiveText order (rule
@@ -413,16 +430,17 @@ def prepare_training_corpus(
                     cond = cond & col
             return prev.filter(cond)
 
-        d = stage(_gopher_stage, "gopher")
-        ledger["gopher"] = d.count()
+        d = timed_stage(
+            _gopher_stage,
+            "gopher",
+        )
 
     # 3. quality floor (C4-style flags → mean score in [0, 1])
     prev = d
-    d = stage(
+    d = timed_stage(
         lambda: prev.filter(text.quality_score(F.col(text_col)) >= min_quality),
         "quality",
     )
-    ledger["quality"] = d.count()
 
     # 3a. LM-score floor: corpus-self-trained bigram perplexity signal —
     # drops word-salad/outlier docs the flag-based score can't see. The
@@ -438,8 +456,10 @@ def prepare_training_corpus(
             ).select(id_col)
             return prev.join(too_surprising, id_col, "left_anti")
 
-        d = stage(_lm_stage, "lm_floor")
-        ledger["lm_floor"] = d.count()
+        d = timed_stage(
+            _lm_stage,
+            "lm_floor",
+        )
 
     # 3a'. trained-classifier floor: a fitted logistic-regression quality
     # model (operators/classifier.py QualityModel, trained on the
@@ -457,8 +477,10 @@ def prepare_training_corpus(
                 >= min_model_quality
             )
 
-        d = stage(_clf_stage, "clf_quality")
-        ledger["clf_quality"] = d.count()
+        d = timed_stage(
+            _clf_stage,
+            "clf_quality",
+        )
 
     # 3b. repetition ceiling (duplicate-bigram fraction — boilerplate)
     if max_repetition is not None:
@@ -471,8 +493,10 @@ def prepare_training_corpus(
             ).select(id_col)
             return prev.join(too_repetitive, id_col, "left_anti")
 
-        d = stage(_rep_stage, "repetition")
-        ledger["repetition"] = d.count()
+        d = timed_stage(
+            _rep_stage,
+            "repetition",
+        )
 
     # 4. benchmark decontamination (drop docs sharing an n-gram).
     # contamination_bloom swaps in the Bloom-prefiltered variant — same
@@ -494,8 +518,10 @@ def prepare_training_corpus(
             )
             return prev.join(hits.select(id_col), id_col, "left_anti")
 
-        d = stage(_decon_stage, "decontaminated")
-        ledger["decontaminated"] = d.count()
+        d = timed_stage(
+            _decon_stage,
+            "decontaminated",
+        )
 
     # 4b. DSIR importance resampling (optional): keep the dsir_k
     # survivors whose hashed-n-gram distribution best matches the target
@@ -523,32 +549,32 @@ def prepare_training_corpus(
                 )
             return prev.join(sel.select(id_col), id_col, "left_semi")
 
-        d = stage(_dsir_stage, "dsir")
-        ledger["dsir"] = d.count()
+        d = timed_stage(
+            _dsir_stage,
+            "dsir",
+        )
 
     # 5. mixing
     if temperature is not None:
         prev = d
-        d = stage(
+        d = timed_stage(
             lambda: sampling.temperature_mix(
                 prev, mix_col, temperature, id_col=id_col
             ),
             "mixed",
         )
-        ledger["mixed"] = d.count()
     elif mix is not None:
         prev = d
-        d = stage(
+        d = timed_stage(
             lambda: sampling.weighted_mix(prev, mix_col, mix, id_col=id_col),
             "mixed",
         )
-        ledger["mixed"] = d.count()
     elif token_budgets is not None:
         # the trainers' unit: greedy-fill each source to a TOKEN budget
         # (sampling.token_budget_mix — group-generalized two-phase
         # prefix sum in deterministic md5-rank order)
         prev = d
-        d = stage(
+        d = timed_stage(
             lambda: sampling.token_budget_mix(
                 prev,
                 token_budgets,
@@ -558,7 +584,6 @@ def prepare_training_corpus(
             ),
             "mixed",
         )
-        ledger["mixed"] = d.count()
 
     # 6. sequence packing assignments (replicas get distinct pack ids so
     # upsampled copies land in different windows)
@@ -573,6 +598,7 @@ def prepare_training_corpus(
         # permutation — no extra operator, the prefix sum's range
         # partitioning distributes the hash order exactly like id order.
         pack_id = F.md5(F.concat(F.lit(shuffle_salt), F.lit("|"), pack_id))
+    t_pack = time.perf_counter()
     if workdir is not None and _complete("packed"):
         # fully-resumed run: skip even the prefix-sum construction (it
         # runs eager jobs)
@@ -591,6 +617,7 @@ def prepare_training_corpus(
         else:
             out = joined.persist()
     ledger["packed"] = out.count()
+    walls["packed"] = round(time.perf_counter() - t_pack, 3)
     for h in held:
         h.unpersist()
-    return CorpusPrepResult(docs=out, ledger=ledger)
+    return CorpusPrepResult(docs=out, ledger=ledger, walls=walls)

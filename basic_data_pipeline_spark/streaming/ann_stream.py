@@ -167,9 +167,19 @@ def make_ann_batch_fn(
     at/below the run's last WRITTEN epoch must carry the identical batch
     fingerprint (a true replay) or it raises — so a same-path checkpoint
     reset can never silently overwrite a delta that compaction has not
-    yet folded."""
+    yet folded.
+
+    Takes the single-writer lease on the index dir (r9,
+    swapstore.acquire_lease) — a double-launched second writer raises
+    WriterLeaseHeld instead of racing the delta/compaction protocol."""
+    from basic_data_pipeline_spark.streaming import swapstore
+
+    lease_token = swapstore.acquire_lease(
+        index_path, owner=f"ann-stream:{run_id}"
+    )
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        swapstore.renew_lease(index_path, lease_token)
         if batch_df.isEmpty():
             return
         folded = _folded_epochs(index_path).get(run_id, set())

@@ -45,6 +45,7 @@ from basic_data_pipeline_spark.caching import (
     release_persisted,
 )
 from basic_data_pipeline_spark.operators.incremental import incremental_dedup
+from basic_data_pipeline_spark.streaming import swapstore
 
 
 class DirtyIndexError(RuntimeError):
@@ -110,10 +111,23 @@ def make_guarded_batch_fn(
       once the epoch completes — foreachBatch has no @query wrapper to
       do it, and without this a long stream caches frames without bound;
       a localCheckpoint'ed ``out`` (tracked_local_checkpoint) is freed
-      too — plain unpersist is a no-op for checkpoint blocks.
+      too — plain unpersist is a no-op for checkpoint blocks;
+    * SINGLE WRITER (r9): the factory takes the swapstore writer lease
+      on the index dir and renews it per batch — a double-launched
+      second stream on the same index raises WriterLeaseHeld at
+      construction (cross-process, live holder) or supersedes this one
+      (same process, e.g. a restart in a long-lived driver), whose next
+      batch then raises loudly instead of racing the append+ledger
+      protocol silently. Crashed holders (dead pid / expired ttl) are
+      stolen. The rebuild helpers force-release the lease — a rebuild
+      asserts the writer is gone.
     """
+    lease_token = swapstore.acquire_lease(
+        index_path, owner=f"guarded-stream:{tag}"
+    )
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        swapstore.renew_lease(index_path, lease_token)
         ledger = _read_ledger(index_path)
         state = ledger.get(tag, {"last_epoch": -1, "intent": None})
         if epoch_id <= state["last_epoch"]:

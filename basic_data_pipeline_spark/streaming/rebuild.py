@@ -172,7 +172,13 @@ def _finish(
 ) -> tuple[int, list[int]]:
     """Clear the intent marker (NOT last_epoch — the crashed epoch must
     replay) and drop stale epoch outputs the crashed epoch may have
-    written before the ledger advanced."""
+    written before the ledger advanced. Also force-releases the writer
+    lease (swapstore.acquire_lease): a rebuild asserts the crashed
+    writer is gone, and the restarted stream must be able to take the
+    lease immediately instead of waiting out the ttl."""
+    from basic_data_pipeline_spark.streaming import swapstore
+
+    swapstore.release_lease(index_path, force=True)
     ledger = _read_ledger(index_path)
     state = ledger.get(tag, {"last_epoch": -1, "intent": None})
     state["intent"] = None

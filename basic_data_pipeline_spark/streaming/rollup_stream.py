@@ -71,9 +71,14 @@ def make_rollup_batch_fn(
     rollup_path: str, tag: str = "stream"
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: epoch-guarded incremental rollup maintenance
-    with an atomic swap."""
+    with an atomic swap. Takes the single-writer lease on the rollup
+    dir — a double-launched second writer raises WriterLeaseHeld."""
+    lease_token = swapstore.acquire_lease(
+        rollup_path, owner=f"rollup-stream:{tag}"
+    )
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        swapstore.renew_lease(rollup_path, lease_token)
         swapstore.recover(rollup_path)
         if epoch_id <= swapstore.read_watermark(rollup_path, tag, _META):
             return  # replay of completed work
@@ -141,7 +146,12 @@ def make_partitioned_rollup_batch_fn(
     the per-batch rewrite cost stays O(horizon) regardless of how
     disordered the stream is)."""
 
+    lease_token = swapstore.acquire_lease(
+        rollup_root, owner=f"rollup-partitioned-stream:{tag}"
+    )
+
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        swapstore.renew_lease(rollup_root, lease_token)
         os.makedirs(rollup_root, exist_ok=True)
         recover_partitions(rollup_root)
         if epoch_id <= swapstore.read_watermark(rollup_root, tag, _META):

@@ -53,9 +53,15 @@ def make_scd2_batch_fn(
     skip_unchanged: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch body: epoch-guarded SCD2 fold with an
-    atomic history swap."""
+    atomic history swap. Takes the single-writer lease on the history
+    dir (swapstore.acquire_lease) — a double-launched second writer
+    raises WriterLeaseHeld instead of racing the swap."""
+    lease_token = swapstore.acquire_lease(
+        history_path, owner=f"scd2-stream:{tag}"
+    )
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        swapstore.renew_lease(history_path, lease_token)
         swapstore.recover(history_path)
         if epoch_id <= swapstore.read_watermark(history_path, tag, _META):
             return  # full replay of completed work — drop it

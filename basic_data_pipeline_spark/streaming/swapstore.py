@@ -27,6 +27,8 @@ import glob
 import json
 import os
 import shutil
+import socket
+import time
 
 from pyspark.sql import DataFrame
 
@@ -79,6 +81,164 @@ def advance_watermark(state_path: str, epoch_id: int, tag: str, meta_name: str) 
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, meta_path(state_path, meta_name))
+
+
+# ---------------------------------------------------------------------------
+# Single-writer lease (r8 verdict item #6)
+#
+# Every swapstore/index directory assumes ONE writer: two concurrent
+# writers race the temp+rename swap (and the index family's
+# append+ledger protocol) SILENTLY — the second job doesn't crash, it
+# corrupts. Real pipelines eventually double-launch, so the writer-side
+# entry points take a lease on `<dir>.lease` and a second writer raises
+# `WriterLeaseHeld` loudly instead.
+#
+# Protocol (local filesystem; an object store would use its conditional
+# put): the lease file is created ATOMICALLY via link(2) — write a
+# unique temp file, hard-link it to the lease path; exactly one of any
+# number of racers wins the link. A lease is STALE when its ttl expired
+# OR its holder pid is dead on this host; stale leases are stolen by
+# remove+link, where again exactly one stealer wins. Same-process
+# takeover is allowed by default (a restarted stream in a long-lived
+# driver must not deadlock against its own previous query) — the
+# superseded writer's next renew_lease() then fails loudly, so of two
+# interleaved same-process writers exactly one proceeds.
+# ---------------------------------------------------------------------------
+
+
+class WriterLeaseHeld(RuntimeError):
+    """Another live writer holds this directory's lease. Run one writer
+    per index/state directory; if the holder is truly gone, wait out the
+    ttl or release_lease(path, force=True) after verifying."""
+
+
+def lease_path(path: str) -> str:
+    return path.rstrip("/") + ".lease"
+
+
+def _lease_payload(ttl_seconds: float, owner: str | None) -> dict:
+    return {
+        "token": f"{socket.gethostname()}:{os.getpid()}:{time.time_ns()}",
+        "host": socket.gethostname(),
+        "pid": os.getpid(),
+        "owner": owner or "",
+        "acquired": time.time(),
+        "ttl": ttl_seconds,
+    }
+
+
+def _read_lease(lp: str) -> dict | None:
+    try:
+        with open(lp) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None  # missing, or a holder crashed mid-write
+
+
+def _is_stale(cur: dict) -> bool:
+    if time.time() - cur.get("acquired", 0.0) > cur.get("ttl", 0.0):
+        return True
+    if cur.get("host") == socket.gethostname():
+        try:
+            os.kill(int(cur["pid"]), 0)
+        except (ProcessLookupError, ValueError):
+            return True  # holder died on this host
+        except PermissionError:
+            pass  # alive, different user
+    return False
+
+
+def _try_link(lp: str, payload: dict) -> bool:
+    tmp = f"{lp}.tmp-{os.getpid()}-{time.time_ns()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    try:
+        os.link(tmp, lp)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
+def acquire_lease(
+    path: str,
+    ttl_seconds: float = 1800.0,
+    owner: str | None = None,
+    takeover_same_process: bool = True,
+) -> str:
+    """Acquire the single-writer lease for ``path``; returns the token
+    renew_lease/release_lease expect. Raises WriterLeaseHeld if another
+    LIVE writer holds it (stale holders — expired ttl or dead local
+    pid — are stolen; a same-process holder is taken over by default,
+    which makes ITS next renew fail loudly)."""
+    lp = lease_path(path)
+    payload = _lease_payload(ttl_seconds, owner)
+    for _ in range(8):  # each retry follows a remove of a stale file
+        if _try_link(lp, payload):
+            return payload["token"]
+        cur = _read_lease(lp)
+        if cur is None:
+            continue  # vanished/corrupt between link and read: retry
+        same_proc = (
+            cur.get("host") == socket.gethostname()
+            and cur.get("pid") == os.getpid()
+        )
+        if not _is_stale(cur) and not (takeover_same_process and same_proc):
+            raise WriterLeaseHeld(
+                f"{path!r} is held by pid {cur.get('pid')} on "
+                f"{cur.get('host')} (owner {cur.get('owner')!r}, "
+                f"acquired {cur.get('acquired')}); one writer per "
+                "directory — see swapstore.WriterLeaseHeld"
+            )
+        try:
+            os.remove(lp)  # stale or own: exactly one racer's link wins
+        except FileNotFoundError:
+            pass
+    raise WriterLeaseHeld(f"could not acquire {lp!r} after retries")
+
+
+def renew_lease(path: str, token: str, ttl_seconds: float = 1800.0) -> None:
+    """Refresh the ttl. A MISSING lease file is re-created under the
+    caller's token (the file was released — e.g. a rebuild helper's
+    force-release while this writer recovers in-process — and nobody
+    else claimed it; if someone did, the foreign token raises). Raises
+    WriterLeaseHeld when the lease holds another writer's token — a
+    second same-process writer took over, or a stealer claimed it past
+    the ttl; the caller must STOP writing."""
+    lp = lease_path(path)
+    cur = _read_lease(lp)
+    if cur is None:
+        fresh = _lease_payload(ttl_seconds, owner="")
+        fresh["token"] = token  # keep the caller's identity
+        if _try_link(lp, fresh):
+            return
+        cur = _read_lease(lp)  # lost the race: see whose it is
+    if cur is None or cur.get("token") != token:
+        raise WriterLeaseHeld(
+            f"lost the writer lease on {path!r} (another writer took "
+            "over); this writer must stop"
+        )
+    cur["acquired"] = time.time()
+    tmp = f"{lp}.renew-{os.getpid()}-{time.time_ns()}"
+    with open(tmp, "w") as f:
+        json.dump(cur, f)
+    os.replace(tmp, lp)
+
+
+def release_lease(path: str, token: str | None = None, force: bool = False) -> None:
+    """Remove the lease if we still own it (token match), or
+    unconditionally with force=True (operator intervention after
+    verifying the holder is gone)."""
+    lp = lease_path(path)
+    cur = _read_lease(lp)
+    if cur is None:
+        return
+    if force or cur.get("token") == token:
+        try:
+            os.remove(lp)
+        except FileNotFoundError:
+            pass
 
 
 def swap_in(

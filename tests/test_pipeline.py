@@ -47,6 +47,10 @@ def test_prepare_training_corpus_end_to_end(spark, docs):
     assert led["quality"] >= led["decontaminated"]
     assert led["packed"] == led["mixed"]
     assert led["near_dedup"] < led["input"], "fixture dups must drop"
+    # per-stage walls (r9): every counted stage has a wall (input is the
+    # ledger head, counted before the wall clock starts)
+    assert set(res.walls) == set(led) - {"input"}
+    assert all(w >= 0 for w in res.walls.values())
 
     out = res.docs
     # no surviving doc shares an 8-gram with the benchmark (besides itself)

@@ -339,6 +339,60 @@ def _probe_ann_lsh_capped(spark, d):
     )
 
 
+def _probe_pipeline_e2e(spark, d):
+    """The 12-stage one-call pipeline (r9 item #2): every stage is
+    probed solo elsewhere; this measures the COMPOSITION — persist
+    chains, ledger counts, driver-heap pressure at the tail. Prints the
+    per-stage ledger + wall table to stderr (the SCALING.md rows)."""
+    import sys as _sys
+
+    from basic_data_pipeline_spark import pipeline as P
+
+    docs = load_table(spark, d, "documents")
+    n = docs.count()
+    res = P.prepare_training_corpus(
+        docs,
+        domain_col="source",
+        max_per_domain=1_000_000_000,  # never binds: pays the window, keeps the pool
+        c4_clean=True,
+        near_dup_threshold=0.5,
+        substring_k=25,
+        min_quality=0.3,
+        max_repetition=0.95,
+        min_lm_score=-30.0,
+        benchmark=docs.filter(F.col("doc_id") % 97 == 0).select(
+            "doc_id", "text"
+        ),
+        contamination_ngram=12,
+        dsir_target=docs.filter(F.col("doc_id") % 50 == 0).select(
+            "doc_id", "text"
+        ),
+        dsir_k=max(1, int(n * 0.3)),
+        temperature=0.7,
+        shuffle_salt="probe",
+        seq_len=2048,
+    )
+    print(
+        f"pipeline_e2e[{d}] ledger={res.ledger} walls={res.walls}",
+        file=_sys.stderr,
+    )
+    return res.docs
+
+
+def _probe_ann_lsh_codeattach(spark, d):
+    from basic_data_pipeline_spark.operators import similarity
+
+    # the beyond-broadcast-ceiling path, FORCED (r9 item #1): SQ8 code
+    # attach -> k·4 shortlist -> exact rerank. At the 256× honest
+    # (PERTURB=1) tier this is the configuration whose r8 ancestor (wide
+    # raw-vector shuffle join) filled the disk and died; the width-safe
+    # path must complete in the linear envelope with broadcast OFF.
+    return similarity.ann_topk_lsh(
+        load_table(spark, d, "embeddings"),
+        dim=64, k=3, n_planes=None, broadcast_vectors=False,
+    )
+
+
 def _probe_quality_profile(spark, d):
     from basic_data_pipeline_spark.operators import quality
 
@@ -880,6 +934,8 @@ EXTRA_PROBES = {
     "op_line_dedup": _probe_line_dedup,
     "op_ann_lsh_auto": _probe_ann_lsh_auto,
     "op_ann_lsh_capped": _probe_ann_lsh_capped,
+    "op_ann_lsh_codeattach": _probe_ann_lsh_codeattach,
+    "op_pipeline_e2e": _probe_pipeline_e2e,
     "op_pack_sequences": _probe_pack_sequences,
     "op_pack_token_windows": _probe_pack_token_windows,
     "op_contamination_hits": _probe_contamination_hits,
