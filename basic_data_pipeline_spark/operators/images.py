@@ -25,17 +25,19 @@ banding is one explode (×bands) + one equi-join on 16-ish-bit band
 values + a bit_count filter, all JVM codegen. The reference
 (/root/reference/consumer_to_file.py) ships no media handling at all;
 this is the north-star multimodal surface made real for the codecs the
-standard library can honestly decode. JPEG/GIF stay metadata-only
-(multimodal.py) — entropy decoding without a codec library is out of
-scope, and the gate there says so loudly.
+standard library can honestly decode: PNG, BMP, and (since r9)
+baseline JPEG via operators/jpegdec.py. GIF pixels (LZW) stay
+metadata-only (multimodal.py); non-baseline JPEG (progressive,
+arithmetic) returns null like any other uncovered container.
 
-The PNG decoder is exact, not fast: Average/Paeth rows fall back to a
-per-pixel-column loop (Sub/Up/None are fully vectorized). Production
-decoding of billions of JPEGs belongs in a real codec library via the
+The decoders are exact, not fast: PNG's Average/Paeth rows fall back
+to a per-pixel-column loop (Sub/Up/None are fully vectorized), and the
+JPEG IDCT is a per-block float64 matrix product. Production decoding
+of billions of JPEGs still belongs in a SIMD codec library via the
 ``_load_codecs`` hook; what this module guarantees is that the whole
 Spark-side pipeline — binary column → pixels → perceptual hash →
 banded near-dup — is real and tested end to end with zero optional
-dependencies.
+dependencies, mixed containers included.
 """
 
 from __future__ import annotations
@@ -207,12 +209,22 @@ def decode_bmp_pixels(data: bytes) -> np.ndarray | None:
 
 def decode_image_pixels(data: bytes) -> np.ndarray | None:
     """Dispatch on magic bytes to a pure-stdlib pixel decoder, or None
-    when no decoder covers the container (JPEG/GIF — metadata-only, see
-    operators/multimodal.py)."""
+    when no decoder covers the container (GIF pixels — LZW entropy
+    stream — stay metadata-only, see operators/multimodal.py). Baseline
+    JPEG decodes for real since r9 (operators/jpegdec.py);
+    non-baseline JPEG variants (progressive etc.) return None like any
+    other uncovered container — the undecodable→null policy."""
     if data[:8] == _PNG_MAGIC:
         return decode_png_pixels(data)
     if data[:2] == b"BM":
         return decode_bmp_pixels(data)
+    if data[:2] == b"\xff\xd8":
+        from basic_data_pipeline_spark.operators import jpegdec
+
+        try:
+            return jpegdec.decode_jpeg(data)
+        except (jpegdec.JpegUnsupported, jpegdec.JpegError):
+            return None  # the PNG convention: damage → null, not raise
     return None
 
 

@@ -1,0 +1,424 @@
+"""Baseline JPEG decoder (operators/jpegdec.py) vs a serial pure-Python
+reference ENCODER written here from the same public spec (T.81) — the
+images.py PNG-test convention: the test owns an independent
+implementation, the operator must invert it.
+
+The encoder emits valid baseline JPEGs (SOI/DQT/SOF0/DHT/SOS/EOI,
+byte-stuffed entropy data, optional DRI/RSTn) with simple canonical
+9-bit Huffman tables (legal per Annex C — correctness, not
+compression) and configurable quantization/subsampling, so round-trips
+pin DC/AC coding, dequantization, zigzag, IDCT, upsampling, and the
+YCbCr conversion."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from basic_data_pipeline_spark.operators import jpegdec as J
+
+
+# --------------------------------------------------------------------------
+# serial reference encoder
+# --------------------------------------------------------------------------
+
+_C = J._C  # same orthonormal basis: encoder FDCT = C @ x @ C.T
+
+
+def _fdct_quant(block: np.ndarray, q: np.ndarray) -> np.ndarray:
+    cf = _C @ (block.astype(np.float64) - 128.0) @ _C.T
+    return np.rint(cf / q.reshape(8, 8)).astype(np.int64)
+
+
+def _csize(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s (spec)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+def _flat9_table(symbols: list[int]) -> tuple[list[int], bytes, dict]:
+    """All symbols at 9 bits — canonical, legal, terrible compression."""
+    symbols = sorted(set(symbols))
+    assert len(symbols) < 500
+    bits = [0] * 16
+    bits[8] = len(symbols)  # lengths are 1-indexed: index 8 = 9 bits
+    codes = {s: (i, 9) for i, s in enumerate(symbols)}
+    return bits, bytes(symbols), codes
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def encode_jpeg_reference(
+    img: np.ndarray,
+    luma_q: int = 1,
+    chroma_q: int = 1,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline encoder: grayscale (h,w) or RGB (h,w,3);
+    uniform quant tables (value = luma_q / chroma_q); 4:2:0 when
+    ``subsample`` (RGB only), else 4:4:4."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    qts = {
+        0: np.full(64, luma_q, dtype=np.int64),
+        1: np.full(64, chroma_q, dtype=np.int64),
+    }
+
+    # per-plane: subsample (mean pool), pad to the MCU grid (replicate)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for p, (hs, vs) in zip(planes, samp):
+        if (hs, vs) != (hmax, vmax):
+            fy, fx = vmax // vs, hmax // hs
+            ph = -(-p.shape[0] // fy) * fy
+            pw = -(-p.shape[1] // fx) * fx
+            p2 = np.pad(
+                p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                mode="edge",
+            )
+            p = p2.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        p = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        padded.append(p)
+
+    # pass 1: MCU-ordered coefficient blocks per component
+    blocks: list[list[np.ndarray]] = [[] for _ in planes]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hs, vs) in enumerate(samp):
+                for byy in range(vs):
+                    for bxx in range(hs):
+                        y0 = (my * vs + byy) * 8
+                        x0 = (mx * hs + bxx) * 8
+                        blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        blocks[ci].append(
+                            _fdct_quant(blk, qts[qsel[ci]])
+                        )
+
+    # symbol inventory for the flat Huffman tables (dry run), then the
+    # real emission with the assigned codes
+    dc_syms: list[list[int]] = [[], []]
+    ac_syms: list[list[int]] = [[], []]
+
+    def _emit(ci, coeffs, pred, bw, dc_codes, ac_codes, collect=None):
+        zz = coeffs.reshape(64)
+        zig = zz[J._ZIGZAG]  # natural -> zigzag order
+        diff = int(zig[0]) - pred
+        t = _csize(diff)
+        if collect is not None:
+            collect[0].append(t)
+        else:
+            c, L = dc_codes[t]
+            bw.write(c, L)
+            if t:
+                v = diff if diff >= 0 else diff + (1 << t) - 1
+                bw.write(v, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(zig[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                if collect is not None:
+                    collect[1].append(0xF0)
+                else:
+                    c, L = ac_codes[0xF0]
+                    bw.write(c, L)
+                run -= 16
+            s = _csize(v)
+            rs = (run << 4) | s
+            if collect is not None:
+                collect[1].append(rs)
+            else:
+                c, L = ac_codes[rs]
+                bw.write(c, L)
+                vv = v if v >= 0 else v + (1 << s) - 1
+                bw.write(vv, s)
+            run = 0
+        if run:
+            if collect is not None:
+                collect[1].append(0x00)
+            else:
+                c, L = ac_codes[0x00]
+                bw.write(c, L)
+        return int(zig[0])
+
+    # dry run per table class
+    per_mcu = [hs * vs for hs, vs in samp]
+    n_mcu = mcux * mcuy
+    idx = [0] * len(planes)
+    preds = [0] * len(planes)
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            preds = [0] * len(planes)
+        for ci in range(len(planes)):
+            for _ in range(per_mcu[ci]):
+                coeffs = blocks[ci][idx[ci]]
+                idx[ci] += 1
+                tsel = 0 if ci == 0 else 1
+                col = (dc_syms[tsel], ac_syms[tsel])
+                preds[ci] = _emit(ci, coeffs, preds[ci], None, None, None, col)
+
+    tables = {}
+    for tsel in (0, 1):
+        if not dc_syms[tsel] and not ac_syms[tsel]:
+            continue
+        tables[("dc", tsel)] = _flat9_table(dc_syms[tsel] or [0])
+        tables[("ac", tsel)] = _flat9_table(ac_syms[tsel] or [0x00])
+
+    # real emission
+    bw = _BitWriter()
+    chunks: list[bytes] = []
+    idx = [0] * len(planes)
+    preds = [0] * len(planes)
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            chunks.append(bw.flush())
+            bw = _BitWriter()
+            preds = [0] * len(planes)
+        for ci in range(len(planes)):
+            tsel = 0 if ci == 0 else 1
+            for _ in range(per_mcu[ci]):
+                coeffs = blocks[ci][idx[ci]]
+                idx[ci] += 1
+                preds[ci] = _emit(
+                    ci, coeffs, preds[ci], bw,
+                    tables[("dc", tsel)][2], tables[("ac", tsel)][2],
+                )
+    chunks.append(bw.flush())
+
+    out = bytearray(b"\xff\xd8")
+    for tq in sorted({q for q in qsel}):
+        out += _seg(0xDB, bytes([tq]) + bytes(qts[tq].astype(np.uint8)))
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, qsel[ci]])
+    out += _seg(0xC0, sof)
+    for (cls, tsel), (bits, values, _codes) in sorted(tables.items()):
+        tc = 0 if cls == "dc" else 1
+        out += _seg(0xC4, bytes([(tc << 4) | tsel]) + bytes(bits) + values)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tsel = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tsel << 4) | tsel])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    for i, ch in enumerate(chunks):
+        if i:
+            out += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+        out += ch
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# fixtures
+# --------------------------------------------------------------------------
+
+
+def _gradient(h, w, rgb=True):
+    yy, xx = np.mgrid[0:h, 0:w]
+    if not rgb:
+        return ((yy * 3 + xx * 5) % 256).astype(np.uint8)
+    r = ((yy * 2 + xx) % 256).astype(np.uint8)
+    g = ((yy + xx * 2) % 256).astype(np.uint8)
+    b = ((255 - yy * 3 + xx) % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+def _smooth(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = (128 + 100 * np.sin(yy / 9.0)).astype(np.uint8)
+    g = (128 + 100 * np.cos(xx / 11.0)).astype(np.uint8)
+    b = (128 + 90 * np.sin((xx + yy) / 13.0)).astype(np.uint8)
+    return np.stack([r, g, b], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# tests
+# --------------------------------------------------------------------------
+
+
+def test_spec_literal_dc_only_block():
+    """Hand-built single-component 8×8 JPEG with one DC-only block:
+    quant 16, DC code for magnitude 6 with value 48 → coefficient
+    48·16 = 768 → orthonormal IDCT gives 768/8 + 128 = 224 everywhere."""
+    bits, values, codes = _flat9_table([0, 6])
+    bitsa, valuesa, codesa = _flat9_table([0x00])
+    bw = _BitWriter()
+    c, L = codes[6]
+    bw.write(c, L)
+    bw.write(48, 6)  # positive 6-bit magnitude 48 (=0b110000)
+    c, L = codesa[0x00]
+    bw.write(c, L)  # EOB
+    data = (
+        b"\xff\xd8"
+        + _seg(0xDB, bytes([0]) + bytes([16] * 64))
+        + _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+        + _seg(0xC4, bytes([0x00]) + bytes(bits) + values)
+        + _seg(0xC4, bytes([0x10]) + bytes(bitsa) + valuesa)
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+    out = J.decode_jpeg(data)
+    assert out.shape == (8, 8)
+    assert np.all(out == 224)
+
+
+def test_gray_roundtrip_q1_near_lossless():
+    img = _gradient(24, 16, rgb=False)
+    out = J.decode_jpeg(encode_jpeg_reference(img))
+    assert out.shape == img.shape
+    assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 1
+
+
+def test_rgb_444_roundtrip():
+    img = _smooth(17, 23)  # non-multiple-of-8 crops
+    out = J.decode_jpeg(encode_jpeg_reference(img))
+    assert out.shape == img.shape
+    assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 3
+
+
+def test_rgb_420_subsampled_roundtrip():
+    img = _smooth(33, 30)  # non-multiple-of-16 exercises MCU crop
+    out = J.decode_jpeg(encode_jpeg_reference(img, subsample=True))
+    assert out.shape == img.shape
+    # luma near-exact; chroma smoothed by 2×2 pooling on a smooth image
+    assert np.mean(np.abs(out.astype(int) - img.astype(int))) < 4.0
+    assert np.max(np.abs(out.astype(int) - img.astype(int))) < 40
+
+
+def test_quantization_and_ac_paths():
+    """Coarser quant exercises AC runs/ZRL/EOB; energy stays close."""
+    img = _smooth(32, 32)
+    out = J.decode_jpeg(encode_jpeg_reference(img, luma_q=8, chroma_q=12))
+    assert out.shape == img.shape
+    assert np.mean(np.abs(out.astype(int) - img.astype(int))) < 8.0
+
+
+def test_restart_markers_match_unrestarted():
+    img = _smooth(32, 24)
+    a = J.decode_jpeg(encode_jpeg_reference(img))
+    b = J.decode_jpeg(encode_jpeg_reference(img, restart_interval=2))
+    assert np.array_equal(a, b)
+
+
+def test_sixteen_bit_dqt():
+    img = _gradient(16, 16, rgb=False)
+    raw = encode_jpeg_reference(img)
+    # rewrite the 8-bit DQT as a 16-bit one (pq=1), same values
+    i = raw.index(b"\xff\xdb")
+    seglen = struct.unpack(">H", raw[i + 2 : i + 4])[0]
+    tq = raw[i + 4] & 0x0F
+    vals = raw[i + 5 : i + 5 + 64]
+    wide = b"".join(struct.pack(">H", v) for v in vals)
+    new = _seg(0xDB, bytes([(1 << 4) | tq]) + wide)
+    patched = raw[:i] + new + raw[i + 2 + seglen :]
+    assert np.array_equal(J.decode_jpeg(patched), J.decode_jpeg(raw))
+
+
+def test_damage_and_unsupported_raise():
+    img = _gradient(16, 16, rgb=False)
+    raw = encode_jpeg_reference(img)
+    with pytest.raises(J.JpegError):
+        J.decode_jpeg(raw[: len(raw) // 2])
+    with pytest.raises(J.JpegError):
+        J.decode_jpeg(b"\x00\x01\x02")
+    # flip SOF0 -> SOF2 (progressive): loud gate, not garbage pixels
+    prog = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(J.JpegUnsupported):
+        J.decode_jpeg(prog)
+
+
+def test_mixed_png_jpeg_near_dup_corpus(spark):
+    """The r8 gate retired end-to-end: a corpus mixing PNG and JPEG
+    encodings of near-identical images goes through the REAL Spark
+    pipeline (binary column → decode → aHash → banded Hamming join) and
+    the near-dup pairs bridge the two containers."""
+    from basic_data_pipeline_spark.operators import images as IM
+
+    docs = spark.range(8).select(F.col("id").alias("doc_id"))
+    png_corpus = IM.synth_images(docs, group_size=4, noise_px=1)
+    rows = png_corpus.collect()
+
+    def reencode(row):
+        if row["media_id"] % 2 == 0:
+            return (row["media_id"], row["group_id"], bytearray(row["data"]))
+        px = IM.decode_png_pixels(bytes(row["data"]))
+        jb = encode_jpeg_reference(px)  # near-lossless q=1
+        return (row["media_id"], row["group_id"], bytearray(jb))
+
+    mixed = spark.createDataFrame(
+        [reencode(r) for r in rows],
+        "media_id long, group_id long, data binary",
+    )
+    hashes = IM.image_hashes(mixed)
+    got = hashes.collect()
+    assert all(r["ihash"] is not None for r in got), "JPEG rows must decode"
+    pairs = IM.image_near_dup_pairs(hashes, max_hamming=10)
+    linked = {
+        frozenset((r["id_a"], r["id_b"])) for r in pairs.collect()
+    }
+    # within-group cross-container pairs (even id = PNG, odd id = JPEG)
+    cross = [p for p in linked if len({i % 2 for i in p}) == 2]
+    assert cross, "near-dups must bridge PNG and JPEG containers"
+    by_group = {r["media_id"]: r["group_id"] for r in rows}
+    assert all(
+        len({by_group[i] for i in p}) == 1 for p in linked
+    ), "no cross-group false pairs at this budget"
