@@ -35,6 +35,10 @@ def stratified_sample(
     keeping all wiki. Strata absent from `fractions` are DROPPED (an
     explicit mixture is a whitelist). One codegen filter — no shuffle, no
     sampleBy RNG, exact same members every run."""
+    if not fractions:
+        # empty whitelist keeps nothing; F.create_map() with no args
+        # types as map<void,void> and the lookup would not even resolve
+        return df.filter(F.lit(False))
     n = 1_000_000
     frac = F.create_map(
         *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(float(v)))]
@@ -62,6 +66,13 @@ def weighted_mix(
     codegen projection, no join, no RNG; membership and copy counts are
     pure functions of (salt, id), so any partitioning/retry produces the
     same multiset. Strata absent from `fractions` are dropped."""
+    if not fractions:
+        # empty whitelist (e.g. temperature_mix over an EMPTY corpus —
+        # every upstream filter dropped everything): keep nothing, with
+        # the contract's `replica` column in place. The r9 pipeline
+        # probe found the raw F.create_map() path crashing here with
+        # DATATYPE_MISMATCH instead of returning the empty frame.
+        return df.filter(F.lit(False)).withColumn("replica", F.lit(1))
     n = 1_000_000
     frac = F.create_map(
         *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(float(v)))]

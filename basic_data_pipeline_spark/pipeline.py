@@ -29,6 +29,10 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from basic_data_pipeline_spark.caching import (
+    free_local_checkpoint,
+    tracked_local_checkpoint,
+)
 from basic_data_pipeline_spark.operators import (
     classifier,
     dedup,
@@ -163,11 +167,17 @@ def prepare_training_corpus(
     order is a reproducible pseudo-random permutation (same salt → same
     corpus layout on any cluster/partitioning; different salt → a fresh
     shuffle for another epoch) instead of id order. The ledger counts
-    rows AFTER each stage; each stage's result is persisted before its
-    count so the ledger costs one pass per stage instead of re-executing
-    the whole upstream lineage per count (O(stages) not O(stages²));
-    intermediates are released at return, the final result stays
-    persisted for the caller's first action."""
+    rows AFTER each stage; each stage's result is EAGERLY
+    localCheckpoint'ed before its count, which both makes the ledger
+    cost one pass per stage (O(stages), not O(stages²)) and cuts
+    lineage so every stage's plan is one scan deep — chained persists
+    kept the full logical plan and a dozen stages nest plans whose text
+    grows multiplicatively (the r9 probe OOM'd the driver rendering an
+    AQE explain string). A stage's blocks are freed as soon as the next
+    stage materializes (~2 stage copies of storage at any moment); the
+    returned result is itself a checkpoint — self-contained, stable
+    under cache eviction, released with the session (or
+    caching.free_local_checkpoint)."""
     if sum(x is not None for x in (mix, temperature, token_budgets)) > 1:
         raise ValueError(
             "pass at most one of mix=, temperature=, token_budgets="
@@ -299,7 +309,16 @@ def prepare_training_corpus(
         # resumed stage must skip construction entirely, not just
         # execution.
         if workdir is None:
-            df = thunk().persist()
+            # eager localCheckpoint, NOT persist: persist keeps the full
+            # logical plan, and a dozen chained stages nest plans whose
+            # TEXT grows multiplicatively — the r9 end-to-end probe
+            # OOM'd the driver heap merely rendering the AQE explain
+            # string at the tail stage. The checkpoint cuts lineage so
+            # every stage's plan is one scan deep (the linkgraph
+            # iteration convention); blocks are freed as soon as the
+            # NEXT stage materializes (timed_stage), bounding storage at
+            # ~2 stage copies instead of the whole chain.
+            df = tracked_local_checkpoint(thunk())
             held.append(df)
             return df
         path = _stage_path(name)
@@ -320,6 +339,11 @@ def prepare_training_corpus(
         df = stage(thunk, name)
         ledger[name] = df.count()
         walls[name] = round(time.perf_counter() - t0, 3)
+        # this stage is materialized (checkpoint storage, no lineage):
+        # every EARLIER stage's blocks are now unreachable — free them
+        for h in held[:-1]:
+            free_local_checkpoint(h)
+        del held[:-1]
         return df
 
     # 0. per-domain quota cap (optional): RefinedWeb-style — at most
@@ -615,9 +639,12 @@ def prepare_training_corpus(
             atomic_overwrite(joined, _stage_path("packed"))
             out = spark.read.parquet(_stage_path("packed"))
         else:
-            out = joined.persist()
+            # checkpoint like the stages (self-contained, one-scan-deep
+            # plan), so every intermediate block below can be freed
+            # without leaving the result's cache eviction-fragile
+            out = tracked_local_checkpoint(joined)
     ledger["packed"] = out.count()
     walls["packed"] = round(time.perf_counter() - t_pack, 3)
     for h in held:
-        h.unpersist()
+        free_local_checkpoint(h)
     return CorpusPrepResult(docs=out, ledger=ledger, walls=walls)

@@ -407,3 +407,20 @@ def test_token_budget_mix_matches_serial_greedy_fill(spark):
             budgets[src],
             sum(n for _, s, n in rows if s == src),
         ) or tot > 0
+
+
+def test_empty_mixes_yield_empty_not_crash(spark):
+    """Empty fraction maps and empty corpora (every upstream filter
+    dropped everything — the r9 pipeline-probe finding) must yield
+    empty frames, not a map<void,void> DATATYPE_MISMATCH."""
+    from basic_data_pipeline_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert stratified_sample(docs, "source", {}).count() == 0
+    wm = weighted_mix(docs, "source", {})
+    assert wm.count() == 0
+    assert "replica" in wm.columns  # contract column survives
+    empty = docs.filter("doc_id < 0")
+    tm = temperature_mix(empty, "source", 2.0)
+    assert tm.count() == 0
+    assert "replica" in tm.columns

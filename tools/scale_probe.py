@@ -350,11 +350,16 @@ def _probe_pipeline_e2e(spark, d):
 
     docs = load_table(spark, d, "documents")
     n = docs.count()
+    # NOTE: c4_clean deliberately OFF — the fixture's documents are
+    # single-line without terminal punctuation, so the C4 line rules
+    # (≥3 kept lines, terminal '.') legitimately drop the whole corpus
+    # and the probe would measure 11 stages of empty frames (the r9
+    # first run did exactly that, and incidentally exposed the
+    # empty-corpus crash in weighted_mix's map construction).
     res = P.prepare_training_corpus(
         docs,
         domain_col="source",
         max_per_domain=1_000_000_000,  # never binds: pays the window, keeps the pool
-        c4_clean=True,
         near_dup_threshold=0.5,
         substring_k=25,
         min_quality=0.3,
