@@ -57,6 +57,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The driver runs queries on a VANILLA session (not session.get_spark),
+    # so scale-critical runtime confs also land here, the one boundary
+    # every query passes through: bound plan-string renders (see
+    # session.py — AQE renders an explain per plan update, and large
+    # plan literals like the Bloom prefilter words make the default
+    # ~2 GB cap super-linear or heap-fatal).
+    spark.conf.set("spark.sql.maxPlanStringLength", str(1024 * 1024))
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

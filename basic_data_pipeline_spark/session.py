@@ -58,6 +58,15 @@ def get_spark(
         # tried and rejected — the bench ran multiples slower with it set
         # (extra build-side scans dwarf the benefit at this data size)
         .config("spark.ui.enabled", "false")
+        # Bound every plan-string render to 1 MB (default ~2 GB): AQE
+        # posts an explainString per plan update EVEN with the UI off,
+        # and a plan carrying a large literal (the Bloom prefilter's
+        # m/64-word array) or a deeply nested stage chain makes that
+        # render super-linear or heap-fatal — the r9 256× corpus_pack
+        # cut-off and the pipeline-probe driver OOM were both this
+        # class. 1 MB keeps explains useful; truncation affects ONLY
+        # the string, never the executed plan.
+        .config("spark.sql.maxPlanStringLength", str(1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
