@@ -25,10 +25,13 @@ banding is one explode (×bands) + one equi-join on 16-ish-bit band
 values + a bit_count filter, all JVM codegen. The reference
 (/root/reference/consumer_to_file.py) ships no media handling at all;
 this is the north-star multimodal surface made real for the codecs the
-standard library can honestly decode: PNG, BMP, and (since r9)
-baseline JPEG via operators/jpegdec.py. GIF pixels (LZW) stay
-metadata-only (multimodal.py); non-baseline JPEG (progressive,
-arithmetic) returns null like any other uncovered container.
+standard library can honestly decode: PNG, BMP, (since r9) baseline
+JPEG via operators/jpegdec.py, and (since r10) GIF — the LZW entropy
+stream is ~100 lines of public spec (Appendix F), so GIF first-frame
+pixels now decode for real too. Non-baseline JPEG (progressive,
+arithmetic) returns null like any other uncovered container; video
+stays documented-gated (an H.264 decoder is not a sane from-scratch
+deliverable).
 
 The decoders are exact, not fast: PNG's Average/Paeth rows fall back
 to a per-pixel-column loop (Sub/Up/None are fully vectorized), and the
@@ -180,6 +183,149 @@ def decode_png_pixels(data: bytes) -> np.ndarray | None:
     return px
 
 
+# --- GIF ------------------------------------------------------------------
+# (r10 — retires the last stdlib-reachable pixel gate; GIF87a/89a LZW is
+# ~100 lines of public spec, the same footing as PNG/BMP/baseline JPEG.)
+
+
+def _gif_lzw(min_size: int, stream: bytes, max_pixels: int) -> bytearray | None:
+    """GIF Appendix F LZW: variable-width codes packed LSB-first across
+    the concatenated data sub-blocks; CLEAR resets the table, widths grow
+    to 12 bits. Returns palette indexes, or None on damage."""
+    clear = 1 << min_size
+    eoi = clear + 1
+    out = bytearray()
+    bitpos = 0
+    nbits = len(stream) * 8
+    width = min_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    prev: bytes | None = None
+    while True:
+        if bitpos + width > nbits:
+            return None  # truncated before EOI
+        byte_i = bitpos >> 3
+        window = int.from_bytes(
+            stream[byte_i : byte_i + 3].ljust(3, b"\x00"), "little"
+        )
+        code = (window >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        out += entry
+        if len(out) >= max_pixels:
+            return out  # enough pixels; trailing codes are padding
+        prev = entry
+
+
+# interlaced GIFs store rows in four passes (89a spec, appendix E)
+def _gif_deinterlace_order(h: int) -> list[int]:
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def decode_gif_pixels(data: bytes) -> np.ndarray | None:
+    """GIF87a/89a FIRST FRAME → (h, w, 3) uint8 RGB, or None for damage.
+    Header + color tables + extension skip are plain struct walks; the
+    image data is real LZW (`_gif_lzw`). Interlace is undone; the frame
+    is returned at its own size (animation composition onto the logical
+    screen is out of scope — the perceptual near-dup consumer hashes
+    frame content, not canvas placement). Transparency resolves to the
+    palette color (hashing wants stable luma, not alpha)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+            if gct.size != 3 * n:
+                return None
+            gct = gct.reshape(-1, 3)
+            pos += 3 * n
+        while pos < len(data):
+            b0 = data[pos]
+            if b0 == 0x3B:  # trailer before any image
+                return None
+            if b0 == 0x21:  # extension: skip its sub-blocks
+                pos += 2
+                while pos < len(data):
+                    sz = data[pos]
+                    pos += 1
+                    if sz == 0:
+                        break
+                    pos += sz
+                continue
+            if b0 != 0x2C:  # not an image descriptor
+                return None
+            _ix, _iy, iw, ih, iflags = struct.unpack(
+                "<HHHHB", data[pos + 1 : pos + 10]
+            )
+            pos += 10
+            pal = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+                if pal.size != 3 * n:
+                    return None
+                pal = pal.reshape(-1, 3)
+                pos += 3 * n
+            if pal is None or iw == 0 or ih == 0:
+                return None
+            min_size = data[pos]
+            pos += 1
+            if not 2 <= min_size <= 8:
+                return None
+            stream = bytearray()
+            while pos < len(data):
+                sz = data[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                stream += data[pos : pos + sz]
+                pos += sz
+            idx = _gif_lzw(min_size, bytes(stream), iw * ih)
+            if idx is None or len(idx) < iw * ih:
+                return None
+            arr = np.frombuffer(bytes(idx[: iw * ih]), np.uint8)
+            if int(arr.max()) >= pal.shape[0]:
+                return None
+            arr = arr.reshape(ih, iw)
+            if iflags & 0x40:  # interlaced
+                de = np.zeros_like(arr)
+                de[np.array(_gif_deinterlace_order(ih))] = arr
+                arr = de
+            return pal[arr]
+        return None
+    except (struct.error, IndexError, ValueError):
+        return None  # damage → null, same policy as PNG/BMP/JPEG
+
+
 # --- BMP ------------------------------------------------------------------
 
 
@@ -209,15 +355,21 @@ def decode_bmp_pixels(data: bytes) -> np.ndarray | None:
 
 def decode_image_pixels(data: bytes) -> np.ndarray | None:
     """Dispatch on magic bytes to a pure-stdlib pixel decoder, or None
-    when no decoder covers the container (GIF pixels — LZW entropy
-    stream — stay metadata-only, see operators/multimodal.py). Baseline
-    JPEG decodes for real since r9 (operators/jpegdec.py);
-    non-baseline JPEG variants (progressive etc.) return None like any
-    other uncovered container — the undecodable→null policy."""
+    when no decoder covers the container. Baseline JPEG decodes for real
+    since r9 (operators/jpegdec.py), GIF LZW since r10
+    (:func:`decode_gif_pixels`); non-baseline JPEG variants (progressive
+    etc.) return None like any other uncovered container — the
+    undecodable→null policy. decode_jpeg guarantees JpegError/
+    JpegUnsupported for ANY malformed input (unexpected parse failures
+    are converted inside, fuzz-pinned in tests/test_jpegdec.py), so one
+    corrupt blob nulls one row instead of crashing the whole
+    mapInPandas task."""
     if data[:8] == _PNG_MAGIC:
         return decode_png_pixels(data)
     if data[:2] == b"BM":
         return decode_bmp_pixels(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(data)
     if data[:2] == b"\xff\xd8":
         from basic_data_pipeline_spark.operators import jpegdec
 

@@ -61,6 +61,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from basic_data_pipeline_spark.caching import tracked_persist
+from basic_data_pipeline_spark.streaming import swapstore as _swapstore
 from basic_data_pipeline_spark.operators import dedup
 from basic_data_pipeline_spark.sources import tables
 
@@ -204,6 +205,7 @@ def _dropped_ids(pairs: DataFrame, id_col: str, survivor_policy: str) -> DataFra
     raise ValueError(f"unknown survivor_policy {survivor_policy!r}")
 
 
+@_swapstore.leased("index_path", owner="batch:incremental.build_index")
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -275,6 +277,7 @@ def build_index(
     return survivors
 
 
+@_swapstore.leased("index_path", owner="batch:incremental.incremental_dedup")
 def incremental_dedup(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -385,6 +388,7 @@ def incremental_dedup(
     return survivors
 
 
+@_swapstore.leased("index_path", owner="batch:incremental.compact_index")
 def compact_index(spark: SparkSession, index_path: str) -> dict:
     """Fold the bands/shingles tables back to one file per bucket —
     every epoch append lays down n_buckets more files, so a long-lived

@@ -43,6 +43,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from basic_data_pipeline_spark.streaming import swapstore as _swapstore
 from basic_data_pipeline_spark.caching import (
     free_local_checkpoint,
     tracked_local_checkpoint,
@@ -116,6 +117,7 @@ def _cap_hot(fps: DataFrame, max_hash_df: int | None) -> DataFrame:
     return fps.join(ok, "fhash", "left_semi")
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_audio.build_audio_index")
 def build_audio_index(
     spark: SparkSession,
     media: DataFrame,
@@ -156,6 +158,7 @@ def build_audio_index(
     return survivors
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_audio.incremental_audio_dedup")
 def incremental_audio_dedup(
     spark: SparkSession,
     new_media: DataFrame,
@@ -219,6 +222,7 @@ def incremental_audio_dedup(
     return survivors
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_audio.compact_audio_index")
 def compact_audio_index(spark: SparkSession, index_path: str) -> dict:
     """Fold the fingerprint table back to one file per bucket —
     bucket-preserving, via the shared maintenance.compact_bucketed."""

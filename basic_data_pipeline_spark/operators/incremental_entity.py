@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from basic_data_pipeline_spark.caching import tracked_persist
+from basic_data_pipeline_spark.streaming import swapstore as _swapstore
 from basic_data_pipeline_spark.operators import entity as E
 from basic_data_pipeline_spark.operators.dedup import duplicate_clusters
 from basic_data_pipeline_spark.sources import tables
@@ -127,6 +128,7 @@ def _prefix_with_frozen_freq(
     return prefix.unionByName(shorts)
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_entity.build_entity_index")
 def build_entity_index(
     spark: SparkSession,
     records: DataFrame,
@@ -214,6 +216,7 @@ def _resolve_aliases(
     raise RuntimeError("alias chain deeper than max_hops — index corrupt?")
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_entity.incremental_resolve")
 def incremental_resolve(
     spark: SparkSession,
     batch: DataFrame,
@@ -355,6 +358,7 @@ def current_entities(spark: SparkSession, index_path: str) -> DataFrame:
     return _resolve_aliases(out, aliases, "entity_id")
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_entity.compact_index")
 def compact_index(spark: SparkSession, index_path: str) -> dict:
     """Fold the grams/strings tables back to one file per bucket (see
     incremental.compact_index — same epoch-accretion rationale, same

@@ -43,6 +43,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from basic_data_pipeline_spark.streaming import swapstore as _swapstore
 from basic_data_pipeline_spark.caching import (
     free_local_checkpoint,
     tracked_local_checkpoint,
@@ -117,6 +118,7 @@ def _write_bands(
     )
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_images.build_image_index")
 def build_image_index(
     spark: SparkSession,
     media: DataFrame,
@@ -169,6 +171,7 @@ def build_image_index(
     return out
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_images.incremental_image_dedup")
 def incremental_image_dedup(
     spark: SparkSession,
     new_media: DataFrame,
@@ -232,6 +235,7 @@ def incremental_image_dedup(
     return survivors
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_images.compact_image_index")
 def compact_image_index(spark: SparkSession, index_path: str) -> dict:
     """Fold the band table back to one file per bucket (every epoch
     append lays down n_buckets more files) — bucket-preserving, via the

@@ -64,6 +64,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from basic_data_pipeline_spark.streaming import swapstore as _swapstore
 from basic_data_pipeline_spark.caching import (
     free_local_checkpoint,
     tracked_local_checkpoint,
@@ -147,6 +148,7 @@ def _alias_df(spark: SparkSession, fold: dict, node_t: str) -> DataFrame:
     )
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_linkgraph.build_graph_index")
 def build_graph_index(
     spark: SparkSession,
     edges: DataFrame,
@@ -187,6 +189,7 @@ def build_graph_index(
     return labels.select("node", "label")
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_linkgraph.add_edges")
 def add_edges(
     spark: SparkSession,
     new_edges: DataFrame,
@@ -336,6 +339,7 @@ def graph_edges(spark: SparkSession, index_path: str) -> DataFrame:
     ).select("src", "dst")
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_linkgraph.compact_graph_index")
 def compact_graph_index(spark: SparkSession, index_path: str) -> dict:
     """Fold the merge log into labels/ (rewrite with resolved labels,
     empty the log) and re-compact both bucketed tables to one file per

@@ -79,6 +79,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from basic_data_pipeline_spark.caching import tracked_persist
+from basic_data_pipeline_spark.streaming import swapstore as _swapstore
 from basic_data_pipeline_spark.operators import retrieval
 from basic_data_pipeline_spark.sources import tables
 
@@ -214,6 +215,7 @@ def _write_increment(
     return postings, wm
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_retrieval.build_retrieval_index")
 def build_retrieval_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -242,6 +244,7 @@ def build_retrieval_index(
     }
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_retrieval.incremental_retrieval_append")
 def incremental_retrieval_append(
     spark: SparkSession,
     batch: DataFrame,
@@ -450,6 +453,7 @@ def hybrid_index_search(
     )
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_retrieval.compact_dfreq")
 def compact_dfreq(spark: SparkSession, index_path: str) -> dict:
     """Fold the df delta log to one row per term (keeping each term's
     max watermark, so rebuild semantics survive compaction: folded rows
@@ -478,6 +482,7 @@ def compact_dfreq(spark: SparkSession, index_path: str) -> dict:
     return {"rows_before": before, "rows_after": rep["rows"]}
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_retrieval.compact_index")
 def compact_index(spark: SparkSession, index_path: str) -> dict:
     """Full index maintenance: fold the df delta log (compact_dfreq)
     AND rewrite the postings table back to one file per bucket — every

@@ -53,6 +53,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from basic_data_pipeline_spark.streaming import swapstore as _swapstore
 from basic_data_pipeline_spark.caching import (
     free_local_checkpoint,
     tracked_local_checkpoint,
@@ -120,6 +121,7 @@ def _first_per_gram(occ: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_substring.build_substring_index")
 def build_substring_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -155,6 +157,7 @@ def build_substring_index(
     return substring.substring_dedup_corpus(docs, id_col, text_col, k)
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_substring.incremental_substring_dedup")
 def incremental_substring_dedup(
     spark: SparkSession,
     batch: DataFrame,
@@ -227,6 +230,7 @@ def incremental_substring_dedup(
     return out
 
 
+@_swapstore.leased("index_path", owner="batch:incremental_substring.compact_index")
 def compact_index(spark: SparkSession, index_path: str) -> dict:
     """Fold the gram table back to one file per bucket (see
     incremental.compact_index — same epoch-accretion rationale, same

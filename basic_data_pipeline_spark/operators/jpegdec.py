@@ -167,7 +167,23 @@ def _idct8x8(coeffs: np.ndarray) -> np.ndarray:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """bytes → uint8 array (h, w) for grayscale or (h, w, 3) RGB.
-    Raises JpegError on damage, JpegUnsupported past baseline scope."""
+    Raises JpegError on damage, JpegUnsupported past baseline scope —
+    and NOTHING else: any unexpected parse failure on malformed input
+    (short struct fields, out-of-range indexes, bad numpy shapes from
+    inconsistent headers) is converted to JpegError so the mapInPandas
+    damage-to-null policy in images.decode_image_pixels holds for every
+    corrupt blob, not just the failure modes enumerated by hand
+    (tests/test_jpegdec.py fuzzes truncations at every byte offset)."""
+    try:
+        return _decode_jpeg(data)
+    except (JpegError, JpegUnsupported):
+        raise
+    except (ValueError, IndexError, KeyError, struct.error,
+            ZeroDivisionError, OverflowError) as e:
+        raise JpegError(f"malformed JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2
@@ -181,8 +197,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}")
-        marker = data[pos + 1]
-        pos += 2
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede the
+        # marker code — skip the run, the marker is the first non-FF
+        while pos < len(data) and data[pos] == 0xFF:
+            pos += 1
+        if pos >= len(data):
+            raise JpegError("truncated in marker fill bytes")
+        marker = data[pos]
+        pos += 1
+        if marker == 0x00:
+            raise JpegError("stray FF00 outside entropy-coded data")
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
@@ -267,6 +291,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if m2 == 0x00:
                     cur.append(0xFF)
                     ep += 2
+                elif m2 == 0xFF:
+                    ep += 1  # fill byte before a marker (B.1.1.2)
                 elif m2 is not None and 0xD0 <= m2 <= 0xD7:
                     chunks.append(bytes(cur))
                     cur = bytearray()
@@ -294,6 +320,16 @@ def _decode_scan(
         raise JpegUnsupported("multi-scan baseline (partial scans)")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for _cid, hs, vs, _tq in comps:
+        if hs < 1 or vs < 1:
+            raise JpegError("zero sampling factor")
+        if hmax % hs or vmax % vs:
+            # replication upsampling needs integer ratios; T.81 allows
+            # e.g. 3×1-vs-2×1 but no baseline encoder emits it
+            raise JpegUnsupported(
+                f"non-dividing sampling factors {hs}x{vs} vs max "
+                f"{hmax}x{vmax}"
+            )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     by_id = {c[0]: c for c in comps}

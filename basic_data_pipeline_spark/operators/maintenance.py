@@ -17,7 +17,10 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+from basic_data_pipeline_spark.streaming import swapstore as _swapstore
 
+
+@_swapstore.leased("location", owner="batch:maintenance.atomic_overwrite")
 def atomic_overwrite(
     df: DataFrame,
     location: str,
@@ -102,6 +105,7 @@ def assert_clean_stream_ledger(index_path: str) -> None:
                 )
 
 
+@_swapstore.leased("src_path", owner="batch:maintenance.compact_bucketed")
 def compact_bucketed(
     spark: SparkSession,
     src_path: str,

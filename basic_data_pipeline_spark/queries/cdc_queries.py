@@ -102,7 +102,7 @@ def cdc_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, user_id, event_type
       FROM events
       WHERE user_id NOT IN (SELECT user_id FROM events
-                            WHERE event_type = 'error')),
+                            WHERE event_type = 'error' AND value > 90)),
     ch AS (
       SELECT user_id, event_type, value, event_id AS vts,
              CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
@@ -142,7 +142,14 @@ def cdc_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basic_data_pipeline_spark.operators.scd import scd2_apply
 
     e = _t(spark, sf_dir, "events")
-    tombstones = e.filter(F.col("event_type") == "error")
+    # Tombstones are HIGH-SEVERITY errors only (value > 90): with the
+    # fixture's uniform event mix every user has SOME error event, so an
+    # unqualified tombstone set empties the delete_apply arm at every
+    # sf — a vacuously-green oracle arm, the exact class the r9 bm25
+    # finding exposed (caught by the r10 per-arm nonemptiness audit).
+    tombstones = e.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 90)
+    )
     da = cdc.apply_deletes(e, tombstones, "user_id").select(
         F.lit("delete_apply").alias("branch"),
         "event_id",

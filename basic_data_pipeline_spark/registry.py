@@ -200,6 +200,117 @@ CANONICAL_ORDER: tuple[str, ...] = (
 )
 
 
+# ---------------------------------------------------------------------------
+# PER-ARM NONEMPTINESS CONTRACT (r9 verdict item #1). A tag-union slot can
+# hash-match the oracle while one of its arms is EMPTY ON BOTH SIDES —
+# two rounds of green certified a bm25 arm that computed nothing (the 0.5
+# max-df cut emptied both engines, fixed r9), and writing this contract
+# immediately exposed a second one: cdc_delete_apply's delete_apply arm
+# had been empty at every sf since r4 (every fixture user has an error
+# event; fixed by a selective tombstone predicate, cdc_queries.py).
+#
+# For each tag-union slot: (tag_column, {arm: min_rows at sf0.01}).
+# `audit_arm_rows` asserts (a) every declared arm meets its floor,
+# (b) NO UNDECLARED ARM APPEARS — an arm lands in the same commit as its
+# contract row, and (c) the tag column exists. Slots absent here are
+# single-shape; they carry the implicit total floor MIN_TOTAL_ROWS.
+# Enforced by tests/test_arm_nonempty.py (runs the declared slots at
+# sf0.01) and by every tools/compare.py drive (all 50 slots, from the
+# already-collected rows — zero extra Spark work; ARM_AUDIT json per
+# round). Floors are 1 — the contract is a vacuity guard, not a
+# cardinality pin (exact values are the hash compare's job).
+#
+# NOT arms (data columns that look like tags): cdc_envelope_decode.op is
+# the CDC operation column of the fixture stream (all 'c' at small sf) —
+# payload, not a union branch; cdc_validate_dlq.table likewise names the
+# profiled table.
+# ---------------------------------------------------------------------------
+MIN_TOTAL_ROWS = 1
+ARM_CONTRACT: dict[str, tuple[str, dict[str, int]]] = {
+    "agg_multilevel": ("src", {"cube": 1, "gsets": 1, "rollup": 1}),
+    "array_lateral_suite": (
+        "kind", {"first3": 1, "has_the": 1, "n_toks": 1, "n_uniq": 1, "tok": 1},
+    ),
+    "cdc_delete_apply": ("branch", {"delete_apply": 1, "scd2": 1}),
+    "cdc_schema_drift_union": ("kind", {"diff": 1, "evolve": 1}),
+    "cdc_validate_dlq": ("kind", {"check": 1, "dlq": 1, "profile": 1}),
+    "dedup_exact_fp": (
+        "kind",
+        {"fingerprint": 1, "line_common": 1, "line_first": 1, "raw": 1,
+         "substr": 1, "substr_span": 1},
+    ),
+    "dedup_jaccard_truth": (
+        "kind",
+        {"hamband": 1, "hamming": 1, "pair": 1, "split": 1, "survivor": 1,
+         "winnow": 1},
+    ),
+    "join_flavors": ("flavor", {"full": 1, "inner": 1, "left": 1}),
+    "join_range_cross": (
+        "kind", {"binned": 1, "cross": 1, "fuzzy": 1, "theta": 1},
+    ),
+    "join_salted_skew": (
+        "kind", {"core": 1, "hits": 1, "join": 1, "pagerank": 1, "tri": 1},
+    ),
+    "join_semi_anti": ("kind", {"anti": 1, "semi": 1}),
+    "order_pick": ("kind", {"random_pick": 1, "sort50": 1}),
+    "rollup_hourly_to_daily": (
+        "branch",
+        {"anom": 1, "daily": 1, "funnel": 1, "gfi": 1, "gfl": 1, "lpa": 1,
+         "lttb": 1, "scc": 1, "sess": 1},
+    ),
+    "set_ops_suite": (
+        "op",
+        {"distinct": 1, "except": 1, "intersect": 1, "union_all": 1,
+         "union_distinct": 1},
+    ),
+    "sim_topk_methods": (
+        "method",
+        {"audiomatch": 1, "blocked": 1, "bm25": 1, "brute": 1, "rrf": 1,
+         "sq8": 1},
+    ),
+    "stream_fixed_windows": ("kind", {"sliding": 1, "tumbling": 1}),
+    "stream_session_late": ("kind", {"late_kept": 1, "session": 1}),
+    "text_lang_token": (
+        "grp",
+        {"blockphrase": 1, "c4line": 1, "domcap": 1, "domfilter": 1,
+         "domstats": 1, "dsir": 1, "gopher": 1, "knlm": 1, "lang": 1,
+         "links": 1, "lr": 1, "pplbucket": 1, "psi": 1, "rep2": 1,
+         "rep3": 1, "tokbudget": 1, "tokens": 1, "url": 1},
+    ),
+}
+
+
+def audit_arm_rows(name: str, cols: list[str], rows) -> list[str]:
+    """Audit one slot's COLLECTED result against the nonemptiness
+    contract; returns violation strings (empty = clean). Pure Python over
+    rows a gate already collected — no extra Spark work."""
+    problems: list[str] = []
+    if len(rows) < MIN_TOTAL_ROWS:
+        problems.append(f"{name}: {len(rows)} rows < floor {MIN_TOTAL_ROWS}")
+    if name not in ARM_CONTRACT:
+        return problems
+    tag_col, floors = ARM_CONTRACT[name]
+    if tag_col not in cols:
+        return problems + [f"{name}: tag column {tag_col!r} missing from {cols}"]
+    i = list(cols).index(tag_col)
+    counts: dict[str, int] = {}
+    for r in rows:
+        counts[r[i]] = counts.get(r[i], 0) + 1
+    for arm, floor in sorted(floors.items()):
+        if counts.get(arm, 0) < floor:
+            problems.append(
+                f"{name}[{arm}]: {counts.get(arm, 0)} rows < floor {floor} "
+                "— VACUOUS ARM (empty on both sides still hash-matches)"
+            )
+    undeclared = sorted(set(counts) - set(floors))
+    if undeclared:
+        problems.append(
+            f"{name}: undeclared arms {undeclared} — an arm lands with its "
+            "ARM_CONTRACT row in the same commit"
+        )
+    return problems
+
+
 def _reorder() -> None:
     """Rebuild REGISTRY in CANONICAL_ORDER; fail loudly on drift."""
     names = set(REGISTRY)

@@ -226,7 +226,7 @@ def make_ann_batch_fn(
         # wrapper runs in foreachBatch to do it
         release_persisted()
 
-    return fn
+    return swapstore.attach_release(fn, index_path, lease_token)
 
 
 def _on_disk_epochs(index_path: str) -> dict[str, dict[int, str]]:

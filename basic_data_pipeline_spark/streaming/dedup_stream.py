@@ -148,10 +148,15 @@ def make_guarded_batch_fn(
         ledger[tag] = state
         _write_ledger(index_path, ledger)
 
-        out = body(batch_df, epoch_id)
-        out.write.mode("overwrite").parquet(
-            os.path.join(out_root, f"epoch={epoch_id}")
-        )
+        # the body's batch operators (incremental_* appends) take the
+        # batch writer_lease themselves (r10); mark this chain as the
+        # live holder so the nested guard passes through instead of
+        # deadlocking against its own stream's lease
+        with swapstore.reentrant_scope(index_path, lease_token):
+            out = body(batch_df, epoch_id)
+            out.write.mode("overwrite").parquet(
+                os.path.join(out_root, f"epoch={epoch_id}")
+            )
 
         state["last_epoch"] = epoch_id
         state["intent"] = None
@@ -165,7 +170,7 @@ def make_guarded_batch_fn(
         free_local_checkpoint(out)
         release_persisted()
 
-    return fn
+    return swapstore.attach_release(fn, index_path, lease_token)
 
 
 def make_dedup_batch_fn(

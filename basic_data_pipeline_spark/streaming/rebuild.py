@@ -77,10 +77,32 @@ from basic_data_pipeline_spark.operators import (
     incremental_substring,
 )
 from basic_data_pipeline_spark.sources import tables
+from basic_data_pipeline_spark.streaming import swapstore
 from basic_data_pipeline_spark.streaming.dedup_stream import (
     _read_ledger,
     _write_ledger,
 )
+
+
+def _rebuild_guard(fn):
+    """Entry guard for every rebuild helper: force-release the CRASHED
+    writer's lease (a rebuild asserts that writer is gone — r9), then
+    hold the batch writer lease for the duration of the surgical rewrite
+    so no stream or batch mutator can interleave with it (r10). _finish
+    force-releases again near the end, so a restarted stream can take
+    the lease the moment the ledger is clean rather than at scope
+    exit."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark, index_path, *a, **kw):
+        swapstore.release_lease(index_path, force=True)
+        with swapstore.writer_lease(
+            index_path, owner=f"rebuild:{fn.__name__}"
+        ):
+            return fn(spark, index_path, *a, **kw)
+
+    return wrapped
 
 __all__ = [
     "rebuild_audio_index",
@@ -194,6 +216,7 @@ def _finish(
     return state["last_epoch"], removed
 
 
+@_rebuild_guard
 def rebuild_dedup_index(
     spark: SparkSession,
     index_path: str,
@@ -241,6 +264,7 @@ def rebuild_dedup_index(
     return report
 
 
+@_rebuild_guard
 def rebuild_substring_index(
     spark: SparkSession,
     index_path: str,
@@ -275,6 +299,7 @@ def rebuild_substring_index(
     return report
 
 
+@_rebuild_guard
 def rebuild_entity_index(
     spark: SparkSession,
     index_path: str,
@@ -342,6 +367,7 @@ def rebuild_entity_index(
     return report
 
 
+@_rebuild_guard
 def rebuild_retrieval_index(
     spark: SparkSession,
     index_path: str,
@@ -398,6 +424,7 @@ def rebuild_retrieval_index(
     return report
 
 
+@_rebuild_guard
 def rebuild_image_index(
     spark: SparkSession,
     index_path: str,
@@ -432,6 +459,7 @@ def rebuild_image_index(
     return report
 
 
+@_rebuild_guard
 def rebuild_audio_index(
     spark: SparkSession,
     index_path: str,
@@ -466,6 +494,7 @@ def rebuild_audio_index(
     return report
 
 
+@_rebuild_guard
 def rebuild_graph_index(
     spark: SparkSession,
     index_path: str,

@@ -94,7 +94,7 @@ def make_rollup_batch_fn(
         merged = merge_rollups(old, hourly_rollup(batch_df))
         swapstore.swap_in(merged, rollup_path, epoch_id, tag, _META)
 
-    return fn
+    return swapstore.attach_release(fn, rollup_path, lease_token)
 
 
 # --- date-partitioned store: rewrite only touched dates -------------------
@@ -194,7 +194,7 @@ def make_partitioned_rollup_batch_fn(
             os.rename(tmp, dd)
         swapstore.advance_watermark(rollup_root, epoch_id, tag, _META)
 
-    return fn
+    return swapstore.attach_release(fn, rollup_root, lease_token)
 
 
 def read_partitioned_rollup(spark: SparkSession, rollup_root: str) -> DataFrame:

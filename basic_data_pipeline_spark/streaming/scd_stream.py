@@ -83,7 +83,7 @@ def make_scd2_batch_fn(
         )
         swapstore.swap_in(new_hist, history_path, epoch_id, tag, _META)
 
-    return fn
+    return swapstore.attach_release(fn, history_path, lease_token)
 
 
 def scd2_files(

@@ -23,11 +23,13 @@ a real filesystem; object stores would use a commit protocol instead.
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import json
 import os
 import shutil
 import socket
+import threading
 import time
 
 from pyspark.sql import DataFrame
@@ -191,10 +193,30 @@ def acquire_lease(
                 f"acquired {cur.get('acquired')}); one writer per "
                 "directory — see swapstore.WriterLeaseHeld"
             )
+        # Steal ATOMICALLY by renaming the lease file aside: of any
+        # number of racers that judged the same file stale, exactly one
+        # rename succeeds (the rest get FileNotFoundError and retry).
+        # A plain remove+link here lets racer B remove racer A's FRESH
+        # lease (A read stale, removed, linked; B read stale earlier,
+        # removes A's new file) — two 'valid' tokens at once.
+        grave = f"{lp}.stale-{os.getpid()}-{time.time_ns()}"
         try:
-            os.remove(lp)  # stale or own: exactly one racer's link wins
+            os.rename(lp, grave)
         except FileNotFoundError:
-            pass
+            continue  # another stealer won the rename — retry
+        stolen = _read_lease(grave)
+        if stolen is not None and stolen.get("token") != cur.get("token"):
+            # Between our read and our rename the path was re-linked with
+            # a DIFFERENT (fresh) lease — we grabbed a live writer's file.
+            # Put it back; if someone linked meanwhile, the displaced
+            # holder fail-stops at its next renew (token re-verify).
+            try:
+                os.link(grave, lp)
+            except FileExistsError:
+                pass
+            os.remove(grave)
+            continue
+        os.remove(grave)  # confirmed the stale lease we read — discard
     raise WriterLeaseHeld(f"could not acquire {lp!r} after retries")
 
 
@@ -224,6 +246,19 @@ def renew_lease(path: str, token: str, ttl_seconds: float = 1800.0) -> None:
     with open(tmp, "w") as f:
         json.dump(cur, f)
     os.replace(tmp, lp)
+    # Re-verify: the read-check-replace above has a window where a
+    # takeover (or steal) landed between our read and our replace, and
+    # the replace just clobbered the NEW holder's lease. If the file no
+    # longer carries our token, a later writer overwrote us again — we
+    # lost; stop. If it carries ours but we overwrote someone, THEY fail
+    # this same check on their next renew — with every renewer
+    # re-verifying, at most one writer keeps proceeding.
+    cur2 = _read_lease(lp)
+    if cur2 is None or cur2.get("token") != token:
+        raise WriterLeaseHeld(
+            f"lost the writer lease on {path!r} during renew (another "
+            "writer took over); this writer must stop"
+        )
 
 
 def release_lease(path: str, token: str | None = None, force: bool = False) -> None:
@@ -239,6 +274,135 @@ def release_lease(path: str, token: str | None = None, force: bool = False) -> N
             os.remove(lp)
         except FileNotFoundError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Batch-side writer guard (r9 verdict item #2)
+#
+# The r9 lease covered the STREAMING writer factories only; the batch
+# mutators (incremental_* appends, the per-family compact_index, bucketed
+# compaction, atomic_overwrite swaps) ran unleased — a batch compaction
+# racing a live guarded stream is exactly the double-writer corruption
+# the lease exists to stop. `writer_lease` wraps every such entry point:
+#
+# * RE-ENTRANT within one thread: the guarded stream skeleton invokes its
+#   own body's operators (incremental_dedup inside make_guarded_batch_fn)
+#   under `reentrant_scope`, and a family compact_index calls
+#   compact_bucketed — the inner wrapper sees the same lease path already
+#   held by this thread's chain and passes through after verifying the
+#   lease file still carries the chain's token;
+# * NON-TAKEOVER across writers: unlike the stream factories (a restarted
+#   stream in a long-lived driver must supersede its predecessor), a
+#   batch mutator never steals a LIVE same-process lease — a compaction
+#   launched while a guarded stream runs in the same driver raises
+#   WriterLeaseHeld instead of interleaving with the stream's appends.
+# ---------------------------------------------------------------------------
+
+_HELD = threading.local()  # .chain: dict[lease_path, token] for this thread
+
+
+def _held_chain() -> dict:
+    if not hasattr(_HELD, "chain"):
+        _HELD.chain = {}
+    return _HELD.chain
+
+
+@contextlib.contextmanager
+def reentrant_scope(path: str, token: str):
+    """Mark ``path``'s lease as held by the current thread's call chain
+    (the guarded stream skeleton brackets its body with this), so nested
+    `writer_lease` entries on the same path pass through instead of
+    deadlocking against their own caller."""
+    chain = _held_chain()
+    lp = lease_path(path)
+    outer = chain.get(lp)
+    chain[lp] = token
+    try:
+        yield
+    finally:
+        if outer is None:
+            chain.pop(lp, None)
+        else:
+            chain[lp] = outer
+
+
+@contextlib.contextmanager
+def writer_lease(path: str, owner: str | None = None, ttl_seconds: float = 1800.0):
+    """Single-writer guard for a BATCH mutation of ``path`` (index append,
+    compaction, atomic overwrite). Acquires the lease for the duration,
+    releasing on exit; re-entrant within the current thread's chain (see
+    module note). Raises WriterLeaseHeld when any live writer — including
+    a guarded stream in this same process — holds the directory."""
+    chain = _held_chain()
+    lp = lease_path(path)
+    if lp in chain:
+        cur = _read_lease(lp)
+        if cur is not None and cur.get("token") == chain[lp]:
+            yield chain[lp]  # nested under our own chain's live lease
+            return
+        raise WriterLeaseHeld(
+            f"the enclosing writer's lease on {path!r} is gone or "
+            "foreign — the chain lost the lease; stop writing"
+        )
+    token = acquire_lease(
+        path, ttl_seconds=ttl_seconds, owner=owner,
+        takeover_same_process=False,
+    )
+    chain[lp] = token
+    try:
+        yield token
+    finally:
+        chain.pop(lp, None)
+        release_lease(path, token)
+
+
+def leased(path_arg: str, owner: str):
+    """Decorate a batch index mutator so the call runs under
+    `writer_lease` on the bound value of ``path_arg`` — the one-line way
+    every index-dir-mutating batch entry point takes the guard."""
+    import functools
+    import inspect
+
+    def deco(fn):
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapped(*a, **kw):
+            bound = sig.bind(*a, **kw)
+            bound.apply_defaults()
+            with writer_lease(bound.arguments[path_arg], owner=owner):
+                return fn(*a, **kw)
+
+        return wrapped
+
+    return deco
+
+
+def attach_release(fn, path: str, token: str):
+    """Attach an idempotent lease-release hook to a foreachBatch callable
+    built by a stream factory: ``fn.lease_release()`` frees the writer
+    lease the factory acquired, so a cleanly-stopped stream does not
+    block its replacement for the remaining ttl. Also records
+    ``fn.lease_path_dir`` / ``fn.lease_token`` for diagnostics."""
+    released = {"done": False}
+
+    def _release() -> None:
+        if not released["done"]:
+            released["done"] = True
+            release_lease(path, token)
+
+    fn.lease_release = _release
+    fn.lease_path_dir = path
+    fn.lease_token = token
+    return fn
+
+
+def release_writer(fn) -> None:
+    """Release the writer lease held by a stream factory's batch fn (a
+    no-op for callables without one). Call after the stream stops."""
+    rel = getattr(fn, "lease_release", None)
+    if rel is not None:
+        rel()
 
 
 def swap_in(

@@ -31,11 +31,24 @@ Per-arm walls (round 9 — the r8 lesson where sim_topk_methods' +220%
 was invisible-by-construction because the slot had gained 4 arms):
 tag-union headliners (leading `kind`/`grp`/`branch`/`method` column
 with >= 4 distinct values) are ALSO timed one arm at a time — the query
-is rebuilt with a `filter(tag == arm)` appended, which constant-folds
-every other union branch away, so each arm's wall is the shared input
-scan plus that arm's own work. Bests ride in `queries_arms`; the
+is built ONCE per pass (its construction wall reported as `_construct`)
+and each arm executes a `filter(tag == arm)` over that one plan, which
+constant-folds every other union branch away at EXECUTION. So each
+arm's wall is the shared input scan plus that arm's own execution;
+work a slot performs EAGERLY at query construction (driver-loop arms
+like scc/lpa or per-round-checkpointed pagerank, should such a slot
+ever become a headliner) lands once in `_construct`, never smeared
+into every arm's number (r9 ADVICE — the old per-arm rebuild re-ran
+eager construction per arm). Bests ride in `queries_arms`; the
 headline `queries` numbers stay untouched and comparable. Arm passes
 run min(3, runs) times to bound added wall time.
+
+Noise floor (round 10): `queries_spread` records each headline query's
+best-of-N sample stdev and count, so cross-round tables can mark
+sub-noise deltas mechanically — a sub-second query whose delta is
+within ~2× its stdev moved by session noise, not code (the r9 verdict
+eyeballed q3's +14%/0.07 s; now the artifact carries the floor). See
+README.md "Benchmarking".
 
 `value` is the sum of the per-query bests; `runs` records the repeat
 count."""
@@ -153,11 +166,20 @@ def main() -> None:
             if name in errors:
                 continue
             per = arm_samples.setdefault(name, {})
+            try:  # build once per pass; eager construction lands here
+                t0 = time.perf_counter()
+                df = qs[name](spark, SF_DIR)
+                per.setdefault("_construct", []).append(
+                    round(time.perf_counter() - t0, 3)
+                )
+            except Exception as exc:  # noqa: BLE001
+                errors[f"{name}[_construct]"] = (
+                    f"{type(exc).__name__}: {exc}"[:500]
+                )
+                continue
             for arm in arms:
                 try:
-                    dt = _timed_noop(
-                        qs[name](spark, SF_DIR).filter(F.col(tag) == arm)
-                    )
+                    dt = _timed_noop(df.filter(F.col(tag) == arm))
                 except Exception as exc:  # noqa: BLE001
                     errors[f"{name}[{arm}]"] = (
                         f"{type(exc).__name__}: {exc}"[:500]
@@ -167,6 +189,13 @@ def main() -> None:
 
     best = {n: min(v) for n, v in samples.items()}
     median = {n: round(statistics.median(v), 3) for n, v in samples.items()}
+    spread = {
+        n: {
+            "stdev": round(statistics.stdev(v), 3) if len(v) > 1 else None,
+            "n": len(v),
+        }
+        for n, v in samples.items()
+    }
     total = round(sum(best.values()), 3)
     arms_best = {
         n: {a: min(v) for a, v in per.items() if v}
@@ -189,6 +218,7 @@ def main() -> None:
             else None
         ),
         "queries_arms": arms_best,
+        "queries_spread": spread,
         "runs": N_RUNS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -422,3 +422,94 @@ def test_mixed_png_jpeg_near_dup_corpus(spark):
     assert all(
         len({by_group[i] for i in p}) == 1 for p in linked
     ), "no cross-group false pairs at this budget"
+
+
+def test_fill_bytes_before_markers_decode_identically():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    code. Insert fill runs before every top-level marker AND before the
+    RSTn markers inside the entropy stream; the decode must equal the
+    unpadded one (legal padding, not damage)."""
+    img = _gradient(24, 24, rgb=True)
+    raw = encode_jpeg_reference(img, restart_interval=2)
+    base = J.decode_jpeg(raw)
+
+    padded = bytearray()
+    i = 0
+    in_scan = False
+    while i < len(raw):
+        b = raw[i]
+        if b == 0xFF and i + 1 < len(raw):
+            m = raw[i + 1]
+            if m == 0x00:  # stuffed data byte — copy verbatim
+                padded += raw[i : i + 2]
+                i += 2
+                continue
+            # pad every marker except the leading SOI (the interchange
+            # format starts with SOI proper), including in-scan RSTn
+            if m != 0xFF and i > 0:
+                padded += b"\xff\xff\xff"  # three fill bytes
+                padded += raw[i : i + 2]
+                if m == 0xDA:
+                    in_scan = True
+                i += 2
+                continue
+        padded.append(b)
+        i += 1
+    assert in_scan
+    out = J.decode_jpeg(bytes(padded))
+    assert np.array_equal(out, base)
+
+
+def test_truncation_fuzz_every_offset_raises_jpeg_errors_only():
+    """The damage-to-null contract: for EVERY truncation point of a valid
+    JPEG, decode_jpeg either succeeds or raises JpegError/JpegUnsupported
+    — never struct.error / IndexError / bare ValueError, which would
+    crash the whole mapInPandas task instead of nulling one row."""
+    img = _gradient(17, 13, rgb=True)  # non-multiple-of-8 dims
+    raw = encode_jpeg_reference(img, restart_interval=1)
+    for k in range(len(raw)):
+        try:
+            J.decode_jpeg(raw[:k])
+        except (J.JpegError, J.JpegUnsupported):
+            pass
+
+
+def test_corruption_fuzz_byte_flips_raise_jpeg_errors_only():
+    """Flip each byte of the header/tables region (and a stride through
+    the entropy data) to 8 different values: only JpegError/
+    JpegUnsupported (or a successful decode) may come out."""
+    img = _smooth(16, 16)
+    raw = bytearray(encode_jpeg_reference(img))
+    positions = list(range(0, min(len(raw), 120))) + list(
+        range(120, len(raw), 7)
+    )
+    for p in positions:
+        orig = raw[p]
+        for v in (0x00, 0x01, 0x3F, 0x7F, 0x80, 0xC2, 0xFF, orig ^ 0xA5):
+            raw[p] = v
+            try:
+                J.decode_jpeg(bytes(raw))
+            except (J.JpegError, J.JpegUnsupported):
+                pass
+            finally:
+                raw[p] = orig
+
+
+def test_non_dividing_sampling_factors_unsupported():
+    """hmax/vmax not divisible by a component's factors (e.g. 3x1 luma
+    with 2x1 chroma) is outside replication-upsampling scope — must be
+    JpegUnsupported, not a numpy shape crash."""
+    img = _gradient(16, 16, rgb=True)
+    raw = bytearray(encode_jpeg_reference(img, subsample=True))
+    # find SOF0 and rewrite luma sampling 2x2 -> 3x2 (non-dividing vs
+    # chroma 1x1 is fine; 3 % 2 breaks the hmax divisibility for chroma
+    # only if hmax=3 — chroma hs=1 divides 3; so make chroma hs=2: 3%2=1)
+    i = raw.find(b"\xff\xc0")
+    assert i > 0
+    # SOF payload: len(2) prec(1) h(2) w(2) nc(1) then per-comp (cid, hv, tq)
+    comp0_hv = i + 4 + 1 + 4 + 1 + 1  # first comp's hv byte
+    raw[comp0_hv] = 0x32  # h=3, v=2 (chroma stays 1x1 -> fine)
+    comp1_hv = comp0_hv + 3
+    raw[comp1_hv] = 0x21  # chroma h=2 (2 does not divide hmax=3), v=1
+    with pytest.raises(J.JpegUnsupported):
+        J.decode_jpeg(bytes(raw))

@@ -144,3 +144,178 @@ def test_rebuild_force_releases_lease(spark, tmp_path):
     # restarted stream acquires with no ttl wait
     DS.make_dedup_batch_fn(idx, str(tmp_path / "out2"))
     SW.release_lease(idx, force=True)
+
+
+# --------------------------------------------------------------------------
+# r10: batch-side writer guard (verdict item #2) + steal/renew atomicity
+# --------------------------------------------------------------------------
+
+
+def test_writer_lease_blocks_while_stream_holds(tmp_path):
+    """The headline interleaving case: a guarded stream factory holds the
+    index lease; a batch mutation launched meanwhile (compaction, append)
+    must raise WriterLeaseHeld — even same-process — instead of
+    interleaving with the stream's append+ledger protocol."""
+    p = str(tmp_path / "idx")
+    token = SW.acquire_lease(p, owner="guarded-stream:test")
+    with pytest.raises(SW.WriterLeaseHeld):
+        with SW.writer_lease(p, owner="batch:compact"):
+            pass
+    SW.release_lease(p, token)
+    with SW.writer_lease(p, owner="batch:compact") as t2:
+        assert t2
+    assert not os.path.exists(SW.lease_path(p))
+
+
+def test_writer_lease_reentrant_within_chain(tmp_path):
+    """A guarded stream's body invokes wrapped batch operators on its own
+    index: under reentrant_scope the nested writer_lease passes through;
+    outside it, it blocks."""
+    p = str(tmp_path / "idx")
+    token = SW.acquire_lease(p)
+    with SW.reentrant_scope(p, token):
+        with SW.writer_lease(p, owner="batch:nested") as t:
+            assert t == token  # pass-through, no second acquisition
+        # still held by the stream afterwards (pass-through released nothing)
+        assert json.load(open(SW.lease_path(p)))["token"] == token
+    with pytest.raises(SW.WriterLeaseHeld):
+        with SW.writer_lease(p, owner="batch:outside"):
+            pass
+    SW.release_lease(p, token)
+
+
+def test_reentrant_chain_detects_lost_lease(tmp_path):
+    """If the enclosing writer's lease vanished or was stolen, the nested
+    guard fails loudly instead of silently writing unleased."""
+    p = str(tmp_path / "idx")
+    token = SW.acquire_lease(p)
+    with SW.reentrant_scope(p, token):
+        SW.release_lease(p, token, force=True)
+        with pytest.raises(SW.WriterLeaseHeld):
+            with SW.writer_lease(p):
+                pass
+
+
+def test_stale_steal_is_atomic_under_racers(tmp_path):
+    """Many threads that all judged the same lease stale race to steal
+    it: exactly one may hold a valid token at the end (the rename-aside
+    steal gives one winner; losers either retry into WriterLeaseHeld or
+    acquire-and-release in turn). The invariant checked: at no point do
+    two racers BOTH believe they hold the lease (every winner's token
+    must be the file's token while it holds)."""
+    import threading
+
+    p = str(tmp_path / "idx")
+    lp = SW.lease_path(p)
+    stale = SW._lease_payload(0.0, "crashed")  # ttl 0 → instantly stale
+    stale["pid"] = 99999999  # and a dead pid
+    with open(lp, "w") as f:
+        json.dump(stale, f)
+
+    holders = []
+    lock = threading.Lock()
+    errs = []
+
+    def racer():
+        try:
+            t = SW.acquire_lease(p, takeover_same_process=False)
+        except SW.WriterLeaseHeld:
+            return
+        with lock:
+            cur = SW._read_lease(lp)
+            holders.append((t, cur and cur.get("token")))
+        SW.release_lease(p, t)
+
+    threads = [threading.Thread(target=racer) for _ in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # every successful acquirer observed ITS OWN token in the file while
+    # holding — no dual-holder window survived the steal
+    assert holders, "nobody stole the stale lease"
+    for token, seen in holders:
+        assert token == seen
+
+
+def test_renew_reverifies_after_replace(tmp_path):
+    """A renew that lands after a takeover must not silently resurrect
+    the old writer: the re-verify raises for the superseded token."""
+    p = str(tmp_path / "idx")
+    t1 = SW.acquire_lease(p)
+    t2 = SW.acquire_lease(p)  # same-process takeover
+    with pytest.raises(SW.WriterLeaseHeld):
+        SW.renew_lease(p, t1)
+    SW.renew_lease(p, t2)
+    SW.release_lease(p, t2)
+
+
+def test_batch_mutators_are_leased_end_to_end(spark, tmp_path):
+    """incremental.build_index / incremental_dedup / compact_index all
+    acquire and release the writer lease; a live foreign holder blocks
+    each of them."""
+    from basic_data_pipeline_spark.operators import incremental as inc
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with some shared shingle text") for i in range(30)],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "idx")
+    inc.build_index(spark, docs, p)
+    assert not os.path.exists(SW.lease_path(p))  # released after build
+
+    # simulate a LIVE foreign-process holder
+    import subprocess
+    import sys as _sys
+
+    helper = subprocess.Popen([_sys.executable, "-c", "import time; time.sleep(60)"])
+    try:
+        token = SW.acquire_lease(p)
+        lp = SW.lease_path(p)
+        cur = json.load(open(lp))
+        cur["pid"] = helper.pid
+        cur["token"] = "foreign"
+        with open(lp, "w") as f:
+            json.dump(cur, f)
+        batch = spark.createDataFrame(
+            [(100, "a fresh doc")], "doc_id long, text string"
+        )
+        with pytest.raises(SW.WriterLeaseHeld):
+            inc.incremental_dedup(spark, batch, p)
+        with pytest.raises(SW.WriterLeaseHeld):
+            inc.compact_index(spark, p)
+    finally:
+        helper.kill()
+    SW.release_lease(p, None, force=True)
+    # unblocked: both run
+    batch = spark.createDataFrame(
+        [(101, "another fresh doc")], "doc_id long, text string"
+    )
+    inc.incremental_dedup(spark, batch, p)
+    inc.compact_index(spark, p)
+    assert not os.path.exists(SW.lease_path(p))
+
+
+def test_guarded_stream_release_hook(spark, tmp_path):
+    """A cleanly stopped stream releases its lease via the attached hook
+    instead of blocking a replacement writer for the remaining ttl."""
+    from basic_data_pipeline_spark.streaming import dedup_stream as DS
+
+    p = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    docs = spark.createDataFrame(
+        [(1, "first document text here")], "doc_id long, text string"
+    )
+    from basic_data_pipeline_spark.operators import incremental as inc
+
+    inc.build_index(spark, docs, p)
+    fn = DS.make_dedup_batch_fn(p, out)
+    assert os.path.exists(SW.lease_path(p))
+    b = spark.createDataFrame([(2, "second doc")], "doc_id long, text string")
+    fn(b, 0)
+    SW.release_writer(fn)
+    assert not os.path.exists(SW.lease_path(p))
+    SW.release_writer(fn)  # idempotent
+    # a replacement writer acquires immediately
+    fn2 = DS.make_dedup_batch_fn(p, out)
+    SW.release_writer(fn2)

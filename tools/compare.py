@@ -71,6 +71,7 @@ def run() -> int:
 
     n_pass = n_fail = n_rowsonly = 0
     failures: list[str] = []
+    arm_audit: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         t0 = time.time()
         try:
@@ -81,6 +82,27 @@ def run() -> int:
         except Exception:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc()
+            n_fail += 1
+            failures.append(name)
+            continue
+
+        # per-arm nonemptiness audit (r10): from the rows already
+        # collected — a union-merged slot must not carry an arm that is
+        # empty on both sides (empty-vs-empty still hash-matches)
+        arm_problems = registry.audit_arm_rows(name, scols, srows)
+        tag = registry.ARM_CONTRACT.get(name)
+        if tag is not None:
+            i = scols.index(tag[0]) if tag[0] in scols else None
+            counts = {}
+            if i is not None:
+                for r in srows:
+                    counts[r[i]] = counts.get(r[i], 0) + 1
+            arm_audit[name] = {"tag_col": tag[0], "arms": counts,
+                               "violations": arm_problems}
+        else:
+            arm_audit[name] = {"rows": len(srows), "violations": arm_problems}
+        if arm_problems:
+            print(f"FAIL  {name}: ARM AUDIT: " + "; ".join(arm_problems))
             n_fail += 1
             failures.append(name)
             continue
@@ -131,6 +153,18 @@ def run() -> int:
         f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} fail"
         + (f" — failing: {', '.join(failures)}" if failures else "")
     )
+    audit_out = os.environ.get("SPARK_GRAFT_ARM_AUDIT_OUT")
+    if audit_out and not filters:
+        import json
+
+        with open(audit_out, "w") as f:
+            json.dump(
+                {"sf_dir": SF_DIR, "slots": arm_audit,
+                 "all_arms_nonempty": all(
+                     not v["violations"] for v in arm_audit.values())},
+                f, indent=1, sort_keys=True,
+            )
+        print(f"arm audit → {audit_out}")
     spark.stop()
     return 1 if n_fail else 0
 

@@ -33,10 +33,32 @@ SHIFT = 10_000_000_000
 
 
 def main() -> None:
+    """Tiers (r10, verdict item #3): SPARK_GRAFT_RETR_TIERS="16,64,256"
+    probes the persisted index across ALL those replica dirs in ONE
+    session (same-session ratios, the SCALING.md convention) instead of
+    the single PROBE_DIR pair. Unperturbed replicas are the HONEST
+    retrieval model here: real corpora keep term-df FRACTIONS roughly
+    constant as they grow, so a fixed query batch's candidate volume
+    growing ∝ n is the workload's own size (op_bm25_topk attribution);
+    the perturbed dirs would pin df constant and trivially flatten the
+    search. max_df_frac cuts are df-FRACTION-based and scale-invariant
+    under replication, so the hot-term cut behavior is exercised
+    identically at every tier."""
     spark = get_spark("retr_idx_probe")
-    if not os.path.isdir(sp.PROBE_DIR):
-        print("building probe dir ...", file=sys.stderr)
-        sp.build_probe_dir(spark)
+    tiers_env = os.environ.get("SPARK_GRAFT_RETR_TIERS", "")
+    if tiers_env:
+        tiers = [("sf0.1", sp.BASE)] + [
+            (f"{n}x", f"/tmp/spark_graft_sf{n}x")
+            for n in (int(t) for t in tiers_env.split(","))
+        ]
+        for label, d in tiers:
+            if not os.path.isdir(d):
+                raise SystemExit(f"missing probe dir {d} for tier {label}")
+    else:
+        tiers = [("sf0.1", sp.BASE), (f"{sp.COPIES}x", sp.PROBE_DIR)]
+        if not os.path.isdir(sp.PROBE_DIR):
+            print("building probe dir ...", file=sys.stderr)
+            sp.build_probe_dir(spark)
 
     base_docs = load_table(spark, sp.BASE, "documents").select(
         "doc_id", "text"
@@ -56,7 +78,7 @@ def main() -> None:
         .localCheckpoint(eager=True)
     )
 
-    for label, src in (("sf0.1", sp.BASE), (f"{sp.COPIES}x", sp.PROBE_DIR)):
+    for label, src in tiers:
         docs = load_table(spark, src, "documents").select("doc_id", "text")
         idx = os.path.join(tempfile.mkdtemp(), "ridx")
 
