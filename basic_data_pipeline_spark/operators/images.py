@@ -25,12 +25,12 @@ banding is one explode (×bands) + one equi-join on 16-ish-bit band
 values + a bit_count filter, all JVM codegen. The reference
 (/root/reference/consumer_to_file.py) ships no media handling at all;
 this is the north-star multimodal surface made real for the codecs the
-standard library can honestly decode: PNG, BMP, (since r9) baseline
-JPEG via operators/jpegdec.py, and (since r10) GIF — the LZW entropy
-stream is ~100 lines of public spec (Appendix F), so GIF first-frame
-pixels now decode for real too. Non-baseline JPEG (progressive,
-arithmetic) returns null like any other uncovered container; video
-stays documented-gated (an H.264 decoder is not a sane from-scratch
+standard library can honestly decode: PNG, BMP, JPEG (baseline since
+r9, PROGRESSIVE since r10 — operators/jpegdec.py), and GIF (since r10 —
+the LZW entropy stream is ~100 lines of public spec, Appendix F). The
+remaining JPEG variants (arithmetic coding, 12-bit, hierarchical)
+return null like any other uncovered container; video stays
+documented-gated (an H.264 decoder is not a sane from-scratch
 deliverable).
 
 The decoders are exact, not fast: PNG's Average/Paeth rows fall back
@@ -359,7 +359,9 @@ def decode_image_pixels(data: bytes) -> np.ndarray | None:
     since r9 (operators/jpegdec.py), GIF LZW since r10
     (:func:`decode_gif_pixels`); non-baseline JPEG variants (progressive
     etc.) return None like any other uncovered container — the
-    undecodable→null policy. decode_jpeg guarantees JpegError/
+    undecodable→null policy (progressive decodes for real since r10;
+    arithmetic/12-bit/hierarchical remain the gated variants).
+    decode_jpeg guarantees JpegError/
     JpegUnsupported for ANY malformed input (unexpected parse failures
     are converted inside, fuzz-pinned in tests/test_jpegdec.py), so one
     corrupt blob nulls one row instead of crashing the whole

@@ -1,16 +1,19 @@
-"""Baseline JPEG decoder in pure stdlib + numpy — retires the last
-pixel-decode gate (r8 verdict stretch item #7; the PNG decoder in
+"""JPEG decoder (baseline + progressive) in pure stdlib + numpy (r8
+stretch item #7, progressive closed r10; the PNG decoder in
 operators/images.py is the precedent: public-spec formats implemented
 from the spec so the multimodal pipeline runs REAL pixels with no
 third-party codec).
 
-Scope: baseline DCT (SOF0), Huffman entropy coding, 8-bit samples,
-1 or 3 components, any sampling factors (4:4:4, 4:2:2, 4:2:0 covered by
-the general h×v max-factor upsampler), restart markers (DRI/RSTn),
-16-bit DQT entries. Progressive (SOF2), arithmetic coding, 12-bit, and
-hierarchical modes stay out of scope — `JpegUnsupported` names the
-feature so operators/multimodal.py can keep its loud-gate convention
-for the exotic variants.
+Scope: baseline DCT (SOF0/1) AND progressive (SOF2, since r10) —
+Huffman entropy coding, 8-bit samples, 1 or 3 components, any sampling
+factors (4:4:4, 4:2:2, 4:2:0 covered by the general h×v max-factor
+upsampler), restart markers (DRI/RSTn), 16-bit DQT entries; progressive
+covers spectral selection, successive approximation (DC + AC first and
+refinement passes, EOBRUN), interleaved DC scans, and non-interleaved
+AC scans over true (unpadded) component block dims. Arithmetic coding,
+12-bit, and hierarchical modes stay out of scope — `JpegUnsupported`
+names the feature so operators/multimodal.py can keep its loud-gate
+convention for the exotic variants.
 
 Implementation notes (ITU-T T.81 / ISO 10918-1, public spec):
 
@@ -46,8 +49,9 @@ class JpegError(ValueError):
 
 
 class JpegUnsupported(ValueError):
-    """Valid JPEG using a feature outside the baseline scope
-    (progressive, arithmetic, 12-bit, >3 components)."""
+    """Valid JPEG using a feature outside the supported scope
+    (arithmetic coding, 12-bit, hierarchical, >3 components;
+    baseline AND progressive both decode for real)."""
 
 
 _ZIGZAG = np.array(
@@ -134,33 +138,6 @@ def _decode_symbol(r: _BitReader, h: _Huff) -> int:
     raise JpegError("invalid Huffman code")
 
 
-def _decode_block(
-    r: _BitReader, dc_tab: _Huff, ac_tab: _Huff, pred: int
-) -> tuple[np.ndarray, int]:
-    """One 8×8 block of dequantizable coefficients in zigzag order,
-    plus the updated DC predictor."""
-    zz = np.zeros(64, dtype=np.int64)
-    t = _decode_symbol(r, dc_tab)
-    diff = _extend(r.receive(t), t)
-    pred += diff
-    zz[0] = pred
-    k = 1
-    while k < 64:
-        rs = _decode_symbol(r, ac_tab)
-        run, size = rs >> 4, rs & 0x0F
-        if size == 0:
-            if run == 15:  # ZRL: sixteen zeros
-                k += 16
-                continue
-            break  # EOB
-        k += run
-        if k >= 64:
-            raise JpegError("AC run past block end")
-        zz[k] = _extend(r.receive(size), size)
-        k += 1
-    return zz, pred
-
-
 def _idct8x8(coeffs: np.ndarray) -> np.ndarray:
     return _C.T @ coeffs @ _C
 
@@ -190,9 +167,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
-    frame = None  # (h, w, [(cid, hs, vs, tq)])
+    frame = None  # (h, w, [(cid, hs, vs, tq)], progressive)
     restart_interval = 0
-    rgb = None
+    state = None  # _FrameState once the first SOS arrives
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -248,7 +225,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     raise JpegError("truncated DHT")
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, values)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise JpegUnsupported(f"{prec}-bit samples")
@@ -260,8 +237,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = (h, w, comps, marker == 0xC2)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegUnsupported(
                 f"non-baseline frame type SOF{marker - 0xC0}"
@@ -276,6 +253,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
+            if len(seg) < 1 + 2 * ns + 3:
+                raise JpegError("truncated SOS header")
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             # entropy-coded data follows the SOS segment
             ep = pos + seglen
             chunks: list[bytes] = []
@@ -300,98 +282,298 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 else:
                     break  # a real marker ends the scan
             chunks.append(bytes(cur))
-            rgb = _decode_scan(
-                frame, scan, chunks, qt, huff_dc, huff_ac,
-                restart_interval,
+            if state is None:
+                state = _FrameState(frame)
+            state.decode_scan(
+                scan, chunks, huff_dc, huff_ac, restart_interval,
+                ss, se, ah, al,
             )
             pos = ep
             continue
         pos += seglen
-    if rgb is None:
+    if state is None or not state.any_scan:
         raise JpegError("no scan decoded")
-    return rgb
+    return state.render(qt)
 
 
-def _decode_scan(
-    frame, scan, chunks, qt, huff_dc, huff_ac, restart_interval
-) -> np.ndarray:
-    h, w, comps = frame
-    if len(scan) != len(comps):
-        raise JpegUnsupported("multi-scan baseline (partial scans)")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    for _cid, hs, vs, _tq in comps:
-        if hs < 1 or vs < 1:
-            raise JpegError("zero sampling factor")
-        if hmax % hs or vmax % vs:
-            # replication upsampling needs integer ratios; T.81 allows
-            # e.g. 3×1-vs-2×1 but no baseline encoder emits it
-            raise JpegUnsupported(
-                f"non-dividing sampling factors {hs}x{vs} vs max "
-                f"{hmax}x{vmax}"
+class _FrameState:
+    """Per-image coefficient accumulator: every scan (the single scan of
+    a baseline image; the DC/AC first+refinement scan sequence of a
+    progressive one, T.81 Annex G) decodes QUANTIZED coefficients into
+    per-component block arrays, and `render` dequantizes + IDCTs once at
+    EOI. Sequential and progressive share the marker walk, the bit
+    reader, the restart handling, and this accumulator — only the
+    per-block coefficient procedure differs."""
+
+    def __init__(self, frame) -> None:
+        h, w, comps, progressive = frame
+        if h == 0 or w == 0:
+            raise JpegError("zero frame dimension")
+        self.h, self.w = h, w
+        self.comps = comps  # [(cid, hs, vs, tq)]
+        self.progressive = progressive
+        self.any_scan = False
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        for _cid, hs, vs, _tq in comps:
+            if hs < 1 or vs < 1:
+                raise JpegError("zero sampling factor")
+            if self.hmax % hs or self.vmax % vs:
+                raise JpegUnsupported(
+                    f"non-dividing sampling factors {hs}x{vs} vs max "
+                    f"{self.hmax}x{self.vmax}"
+                )
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        self.coef: list[np.ndarray] = []
+        self.bdims: list[tuple[int, int]] = []  # true block dims per comp
+        for _cid, hs, vs, _tq in comps:
+            cw = -(-w * hs // self.hmax)
+            ch = -(-h * vs // self.vmax)
+            self.bdims.append((-(-ch // 8), -(-cw // 8)))
+            # padded to whole MCUs: interleaved scans address the pad
+            self.coef.append(
+                np.zeros((self.mcuy * vs, self.mcux * hs, 64), np.int64)
             )
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    by_id = {c[0]: c for c in comps}
-    planes = []
-    meta = []  # (hs, vs, qtab, dc_tab, ac_tab)
-    for cs, td, ta in scan:
-        if cs not in by_id:
-            raise JpegError(f"scan references unknown component {cs}")
-        _cid, hs, vs, tq = by_id[cs]
-        if tq not in qt:
-            raise JpegError(f"missing DQT {tq}")
-        if td not in huff_dc or ta not in huff_ac:
-            raise JpegError("missing Huffman table")
-        planes.append(
-            np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
-        )
-        meta.append((hs, vs, qt[tq], huff_dc[td], huff_ac[ta]))
+        self.ci_of = {c[0]: i for i, c in enumerate(comps)}
 
-    n_mcu = mcux * mcuy
-    mcu_done = 0
-    preds = [0] * len(scan)
-    chunk_i = 0
-    r = _BitReader(chunks[0])
-    while mcu_done < n_mcu:
-        if (
-            restart_interval
-            and mcu_done
-            and mcu_done % restart_interval == 0
-        ):
-            chunk_i += 1
-            if chunk_i >= len(chunks):
-                raise JpegError("missing restart segment")
-            r = _BitReader(chunks[chunk_i])
-            preds = [0] * len(scan)
-        my, mx = divmod(mcu_done, mcux)
-        for ci, (hs, vs, qtab, dct, act) in enumerate(meta):
-            for byy in range(vs):
-                for bxx in range(hs):
-                    zz, preds[ci] = _decode_block(r, dct, act, preds[ci])
-                    coeffs = np.zeros(64, dtype=np.float64)
+    # -- per-block coefficient procedures (T.81 F.2.2 / G.1.2) ----------
+
+    @staticmethod
+    def _block_seq(r, dctab, actab, zz, pred):
+        t = _decode_symbol(r, dctab)
+        pred += _extend(r.receive(t), t)
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            rs = _decode_symbol(r, actab)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k >= 64:
+                raise JpegError("AC run past block end")
+            zz[k] = _extend(r.receive(size), size)
+            k += 1
+        return pred
+
+    @staticmethod
+    def _block_dc_first(r, dctab, zz, pred, al):
+        t = _decode_symbol(r, dctab)
+        pred += _extend(r.receive(t), t)
+        zz[0] = pred << al
+        return pred
+
+    @staticmethod
+    def _block_dc_refine(r, zz, al):
+        if r.read_bit():
+            zz[0] |= 1 << al
+
+    @staticmethod
+    def _block_ac_first(r, actab, zz, ss, se, al, eobrun):
+        """G.1.2.2: first pass over the [ss, se] band; returns eobrun."""
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = _decode_symbol(r, actab)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run != 15:  # EOBn: run = log2 of the run length
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += r.receive(run)
+                    break
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > se:
+                raise JpegError("AC run past band end")
+            zz[k] = _extend(r.receive(size), size) << al
+            k += 1
+        return eobrun
+
+    @staticmethod
+    def _block_ac_refine(r, actab, zz, ss, se, al, eobrun):
+        """G.1.2.3: refinement pass — new ±1·2^al coefficients enter,
+        every already-nonzero coefficient passed over reads one
+        correction bit. Returns eobrun."""
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_symbol(r, actab)
+                run, size = rs >> 4, rs & 0x0F
+                newval = 0
+                if size == 0:
+                    if run != 15:  # EOBn: correction bits continue below
+                        eobrun = (1 << run)
+                        if run:
+                            eobrun += r.receive(run)
+                        break
+                    # ZRL: skip 16 zero-history positions
+                else:
+                    if size != 1:
+                        raise JpegError("refinement size must be 1")
+                    newval = p1 if r.read_bit() else m1
+                while k <= se:
+                    if zz[k] != 0:
+                        if r.read_bit() and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] > 0 else m1
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                if k > se and size != 0:
+                    raise JpegError("refinement run past band end")
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    if r.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    # -- scan drivers ----------------------------------------------------
+
+    def decode_scan(
+        self, scan, chunks, huff_dc, huff_ac, restart_interval,
+        ss, se, ah, al,
+    ) -> None:
+        for cs, _td, _ta in scan:
+            if cs not in self.ci_of:
+                raise JpegError(f"scan references unknown component {cs}")
+        if not self.progressive:
+            if (ss, se, ah, al) != (0, 63, 0, 0):
+                raise JpegError("baseline scan with progression parameters")
+            if len(scan) != len(self.comps):
+                raise JpegUnsupported("multi-scan baseline (partial scans)")
+        else:
+            if not (ss <= se <= 63 and ah <= 13 and al <= 13):
+                raise JpegError("bad progression parameters")
+            if ss == 0 and se != 0:
+                raise JpegError("progressive scan mixing DC and AC")
+            if ss > 0 and len(scan) != 1:
+                raise JpegError("progressive AC scan must be one component")
+        self.any_scan = True
+        dc_scan = ss == 0
+        interleaved = len(scan) > 1
+
+        meta = []  # (ci, hs, vs, dctab, actab)
+        for cs, td, ta in scan:
+            ci = self.ci_of[cs]
+            _cid, hs, vs, _tq = self.comps[ci]
+            if self.progressive:
+                need_dc = dc_scan and ah == 0
+                need_ac = not dc_scan
+            else:
+                need_dc = need_ac = True
+            dctab = huff_dc.get(td) if need_dc else None
+            actab = huff_ac.get(ta) if need_ac else None
+            if (need_dc and dctab is None) or (need_ac and actab is None):
+                raise JpegError("missing Huffman table")
+            meta.append((ci, hs, vs, dctab, actab))
+
+        if interleaved:
+            n_units = self.mcux * self.mcuy
+        else:
+            ci = meta[0][0]
+            bh, bw = self.bdims[ci]
+            n_units = bw * bh
+
+        preds = [0] * len(scan)
+        eobrun = 0
+        chunk_i = 0
+        r = _BitReader(chunks[0])
+        for unit in range(n_units):
+            if restart_interval and unit and unit % restart_interval == 0:
+                chunk_i += 1
+                if chunk_i >= len(chunks):
+                    raise JpegError("missing restart segment")
+                r = _BitReader(chunks[chunk_i])
+                preds = [0] * len(scan)
+                eobrun = 0
+            if interleaved:
+                my, mx = divmod(unit, self.mcux)
+                for si, (ci, hs, vs, dctab, actab) in enumerate(meta):
+                    for byy in range(vs):
+                        for bxx in range(hs):
+                            zz = self.coef[ci][my * vs + byy, mx * hs + bxx]
+                            preds[si] = self._apply_block(
+                                r, zz, dctab, actab, preds[si],
+                                ss, se, ah, al, dc_scan, 0,
+                            )
+            else:
+                ci, hs, vs, dctab, actab = meta[0]
+                bh, bw = self.bdims[ci]
+                by, bx = divmod(unit, bw)
+                zz = self.coef[ci][by, bx]
+                out = self._apply_block(
+                    r, zz, dctab, actab, preds[0],
+                    ss, se, ah, al, dc_scan, eobrun,
+                )
+                if dc_scan:
+                    preds[0] = out
+                else:
+                    eobrun = out
+
+    def _apply_block(
+        self, r, zz, dctab, actab, pred, ss, se, ah, al, dc_scan, eobrun,
+    ):
+        if not self.progressive:
+            return self._block_seq(r, dctab, actab, zz, pred)
+        if dc_scan:
+            if ah == 0:
+                return self._block_dc_first(r, dctab, zz, pred, al)
+            self._block_dc_refine(r, zz, al)
+            return pred
+        if ah == 0:
+            return self._block_ac_first(r, actab, zz, ss, se, al, eobrun)
+        return self._block_ac_refine(r, actab, zz, ss, se, al, eobrun)
+
+    # -- rendering --------------------------------------------------------
+
+    def render(self, qt) -> np.ndarray:
+        full = []
+        for ci, (_cid, hs, vs, tq) in enumerate(self.comps):
+            if tq not in qt:
+                raise JpegError(f"missing DQT {tq}")
+            qtab = qt[tq]
+            blocks = self.coef[ci]
+            nby, nbx = blocks.shape[:2]
+            plane = np.zeros((nby * 8, nbx * 8), np.float64)
+            for by in range(nby):
+                for bx in range(nbx):
+                    zz = blocks[by, bx]
+                    coeffs = np.zeros(64, np.float64)
                     coeffs[_ZIGZAG] = (zz * qtab).astype(np.float64)
-                    px = _idct8x8(coeffs.reshape(8, 8)) + 128.0
-                    y0 = (my * vs + byy) * 8
-                    x0 = (mx * hs + bxx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-        mcu_done += 1
-
-    # upsample each plane to full MCU-aligned resolution, then crop
-    full = []
-    for ci, (hs, vs, _q, _d, _a) in enumerate(meta):
-        p = planes[ci]
-        if hs != hmax or vs != vmax:
-            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = full
-    cb = cb - 128.0
-    cr = cr - 128.0
-    # ITU-R BT.601 (the JFIF conversion, T.871)
-    rr = y + 1.402 * cr
-    gg = y - 0.344136 * cb - 0.714136 * cr
-    bb = y + 1.772 * cb
-    out = np.stack([rr, gg, bb], axis=-1)
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        _idct8x8(coeffs.reshape(8, 8)) + 128.0
+                    )
+            if hs != self.hmax or vs != self.vmax:
+                plane = np.repeat(
+                    np.repeat(plane, self.vmax // vs, axis=0),
+                    self.hmax // hs,
+                    axis=1,
+                )
+            full.append(plane[: self.h, : self.w])
+        if len(full) == 1:
+            return np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        y, cb, cr = full
+        cb = cb - 128.0
+        cr = cr - 128.0
+        # ITU-R BT.601 (the JFIF conversion, T.871)
+        rr = y + 1.402 * cr
+        gg = y - 0.344136 * cb - 0.714136 * cr
+        bb = y + 1.772 * cb
+        out = np.stack([rr, gg, bb], axis=-1)
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)

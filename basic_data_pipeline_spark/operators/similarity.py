@@ -187,6 +187,7 @@ def ann_topk_lsh(
     broadcast_vectors: bool | None = None,
     broadcast_vectors_max_bytes: int = 512 << 20,
     rerank_factor: int = 4,
+    probe_walls: dict | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, rank, cos): approximate top-k via
     MULTI-TABLE random-hyperplane LSH — candidates are the union over
@@ -252,7 +253,26 @@ def ann_topk_lsh(
        candidate-bounded — and window the final top-k on exact cosine.
        The arrays are projected away before the top-k window, so no
        exchange anywhere carries two raw vectors on a pair row
-       (plan-asserted in tests/test_ann_width.py)."""
+       (plan-asserted in tests/test_ann_width.py).
+
+    ``probe_walls``: measurement hook (tools/probe_ann_stages.py) — when
+    a dict is passed, each internal stage (bucketing / candidates /
+    shortlist) is eagerly materialized through the noop sink and its
+    wall recorded under that key, so scale probes can attribute a
+    tier's growth to a stage instead of reading one end-to-end number
+    (r9 verdict watch item #1: the 256× last-decade per-4× of 6.9
+    needed slicing). Production callers leave it None — no extra
+    actions, identical plans."""
+
+    import time as _time
+
+    def _stage_wall(stage: str, df: DataFrame) -> None:
+        if probe_walls is None:
+            return
+        t0 = _time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        probe_walls[stage] = round(_time.perf_counter() - t0, 2)
+
     n_vec = None
     if n_planes is None:
         n_vec = vectors.count()
@@ -289,6 +309,7 @@ def ann_topk_lsh(
         )
     )
     buckets = tracked_persist(buckets)
+    _stage_wall("bucketing", buckets)
     if max_bucket_df is not None:
         # candidate-side cut only: overfull cells (exact-duplicate
         # pile-ups resolution cannot split) leave the pair join; one
@@ -313,6 +334,7 @@ def ann_topk_lsh(
         )
         .distinct()
     )
+    _stage_wall("candidates", cand)
     # Norms precomputed ONCE per vector (persisted): the per-pair work
     # drops to a single dot fold + one divide — 3× fewer folds than a
     # naive cosine(q, c) per candidate pair.
@@ -414,6 +436,7 @@ def ann_topk_lsh(
         .filter(F.col("_ar") <= k * rerank_factor)
         .select("query_id", "neighbor_id")
     )
+    _stage_wall("shortlist", shortlist)
     return (
         shortlist.join(qside, "query_id")
         .join(nside, "neighbor_id")

@@ -380,10 +380,17 @@ def test_damage_and_unsupported_raise():
         J.decode_jpeg(raw[: len(raw) // 2])
     with pytest.raises(J.JpegError):
         J.decode_jpeg(b"\x00\x01\x02")
-    # flip SOF0 -> SOF2 (progressive): loud gate, not garbage pixels
+    # flip SOF0 -> SOF2: progressive DECODES for real since r10, so a
+    # baseline stream mislabeled progressive is now structural DAMAGE
+    # (its full-band ss=0..se=63 scan is illegal in progressive mode) —
+    # JpegError, never garbage pixels
     prog = raw.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(J.JpegUnsupported):
+    with pytest.raises(J.JpegError):
         J.decode_jpeg(prog)
+    # arithmetic coding stays a loud gate
+    arith = raw.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(J.JpegUnsupported):
+        J.decode_jpeg(arith)
 
 
 def test_mixed_png_jpeg_near_dup_corpus(spark):
@@ -513,3 +520,491 @@ def test_non_dividing_sampling_factors_unsupported():
     raw[comp1_hv] = 0x21  # chroma h=2 (2 does not divide hmax=3), v=1
     with pytest.raises(J.JpegUnsupported):
         J.decode_jpeg(bytes(raw))
+
+
+# --------------------------------------------------------------------------
+# progressive reference encoder (r10) — spec-literal, test-side only
+# --------------------------------------------------------------------------
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """G.1.2.2: AC point transform = divide by 2^al truncating toward
+    zero (NOT an arithmetic shift for negatives)."""
+    return (abs(v) >> al) * (1 if v >= 0 else -1)
+
+
+def _coef_blocks_2d(img, luma_q, chroma_q, subsample):
+    """Quantized coefficient blocks laid out like the decoder's
+    accumulator: per component, (mcuy*vs, mcux*hs, 64) in ZIGZAG order.
+    Same plane prep as the baseline encoder."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    qts = {
+        0: np.full(64, luma_q, dtype=np.int64),
+        1: np.full(64, chroma_q, dtype=np.int64),
+    }
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = []
+    bdims = []
+    for ci, (p, (hs, vs)) in enumerate(zip(planes, samp)):
+        if (hs, vs) != (hmax, vmax):
+            fy, fx = vmax // vs, hmax // hs
+            ph = -(-p.shape[0] // fy) * fy
+            pw = -(-p.shape[1] // fx) * fx
+            p2 = np.pad(
+                p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
+            )
+            p = p2.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        bdims.append((-(-ch // 8), -(-cw // 8)))
+        p = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        nby, nbx = mcuy * vs, mcux * hs
+        arr = np.zeros((nby, nbx, 64), np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                nat = _fdct_quant(
+                    p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    qts[qsel[ci]],
+                ).reshape(64)
+                arr[by, bx] = nat[J._ZIGZAG]
+        coefs.append(arr)
+    return coefs, bdims, samp, qsel, qts, h, w, mcux, mcuy, hmax, vmax
+
+
+class _ProgEmitter:
+    """One scan's symbol/bit stream. ``holder=None`` collects symbols
+    for the flat-table dry run; otherwise ``holder`` is a one-element
+    list carrying the CURRENT BitWriter (swapped at restart markers)."""
+
+    def __init__(self, holder, dc_codes=None, ac_codes=None,
+                 dc_pool=None, ac_pool=None):
+        self.holder = holder
+        self.dc_codes, self.ac_codes = dc_codes, ac_codes
+        self.dc_pool, self.ac_pool = dc_pool, ac_pool
+
+    def dc_sym(self, t):
+        if self.holder is None:
+            self.dc_pool.append(t)
+        else:
+            c, L = self.dc_codes[t]
+            self.holder[0].write(c, L)
+
+    def ac_sym(self, rs):
+        if self.holder is None:
+            self.ac_pool.append(rs)
+        else:
+            c, L = self.ac_codes[rs]
+            self.holder[0].write(c, L)
+
+    def bits(self, v, n):
+        if self.holder is not None and n:
+            self.holder[0].write(v, n)
+
+
+def _emit_dc_first(em, diff):
+    t = _csize(diff)
+    em.dc_sym(t)
+    if t:
+        v = diff if diff >= 0 else diff + (1 << t) - 1
+        em.bits(v, t)
+
+
+class _AcFirstState:
+    """EOBRUN bookkeeping for one AC-first restart segment."""
+
+    def __init__(self, em):
+        self.em = em
+        self.eobrun = 0
+
+    def flush(self):
+        if self.eobrun:
+            n = self.eobrun.bit_length() - 1
+            self.em.ac_sym(n << 4)
+            self.em.bits(self.eobrun - (1 << n), n)
+            self.eobrun = 0
+
+    def block(self, zig, ss, se, al):
+        vals = [_trunc_shift(int(zig[k]), al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            self.eobrun += 1
+            if self.eobrun == 32767:
+                self.flush()
+            return
+        self.flush()
+        run = 0
+        last = nz[-1]
+        for i, v in enumerate(vals):
+            if i > last:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                self.em.ac_sym(0xF0)
+                run -= 16
+            s = _csize(v)
+            self.em.ac_sym((run << 4) | s)
+            vv = v if v >= 0 else v + (1 << s) - 1
+            self.em.bits(vv, s)
+            run = 0
+        if last < len(vals) - 1:
+            self.eobrun = 1  # trailing zeros: this block ends with EOB
+
+
+class _AcRefineState:
+    """EOBRUN + buffered-correction-bit bookkeeping for one AC-refine
+    restart segment (mirrors the decoder's G.1.2.3 state machine)."""
+
+    def __init__(self, em):
+        self.em = em
+        self.eobrun = 0
+        self.buf: list[int] = []  # correction bits owed after the EOBn
+
+    def flush(self):
+        if self.eobrun:
+            n = self.eobrun.bit_length() - 1
+            self.em.ac_sym(n << 4)
+            self.em.bits(self.eobrun - (1 << n), n)
+            for b in self.buf:
+                self.em.bits(b, 1)
+            self.eobrun = 0
+            self.buf = []
+
+    def block(self, zig, ss, se, ah, al):
+        hist = [_trunc_shift(int(zig[k]), ah) for k in range(ss, se + 1)]
+        now = [_trunc_shift(int(zig[k]), al) for k in range(ss, se + 1)]
+        corr = [abs(v) & 1 for v in now]  # bit al of the magnitude
+        newsig = [
+            i for i, (h0, v) in enumerate(zip(hist, now)) if h0 == 0 and v
+        ]
+        if not newsig:
+            # whole block rides the EOB run; its nonzero-history
+            # correction bits are read during the run walk
+            self.eobrun += 1
+            self.buf.extend(corr[i] for i in range(len(hist)) if hist[i])
+            if self.eobrun == 32767:
+                self.flush()
+            return
+        self.flush()
+        cur = 0  # index into the band [0, se-ss]
+        for p in newsig:
+            while True:
+                zcount = sum(
+                    1 for i in range(cur, p) if hist[i] == 0
+                )
+                if zcount <= 15:
+                    break
+                self.em.ac_sym(0xF0)  # ZRL: consume 16 zero-history
+                consumed = 0
+                while consumed < 16:
+                    if hist[cur]:
+                        self.em.bits(corr[cur], 1)
+                    else:
+                        consumed += 1
+                    cur += 1
+            v = now[p]
+            assert abs(v) == 1, "refine insertion must be ±1"
+            self.em.ac_sym((zcount << 4) | 1)
+            self.em.bits(1 if v > 0 else 0, 1)
+            while cur < p:
+                if hist[cur]:
+                    self.em.bits(corr[cur], 1)
+                cur += 1
+            cur = p + 1
+        if cur <= se - ss:
+            self.eobrun = 1
+            self.buf = [
+                corr[i] for i in range(cur, se - ss + 1) if hist[i]
+            ]
+
+
+def encode_jpeg_progressive_reference(
+    img: np.ndarray,
+    luma_q: int = 1,
+    chroma_q: int = 1,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    script=None,
+) -> bytes:
+    """Spec-literal PROGRESSIVE encoder (T.81 Annex G): spectral
+    selection + two successive-approximation levels for luma, one for
+    chroma/DC. Encodes the SAME quantized coefficients as
+    encode_jpeg_reference, so the decoded pixels must equal the
+    baseline decode bit-for-bit — the round-trip invariant the tests
+    pin. Independent bookkeeping from the decoder (encoder-side EOBRUN/
+    correction-bit buffering vs decoder-side state machine)."""
+    (coefs, bdims, samp, qsel, qts, h, w,
+     mcux, mcuy, hmax, vmax) = _coef_blocks_2d(
+        img, luma_q, chroma_q, subsample
+    )
+    nc = len(coefs)
+    if script is None:
+        if nc == 1:
+            script = [
+                ([0], 0, 0, 0, 1),
+                ([0], 1, 63, 0, 1),
+                ([0], 1, 63, 1, 0),
+                ([0], 0, 0, 1, 0),
+            ]
+        else:
+            script = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2),
+                ([0], 6, 63, 0, 2),
+                ([1], 1, 63, 0, 1),
+                ([2], 1, 63, 0, 1),
+                ([0], 1, 5, 2, 1),
+                ([0], 6, 63, 2, 1),
+                ([0], 1, 5, 1, 0),
+                ([0], 6, 63, 1, 0),
+                ([1], 1, 63, 1, 0),
+                ([2], 1, 63, 1, 0),
+                ([0, 1, 2], 0, 0, 1, 0),
+            ]
+
+    dc_pools: dict[int, list] = {0: [], 1: []}
+    ac_pools: dict[int, list] = {0: [], 1: []}
+
+    def run_scan(comps, ss, se, ah, al, em_of):
+        """Drive one scan; em_of(tsel) -> _ProgEmitter (all sharing one
+        BitWriter holder when emitting). Returns the flushed restart
+        chunk list when emitting, else None."""
+        probe = em_of(0)
+        emitting = probe.holder is not None
+        holder = probe.holder
+        chunks = []
+        if emitting:
+            holder[0] = _BitWriter()
+
+        def em(ci):
+            return em_of(0 if ci == 0 else 1)
+
+        interleaved = len(comps) > 1
+        if interleaved:
+            n_units = mcux * mcuy
+        else:
+            bh, bw_ = bdims[comps[0]]
+            n_units = bh * bw_
+        preds = {ci: 0 for ci in comps}
+        ac_states = {
+            ci: (_AcFirstState(em(ci)) if ah == 0 else _AcRefineState(em(ci)))
+            for ci in comps
+        }
+        for unit in range(n_units):
+            if restart_interval and unit and unit % restart_interval == 0:
+                for st in ac_states.values():
+                    if ss > 0:
+                        st.flush()
+                if emitting:
+                    chunks.append(holder[0].flush())
+                    holder[0] = _BitWriter()
+                preds = {ci: 0 for ci in comps}
+                ac_states = {
+                    ci: (
+                        _AcFirstState(em(ci))
+                        if ah == 0
+                        else _AcRefineState(em(ci))
+                    )
+                    for ci in comps
+                }
+            if interleaved:
+                my, mx = divmod(unit, mcux)
+                for ci in comps:
+                    hs, vs = samp[ci]
+                    for byy in range(vs):
+                        for bxx in range(hs):
+                            zig = coefs[ci][my * vs + byy, mx * hs + bxx]
+                            c0 = int(zig[0])
+                            if ah == 0:
+                                v = c0 >> al
+                                _emit_dc_first(em(ci), v - preds[ci])
+                                preds[ci] = v
+                            else:
+                                em(ci).bits((c0 >> al) & 1, 1)
+            else:
+                ci = comps[0]
+                bh, bw_ = bdims[ci]
+                by, bx = divmod(unit, bw_)
+                zig = coefs[ci][by, bx]
+                if ss == 0:
+                    c0 = int(zig[0])
+                    if ah == 0:
+                        v = c0 >> al
+                        _emit_dc_first(em(ci), v - preds[ci])
+                        preds[ci] = v
+                    else:
+                        em(ci).bits((c0 >> al) & 1, 1)
+                elif ah == 0:
+                    ac_states[ci].block(zig, ss, se, al)
+                else:
+                    ac_states[ci].block(zig, ss, se, ah, al)
+        for st in ac_states.values():
+            if ss > 0:
+                st.flush()
+        if emitting:
+            chunks.append(holder[0].flush())
+        return chunks
+
+    # dry run: collect symbols per table class
+    for comps, ss, se, ah, al in script:
+        run_scan(
+            comps, ss, se, ah, al,
+            lambda tsel: _ProgEmitter(
+                None, dc_pool=dc_pools[tsel], ac_pool=ac_pools[tsel]
+            ),
+        )
+    tables = {}
+    for tsel in (0, 1):
+        if dc_pools[tsel]:
+            tables[("dc", tsel)] = _flat9_table(dc_pools[tsel])
+        if ac_pools[tsel]:
+            tables[("ac", tsel)] = _flat9_table(ac_pools[tsel])
+
+    out = bytearray(b"\xff\xd8")
+    for tq in sorted(set(qsel)):
+        out += _seg(0xDB, bytes([tq]) + bytes(qts[tq].astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, qsel[ci]])
+    out += _seg(0xC2, sof)  # SOF2: progressive
+    for (cls, tsel), (bits, values, _codes) in sorted(tables.items()):
+        tc = 0 if cls == "dc" else 1
+        out += _seg(0xC4, bytes([(tc << 4) | tsel]) + bytes(bits) + values)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    holder = [None]  # current BitWriter, swapped at restarts
+
+    for comps, ss, se, ah, al in script:
+        def em_of(tsel):
+            dc = tables.get(("dc", tsel))
+            ac = tables.get(("ac", tsel))
+            return _ProgEmitter(
+                holder, dc_codes=dc[2] if dc else None,
+                ac_codes=ac[2] if ac else None,
+            )
+
+        chunks = run_scan(comps, ss, se, ah, al, em_of)
+        sos = bytes([len(comps)])
+        for ci in comps:
+            tsel = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tsel << 4) | tsel])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        for i, ch in enumerate(chunks):
+            if i:
+                out += bytes([0xFF, 0xD0 + ((i - 1) % 8)])
+            out += ch
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive decode tests (r10)
+# --------------------------------------------------------------------------
+
+
+def _prog_equals_baseline(img, **kw):
+    base = J.decode_jpeg(encode_jpeg_reference(img, **kw))
+    prog = J.decode_jpeg(encode_jpeg_progressive_reference(img, **kw))
+    assert prog.shape == base.shape
+    assert np.array_equal(prog, base), (
+        f"max diff {np.max(np.abs(prog.astype(int) - base.astype(int)))}"
+    )
+
+
+def test_progressive_gray_equals_baseline():
+    # same quantized coefficients -> bit-identical pixels
+    _prog_equals_baseline(_gradient(24, 24, rgb=False))
+
+
+def test_progressive_rgb_444_equals_baseline():
+    _prog_equals_baseline(_gradient(32, 32, rgb=True))
+
+
+def test_progressive_rgb_420_subsampled_equals_baseline():
+    _prog_equals_baseline(_gradient(32, 32, rgb=True), subsample=True)
+
+
+def test_progressive_odd_dims_true_vs_padded_blocks():
+    # 17x13 with 4:2:0: luma true block dims (3x2) < padded MCU dims
+    # (4x2->2 MCUs wide = 4 block cols) — AC scans walk TRUE dims only
+    _prog_equals_baseline(_gradient(17, 13, rgb=True), subsample=True)
+
+
+def test_progressive_quantized_equals_baseline():
+    _prog_equals_baseline(_smooth(24, 24), luma_q=8)
+    _prog_equals_baseline(_gradient(16, 16, rgb=True), luma_q=6, chroma_q=10)
+
+
+def test_progressive_restart_markers():
+    _prog_equals_baseline(_gradient(24, 24, rgb=True), restart_interval=2)
+    _prog_equals_baseline(
+        _gradient(24, 24, rgb=True), subsample=True, restart_interval=1
+    )
+
+
+def test_progressive_eobrun_spans_blocks():
+    # a nearly-flat image quantized hard: most blocks' AC bands are all
+    # zero, so the encoder accumulates multi-block EOB runs (EOBn > 0)
+    # and the decoder's eobrun skip path is genuinely exercised
+    img = np.full((48, 48), 128, np.uint8)
+    img[0, 0] = 255  # one block with content
+    _prog_equals_baseline(img, luma_q=16)
+
+
+def test_progressive_dispatches_through_images():
+    from basic_data_pipeline_spark.operators import images as IM
+
+    img = _gradient(16, 16, rgb=True)
+    px = IM.decode_image_pixels(encode_jpeg_progressive_reference(img))
+    assert px is not None and px.shape == (16, 16, 3)
+
+
+def test_progressive_truncation_fuzz():
+    raw = encode_jpeg_progressive_reference(
+        _gradient(17, 13, rgb=True), restart_interval=2
+    )
+    for k in range(len(raw)):
+        try:
+            J.decode_jpeg(raw[:k])
+        except (J.JpegError, J.JpegUnsupported):
+            pass
+
+
+def test_progressive_corruption_fuzz():
+    raw = bytearray(encode_jpeg_progressive_reference(_smooth(16, 16)))
+    positions = list(range(0, min(len(raw), 120))) + list(
+        range(120, len(raw), 11)
+    )
+    for p in positions:
+        orig = raw[p]
+        for v in (0x00, 0xFF, orig ^ 0xA5):
+            raw[p] = v
+            try:
+                J.decode_jpeg(bytes(raw))
+            except (J.JpegError, J.JpegUnsupported):
+                pass
+            finally:
+                raw[p] = orig
