@@ -151,6 +151,12 @@ def _is_stale(cur: dict) -> bool:
 
 
 def _try_link(lp: str, payload: dict) -> bool:
+    # the lease rides NEXT TO its directory — whose parent may not exist
+    # yet when the guarded writer is the one about to CREATE the target
+    # (a CDC sink's first overwrite, a build into a fresh path)
+    parent = os.path.dirname(lp)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     tmp = f"{lp}.tmp-{os.getpid()}-{time.time_ns()}"
     with open(tmp, "w") as f:
         json.dump(payload, f)

@@ -319,3 +319,14 @@ def test_guarded_stream_release_hook(spark, tmp_path):
     # a replacement writer acquires immediately
     fn2 = DS.make_dedup_batch_fn(p, out)
     SW.release_writer(fn2)
+
+
+def test_writer_lease_creates_missing_parent_dir(tmp_path):
+    """A guarded writer may be the one CREATING the target (a CDC sink's
+    first overwrite into a fresh directory tree): taking the lease must
+    not require the parent to exist (full-suite r10 finding — the
+    streaming CDC ingest died opening the lease temp file)."""
+    p = str(tmp_path / "not" / "yet" / "created" / "table")
+    with SW.writer_lease(p, owner="batch:first-write") as t:
+        assert t
+    assert not os.path.exists(SW.lease_path(p))
