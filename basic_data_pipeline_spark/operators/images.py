@@ -96,6 +96,18 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+# Resource-exhaustion guard (r10 ADVICE): the damage→null policy must
+# also cover MALICIOUS headers — a crafted 65535×65535 GIF descriptor or
+# a PNG zlib bomb drives multi-GB allocations and raises MemoryError,
+# which no decoder's exception list converts, so one hostile blob would
+# kill the whole mapInPandas task instead of nulling one row. Any image
+# whose pixel count exceeds this cap decodes to None (64 Mpx ≈ 200 MB
+# RGB — far above any fixture and a sane per-row bound for a 100 TB
+# pipeline's Python workers; jpegdec applies the equivalent coefficient
+# -block cap before allocating).
+MAX_DECODE_PIXELS = 1 << 26
+
+
 def decode_png_pixels(data: bytes) -> np.ndarray | None:
     """PNG → (h, w, channels) uint8, or None when the bytes are not a
     PNG this decoder covers (bit depth ≠ 8, interlaced, truncated).
@@ -127,11 +139,17 @@ def decode_png_pixels(data: bytes) -> np.ndarray | None:
     ch = _PNG_CHANNELS.get(color)
     if ch is None or (color == 3 and plte is None):
         return None
+    if w == 0 or h == 0 or w * h > MAX_DECODE_PIXELS:
+        return None  # hostile/oversized header — null, never MemoryError
+    stride = w * ch
+    # bounded decompress: a zlib bomb must not allocate past the declared
+    # image size (+1 so an over-long stream fails the length check)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = zlib.decompressobj().decompress(
+            b"".join(idat), h * (stride + 1) + 1
+        )
     except zlib.error:
         return None
-    stride = w * ch
     if len(raw) != h * (stride + 1):
         return None
     raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
@@ -297,6 +315,10 @@ def decode_gif_pixels(data: bytes) -> np.ndarray | None:
                 pos += 3 * n
             if pal is None or iw == 0 or ih == 0:
                 return None
+            if iw * ih > MAX_DECODE_PIXELS:
+                return None  # hostile descriptor — LZW expansion is
+                # ~3600×, so a small stream can inflate to the full
+                # iw*ih bytearray; cap before decoding
             min_size = data[pos]
             pos += 1
             if not 2 <= min_size <= 8:

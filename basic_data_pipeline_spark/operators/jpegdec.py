@@ -48,6 +48,18 @@ class JpegError(ValueError):
     """Structurally invalid JPEG (truncated, bad marker sequence)."""
 
 
+# Resource-exhaustion guard (r10 ADVICE): the 'any malformed input →
+# JpegError' guarantee must also cover hostile-but-parseable headers — a
+# crafted 65535×65535 SOF with 15×15 sampling factors drives multi-GB
+# int64 coefficient allocations and raises MemoryError, which is NOT in
+# the converted-exception list, so one blob would kill the whole
+# mapInPandas task. Cap the total 8×8 coefficient blocks across all
+# components (each block is 64 int64 = 512 B → 1M blocks = 512 MiB, the
+# sane per-row bound; ≈44 Mpx at 4:2:0, above images.MAX_DECODE_PIXELS'
+# equivalent). Oversized frames raise JpegUnsupported → the row nulls.
+MAX_COEF_BLOCKS = 1 << 20
+
+
 class JpegUnsupported(ValueError):
     """Valid JPEG using a feature outside the supported scope
     (arithmetic coding, 12-bit, hierarchical, >3 components;
@@ -325,6 +337,14 @@ class _FrameState:
                 )
         self.mcux = -(-w // (8 * self.hmax))
         self.mcuy = -(-h // (8 * self.vmax))
+        total_blocks = sum(
+            (self.mcuy * vs) * (self.mcux * hs) for _c, hs, vs, _t in comps
+        )
+        if total_blocks > MAX_COEF_BLOCKS:
+            raise JpegUnsupported(
+                f"frame too large: {total_blocks} coefficient blocks "
+                f"> cap {MAX_COEF_BLOCKS} (resource-exhaustion guard)"
+            )
         self.coef: list[np.ndarray] = []
         self.bdims: list[tuple[int, int]] = []  # true block dims per comp
         for _cid, hs, vs, _tq in comps:

@@ -266,12 +266,24 @@ def ann_topk_lsh(
 
     import time as _time
 
-    def _stage_wall(stage: str, df: DataFrame) -> None:
+    def _stage_wall(stage: str, df: DataFrame, persisted: bool = False):
+        """Probe hook: materialize ``df`` through the noop sink and record
+        its wall. Frames not already persisted are tracked_persist'ed
+        FIRST so the noop write populates the cache and every LATER
+        stage's wall measures only its own marginal work — without the
+        persist, the shortlist wall re-runs the candidate join and the
+        probe's derived 'rerank = total − staged' double-counts (r10
+        ADVICE). Blocks release via the standard tracked-persist scope
+        (registry @query / the probe's release_persisted call). Returns
+        the (possibly persisted) frame — callers must keep using it."""
         if probe_walls is None:
-            return
+            return df
+        if not persisted:
+            df = tracked_persist(df)
         t0 = _time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         probe_walls[stage] = round(_time.perf_counter() - t0, 2)
+        return df
 
     n_vec = None
     if n_planes is None:
@@ -309,7 +321,7 @@ def ann_topk_lsh(
         )
     )
     buckets = tracked_persist(buckets)
-    _stage_wall("bucketing", buckets)
+    _stage_wall("bucketing", buckets, persisted=True)
     if max_bucket_df is not None:
         # candidate-side cut only: overfull cells (exact-duplicate
         # pile-ups resolution cannot split) leave the pair join; one
@@ -334,7 +346,7 @@ def ann_topk_lsh(
         )
         .distinct()
     )
-    _stage_wall("candidates", cand)
+    cand = _stage_wall("candidates", cand)
     # Norms precomputed ONCE per vector (persisted): the per-pair work
     # drops to a single dot fold + one divide — 3× fewer folds than a
     # naive cosine(q, c) per candidate pair.
@@ -436,7 +448,7 @@ def ann_topk_lsh(
         .filter(F.col("_ar") <= k * rerank_factor)
         .select("query_id", "neighbor_id")
     )
-    _stage_wall("shortlist", shortlist)
+    shortlist = _stage_wall("shortlist", shortlist)
     return (
         shortlist.join(qside, "query_id")
         .join(nside, "neighbor_id")

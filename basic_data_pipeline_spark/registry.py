@@ -302,7 +302,11 @@ def audit_arm_rows(name: str, cols: list[str], rows) -> list[str]:
                 f"{name}[{arm}]: {counts.get(arm, 0)} rows < floor {floor} "
                 "— VACUOUS ARM (empty on both sides still hash-matches)"
             )
-    undeclared = sorted(set(counts) - set(floors))
+    # stringified sort: a None or non-string tag value alongside strings is
+    # exactly the anomaly this audit should SURFACE — sorted() over the raw
+    # mixed set would raise TypeError and crash the compare drive instead
+    # (r10 ADVICE).
+    undeclared = sorted(map(repr, set(counts) - set(floors)))
     if undeclared:
         problems.append(
             f"{name}: undeclared arms {undeclared} — an arm lands with its "

@@ -84,23 +84,70 @@ from basic_data_pipeline_spark.streaming.dedup_stream import (
 )
 
 
+import threading
+
+_REBUILD_LOCKS: dict[str, threading.Lock] = {}
+_REBUILD_LOCKS_GUARD = threading.Lock()
+
+
 def _rebuild_guard(fn):
-    """Entry guard for every rebuild helper: force-release the CRASHED
-    writer's lease (a rebuild asserts that writer is gone — r9), then
-    hold the batch writer lease for the duration of the surgical rewrite
-    so no stream or batch mutator can interleave with it (r10). _finish
-    force-releases again near the end, so a restarted stream can take
-    the lease the moment the ledger is clean rather than at scope
-    exit."""
+    """Entry guard for every rebuild helper: take over the CRASHED
+    writer's lease (a rebuild asserts that writer is gone — r9) and hold
+    it for the duration of the surgical rewrite so no stream or batch
+    mutator can interleave (r10). _finish force-releases near the end,
+    so a restarted stream can take the lease the moment the ledger is
+    clean rather than at scope exit.
+
+    Takeover discipline (r10 ADVICE): a blind force-release would also
+    evict a LIVE lease held by a concurrently running rebuild — and
+    since rebuild helpers never renew, the renew-time token re-verify
+    backstop never fires for them, so two racing rebuilds would both
+    proceed and interleave surgical rewrites. Instead: (a) two rebuilds
+    in THIS process serialize on a per-path mutex (the second fails
+    loudly), (b) a live lease owned by another REBUILD raises
+    WriterLeaseHeld, and (c) crashed writers are taken over through
+    acquire_lease's ATOMIC rename-aside steal (stale leases and
+    same-process holders — a crashed stream's lease carries this live
+    pid, so _is_stale alone can't clear it; any still-live displaced
+    stream fail-stops at its next renew's token re-verify). A live
+    lease held by another PROCESS is never stolen — wait out the ttl or
+    release_lease(force=True) after verifying the holder is gone."""
     import functools
 
     @functools.wraps(fn)
     def wrapped(spark, index_path, *a, **kw):
-        swapstore.release_lease(index_path, force=True)
-        with swapstore.writer_lease(
-            index_path, owner=f"rebuild:{fn.__name__}"
-        ):
-            return fn(spark, index_path, *a, **kw)
+        key = os.path.abspath(index_path)
+        with _REBUILD_LOCKS_GUARD:
+            lock = _REBUILD_LOCKS.setdefault(key, threading.Lock())
+        if not lock.acquire(blocking=False):
+            raise swapstore.WriterLeaseHeld(
+                f"another rebuild is already running on {index_path!r} "
+                "in this process; rebuilds must not interleave"
+            )
+        try:
+            cur = swapstore._read_lease(swapstore.lease_path(index_path))
+            if (
+                cur is not None
+                and not swapstore._is_stale(cur)
+                and str(cur.get("owner", "")).startswith("rebuild:")
+            ):
+                raise swapstore.WriterLeaseHeld(
+                    f"{index_path!r} is held by a live rebuild "
+                    f"(owner {cur.get('owner')!r}, pid {cur.get('pid')} on "
+                    f"{cur.get('host')}); rebuilds must not interleave"
+                )
+            token = swapstore.acquire_lease(
+                index_path,
+                owner=f"rebuild:{fn.__name__}",
+                takeover_same_process=True,
+            )
+            try:
+                with swapstore.reentrant_scope(index_path, token):
+                    return fn(spark, index_path, *a, **kw)
+            finally:
+                swapstore.release_lease(index_path, token)
+        finally:
+            lock.release()
 
     return wrapped
 

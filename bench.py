@@ -177,6 +177,17 @@ def main() -> None:
                     f"{type(exc).__name__}: {exc}"[:500]
                 )
                 continue
+            try:
+                # warm the SHARED plan once per pass before timing arms:
+                # the first timed arm's noop write would otherwise
+                # populate every tracked_persist cache in the shared
+                # plan, systematically inflating arm[0] and deflating
+                # later arms (r10 ADVICE). `_warm` records the full
+                # plan's wall, incl. lazy persist population.
+                per.setdefault("_warm", []).append(_timed_noop(df))
+            except Exception as exc:  # noqa: BLE001
+                errors[f"{name}[_warm]"] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
             for arm in arms:
                 try:
                     dt = _timed_noop(df.filter(F.col(tag) == arm))

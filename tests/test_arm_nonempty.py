@@ -61,3 +61,17 @@ def test_every_declared_arm_nonempty_at_gate_sf(spark, name):
     rows = df.collect()
     problems = registry.audit_arm_rows(name, df.columns, rows)
     assert not problems, "; ".join(problems)
+
+
+def test_audit_tolerates_non_string_tag_values():
+    """A None (or other non-string) tag value alongside strings is exactly
+    the anomaly the audit must SURFACE — sorted() over the raw mixed set
+    would raise TypeError and crash the compare drive instead (r10
+    ADVICE). The violation string must name the stray value."""
+    from basic_data_pipeline_spark.registry import audit_arm_rows
+
+    rows = [("semi", 1), ("anti", 2), (None, 3), (7, 4)]
+    problems = audit_arm_rows("join_semi_anti", ["kind", "n"], rows)
+    assert len(problems) == 1
+    assert "undeclared arms" in problems[0]
+    assert "None" in problems[0] and "7" in problems[0]

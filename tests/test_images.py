@@ -323,3 +323,59 @@ def test_near_dup_rejects_bad_budget(spark, corpus):
         I.image_near_dup_pairs(I.image_hashes(corpus), max_hamming=0)
     with pytest.raises(ValueError):
         I.image_near_dup_pairs(I.image_hashes(corpus), max_hamming=64)
+
+
+# --- resource-exhaustion guards (r10 ADVICE) --------------------------------
+# The damage→null policy must also cover HOSTILE headers: a crafted
+# 65535×65535 descriptor or a zlib bomb would otherwise raise MemoryError
+# (not in any converted-exception list) and kill the whole mapInPandas
+# task instead of nulling one row.
+
+
+def _png_chunk(tag, body):
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def test_png_oversized_header_nulls_fast():
+    data = (
+        I._PNG_MAGIC
+        + _png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+        )
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert I.decode_png_pixels(data) is None
+
+
+def test_png_zlib_bomb_is_bounded():
+    # declares 4x4 RGB but the IDAT inflates to ~64 MB: the bounded
+    # decompress stops at declared-size+1 and the length check nulls it
+    data = (
+        I._PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (64 << 20), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert I.decode_png_pixels(data) is None
+
+
+def test_gif_oversized_descriptor_nulls_fast():
+    # 65535×65535 image descriptor (4.3e9 px): must null before any LZW
+    # expansion, not bytearray-allocate its way to MemoryError
+    data = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 65535, 65535, 0x80 | 0x00, 0, 0)
+        + bytes(6)  # 2-entry global color table
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+        + b"\x02"  # LZW min code size
+        + b"\x01\x00\x00"  # one data sub-block + terminator
+        + b"\x3b"
+    )
+    assert I.decode_gif_pixels(data) is None

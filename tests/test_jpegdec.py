@@ -1008,3 +1008,21 @@ def test_progressive_corruption_fuzz():
                 pass
             finally:
                 raw[p] = orig
+
+
+def test_hostile_sof_dimensions_raise_unsupported_not_memoryerror():
+    """A crafted 65535×65535 SOF with 15×15 sampling factors would drive
+    a multi-GB coefficient allocation — MemoryError, which is NOT in the
+    converted-exception list, so one hostile blob could kill the whole
+    mapInPandas task. The block cap rejects it with JpegUnsupported
+    (→ null row) before allocating (r10 ADVICE)."""
+    with pytest.raises(J.JpegUnsupported, match="coefficient blocks"):
+        J._FrameState((65535, 65535, [(1, 15, 15, 0)], False))
+    # three max-sampled components: the multi-component sum also trips
+    with pytest.raises(J.JpegUnsupported, match="coefficient blocks"):
+        J._FrameState(
+            (65535, 65535, [(1, 4, 4, 0), (2, 4, 4, 0), (3, 4, 4, 0)], True)
+        )
+    # sane dims stay accepted (regression guard on the cap's level)
+    st = J._FrameState((1024, 1024, [(1, 2, 2, 0), (2, 1, 1, 1)], False))
+    assert st.coef[0].shape[2] == 64

@@ -330,3 +330,119 @@ def test_writer_lease_creates_missing_parent_dir(tmp_path):
     with SW.writer_lease(p, owner="batch:first-write") as t:
         assert t
     assert not os.path.exists(SW.lease_path(p))
+
+
+# --------------------------------------------------------------------------
+# r11: rebuild takeover discipline (r10 ADVICE) — a rebuild takes over
+# crashed writers but never evicts a LIVE concurrent rebuild (rebuild
+# helpers don't renew, so the renew-time re-verify backstop can't save
+# them; two interleaved rebuilds would corrupt silently).
+# --------------------------------------------------------------------------
+
+
+def _tiny_index(spark, tmp_path):
+    from basic_data_pipeline_spark.operators import incremental as inc
+
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(i, f"base doc number {i} with words") for i in range(8)],
+        "doc_id long, text string",
+    )
+    inc.build_index(spark, docs, idx)
+    return idx
+
+
+def test_rebuild_blocks_on_live_rebuild_lease(spark, tmp_path):
+    """A live lease owned by another rebuild (live pid) must make a second
+    rebuild raise WriterLeaseHeld instead of force-releasing it."""
+    import subprocess
+    import sys as _sys
+
+    from basic_data_pipeline_spark.streaming import rebuild as RB
+
+    idx = _tiny_index(spark, tmp_path)
+    helper = subprocess.Popen(
+        [_sys.executable, "-c", "import time; time.sleep(60)"]
+    )
+    try:
+        SW.acquire_lease(idx, owner="rebuild:rebuild_dedup_index")
+        lp = SW.lease_path(idx)
+        cur = json.load(open(lp))
+        cur["pid"] = helper.pid  # live, other process
+        cur["token"] = "other-rebuild"
+        with open(lp, "w") as f:
+            json.dump(cur, f)
+        with pytest.raises(SW.WriterLeaseHeld):
+            RB.rebuild_dedup_index(spark, idx)
+        assert os.path.exists(lp)  # the live rebuild's lease survived
+    finally:
+        helper.kill()
+        helper.wait()
+        SW.release_lease(idx, force=True)
+
+
+def test_rebuild_blocks_on_live_foreign_writer(spark, tmp_path):
+    """A live lease held by another PROCESS (stream or batch) is never
+    stolen by a rebuild — operators verify the holder is gone and
+    release_lease(force=True) themselves (the r10 guard force-released
+    unconditionally)."""
+    import subprocess
+    import sys as _sys
+
+    from basic_data_pipeline_spark.streaming import rebuild as RB
+
+    idx = _tiny_index(spark, tmp_path)
+    helper = subprocess.Popen(
+        [_sys.executable, "-c", "import time; time.sleep(60)"]
+    )
+    try:
+        SW.acquire_lease(idx, owner="guarded-stream:dedup")
+        lp = SW.lease_path(idx)
+        cur = json.load(open(lp))
+        cur["pid"] = helper.pid
+        cur["token"] = "live-foreign-stream"
+        with open(lp, "w") as f:
+            json.dump(cur, f)
+        with pytest.raises(SW.WriterLeaseHeld):
+            RB.rebuild_dedup_index(spark, idx)
+    finally:
+        helper.kill()
+        helper.wait()
+        SW.release_lease(idx, force=True)
+
+
+def test_rebuild_blocks_second_in_process_rebuild(spark, tmp_path):
+    """Two rebuilds racing in ONE process serialize on the per-path mutex:
+    the second fails loudly while the first's lock is held."""
+    import os as _os
+
+    from basic_data_pipeline_spark.streaming import rebuild as RB
+
+    idx = _tiny_index(spark, tmp_path)
+    key = _os.path.abspath(idx)
+    import threading as _threading
+
+    with RB._REBUILD_LOCKS_GUARD:
+        lock = RB._REBUILD_LOCKS.setdefault(key, _threading.Lock())
+    assert lock.acquire(blocking=False)
+    try:
+        with pytest.raises(SW.WriterLeaseHeld):
+            RB.rebuild_dedup_index(spark, idx)
+    finally:
+        lock.release()
+    # with the mutex free, the rebuild proceeds (takes over nothing —
+    # no lease exists — and leaves the lease released)
+    RB.rebuild_dedup_index(spark, idx)
+    assert not os.path.exists(SW.lease_path(idx))
+
+
+def test_rebuild_takes_over_crashed_same_process_stream(spark, tmp_path):
+    """The DirtyIndexError recovery flow: a stream that crashed in THIS
+    still-live process left its lease (live pid — _is_stale can't clear
+    it); the rebuild takes it over atomically and releases on exit."""
+    from basic_data_pipeline_spark.streaming import rebuild as RB
+
+    idx = _tiny_index(spark, tmp_path)
+    SW.acquire_lease(idx, owner="guarded-stream:crashed")
+    RB.rebuild_dedup_index(spark, idx)
+    assert not os.path.exists(SW.lease_path(idx))
