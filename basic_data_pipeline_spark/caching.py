@@ -1,4 +1,4 @@
-"""Session-bounded persist tracking.
+"""Session-bounded persist tracking + pluggable lineage cuts.
 
 Several operators persist an intermediate DataFrame that feeds BOTH sides
 of a self-join (LSH bands, simhash chunks, IVF assignments, candidate
@@ -13,13 +13,83 @@ them all. The registry's @query wrapper calls release at the START of each
 query invocation — by then the previous query's action has completed — so
 a session holds at most one query's cached blocks at a time, with zero
 cooperation needed from the external driver.
+
+Lineage cuts (r10 verdict item #1): every iterative operator here
+(pointer-jumped clustering, pagerank/HITS/SCC/LPA rounds, BPE/unigram
+vocab rounds, the prefix-sum pinning in packing/sampling, pipeline stage
+boundaries) truncates lineage through `tracked_local_checkpoint`. Two
+modes:
+
+* ``local`` (default) — ``localCheckpoint(eager=True)``. Blocks live
+  only on executors: the fastest cut and the right one on a single box
+  (local[N]) — but NON-FAULT-TOLERANT. On a real cluster, one lost /
+  preempted executor in hour three of a 100 TB pagerank makes the
+  truncated lineage unrecoverable and kills the whole job; worse, the
+  prefix-sum sites pin the cut for *determinism* (repartitionByRange
+  samples boundaries per-execution), so silent recompute would not even
+  be safe in principle.
+* ``reliable`` — each cut is STAGED to parquet under a durable directory
+  (point it at HDFS/S3 on a real cluster) and read back with an explicit
+  schema. Executor loss costs a re-read of the staged files, never a
+  recompute; the determinism pins hold because the staged bytes ARE the
+  pinned assignment. This is the same durability model as the pipeline's
+  ``workdir=`` staged execution (pipeline.py), generalized to every
+  iterative cut. Costs one parquet write+read per cut — the price of
+  availability, paid only when selected.
+
+Select per session with :func:`set_lineage_cut_mode` (or the
+``lineage_cut_scope`` context manager in tests); every call site inherits
+it through this module — results are bit-identical across modes
+(tests/test_lineage_cut.py pins pagerank / BPE / pack_sequences).
 """
 
 from __future__ import annotations
 
+import contextlib
+import os
+import shutil
+import time
+
 from pyspark.sql import DataFrame
 
 _TRACKED: list[DataFrame] = []
+
+#: session-level lineage-cut configuration (see module docstring)
+_LINEAGE_CUT: dict = {"mode": "local", "dir": None, "seq": 0}
+
+
+def set_lineage_cut_mode(mode: str, staging_dir: str | None = None) -> None:
+    """Choose how iterative operators cut lineage for THIS session.
+
+    ``local``: executor-resident localCheckpoint (fast; single-box).
+    ``reliable``: parquet staging under ``staging_dir`` — survives
+    executor loss; point the dir at a durable FS (HDFS/S3) on a real
+    cluster. ``staging_dir`` is required for (and only meaningful in)
+    reliable mode.
+    """
+    if mode not in ("local", "reliable"):
+        raise ValueError(f"lineage_cut_mode must be 'local' or 'reliable': {mode!r}")
+    if mode == "reliable":
+        if not staging_dir:
+            raise ValueError("reliable lineage cuts need staging_dir=")
+        os.makedirs(staging_dir, exist_ok=True)
+    _LINEAGE_CUT["mode"] = mode
+    _LINEAGE_CUT["dir"] = staging_dir if mode == "reliable" else None
+
+
+def lineage_cut_mode() -> str:
+    return _LINEAGE_CUT["mode"]
+
+
+@contextlib.contextmanager
+def lineage_cut_scope(mode: str, staging_dir: str | None = None):
+    """Temporarily switch the lineage-cut mode (tests, one-off jobs)."""
+    prev_mode, prev_dir = _LINEAGE_CUT["mode"], _LINEAGE_CUT["dir"]
+    set_lineage_cut_mode(mode, staging_dir)
+    try:
+        yield
+    finally:
+        _LINEAGE_CUT["mode"], _LINEAGE_CUT["dir"] = prev_mode, prev_dir
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
@@ -44,17 +114,37 @@ def release_persisted() -> int:
 
 
 def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
-    """localCheckpoint(eager) that REMEMBERS its checkpoint blocks'
-    storage ids, so free_local_checkpoint can actually release them.
+    """Cut ``df``'s lineage per the session's lineage-cut mode and return
+    the cut frame; `free_local_checkpoint` releases its storage.
 
-    Why: ``DataFrame.unpersist()`` goes through the CacheManager, but
-    localCheckpoint blocks are persisted at the RDD level and never
+    ``local`` mode: localCheckpoint(eager) that REMEMBERS its checkpoint
+    blocks' storage ids, so free_local_checkpoint can actually release
+    them. Why: ``DataFrame.unpersist()`` goes through the CacheManager,
+    but localCheckpoint blocks are persisted at the RDD level and never
     registered there — plain unpersist on a checkpointed frame frees
     NOTHING (verified empirically; the blocks survive until JVM GC).
     The only reliable handle is the SparkContext's persistent-RDD
     registry, diffed around the checkpoint (the driver is
     single-threaded in every flow that iterates checkpoints here, so
-    the diff is race-free)."""
+    the diff is race-free).
+
+    ``reliable`` mode: stage to parquet under the configured durable
+    dir and read back with the frame's own schema passed EXPLICITLY —
+    an all-empty write produces no part files, and schema inference
+    over an empty directory would fail where the local mode returns an
+    empty frame. Like every parquet round-trip, the read-back RELAXES
+    nullability (file sources always read nullable); names, types, and
+    values are bit-identical across modes (tests/test_lineage_cut.py)."""
+    if _LINEAGE_CUT["mode"] == "reliable":
+        _LINEAGE_CUT["seq"] += 1
+        path = os.path.join(
+            _LINEAGE_CUT["dir"],
+            f"cut-{os.getpid()}-{_LINEAGE_CUT['seq']}-{time.time_ns()}",
+        )
+        df.write.mode("overwrite").parquet(path)
+        out = df.sparkSession.read.schema(df.schema).parquet(path)
+        out._ckpt_stage_path = path  # type: ignore[attr-defined]
+        return out
     jsc = df.sparkSession.sparkContext._jsc.sc()
     before = {info.id() for info in jsc.getRDDStorageInfo()}
     out = df.localCheckpoint(eager=True)
@@ -67,10 +157,15 @@ def tracked_local_checkpoint(df: DataFrame) -> DataFrame:
 
 
 def free_local_checkpoint(df: DataFrame) -> None:
-    """Release a tracked_local_checkpoint's blocks. The frame is DEAD
-    afterwards (checkpoint storage has no lineage to recompute from) —
-    only call once nothing will ever read it again (e.g. the previous
-    iteration's vocab after the next round materialized)."""
+    """Release a tracked_local_checkpoint's storage (cached blocks in
+    local mode; the staged parquet directory in reliable mode). The frame
+    is DEAD afterwards (checkpoint storage has no lineage to recompute
+    from) — only call once nothing will ever read it again (e.g. the
+    previous iteration's vocab after the next round materialized)."""
+    path = getattr(df, "_ckpt_stage_path", None)
+    if path is not None:
+        shutil.rmtree(path, ignore_errors=True)
+        return
     ids = getattr(df, "_ckpt_rdd_ids", [])
     if not ids:
         return

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from basic_data_pipeline_spark.operators.dedup import word_shingles
+from basic_data_pipeline_spark.caching import tracked_local_checkpoint
 
 
 def _cum_before(
@@ -66,8 +67,12 @@ def _cum_before(
     # boundaries per-execution, so without materializing here the totals
     # job and the caller's downstream job could see DIFFERENT _pid
     # assignments for boundary rows, silently corrupting the prefix sum.
-    # localCheckpoint is eager and immune to cache eviction.
-    d = d.localCheckpoint(eager=True)
+    # The eager cut is immune to cache eviction; tracked_local_checkpoint
+    # also inherits the session's lineage-cut mode — on a real cluster
+    # `reliable` stages the pinned assignment durably, because this pin
+    # is for DETERMINISM: executor loss must re-read the same boundary
+    # rows, never recompute a fresh sample.
+    d = tracked_local_checkpoint(d)
     w = (
         W.partitionBy("_pid")
         .orderBy(id_col)

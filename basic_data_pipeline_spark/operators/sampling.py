@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+from basic_data_pipeline_spark.caching import tracked_local_checkpoint
 
 
 def _bucket(id_col: str, salt: str, n: int = 1_000_000) -> F.Column:
@@ -294,10 +295,11 @@ def token_budget_mix(
         )
         .repartitionByRange(n, F.col("_src"), F.col("_rk"), F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
-        # pin the partition assignment (repartitionByRange samples its
-        # boundaries per-execution — the packing._cum_before rationale)
-        .localCheckpoint(eager=True)
     )
+    # pin the partition assignment (repartitionByRange samples its
+    # boundaries per-execution — the packing._cum_before rationale);
+    # mode-aware so `reliable` stages the pin durably at cluster scale
+    d = tracked_local_checkpoint(d)
     w = (
         W.partitionBy("_pid", "_src")
         .orderBy("_rk", id_col)

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from basic_data_pipeline_spark.caching import tracked_local_checkpoint
 from basic_data_pipeline_spark.operators.rollup import hourly_rollup
 from basic_data_pipeline_spark.streaming import swapstore
 
@@ -173,7 +174,7 @@ def make_partitioned_rollup_batch_fn(
                 .filter(F.col("_d") >= F.col("_floor"))
                 .drop("_floor")
             )
-        partial = partial.localCheckpoint(eager=True)
+        partial = tracked_local_checkpoint(partial)
         dates = sorted(
             str(r["_d"]) for r in partial.select("_d").distinct().collect()
         )
