@@ -277,6 +277,30 @@ def build_index(
     return survivors
 
 
+def read_dedup_index(
+    spark: SparkSession, index_path: str, as_of_completed: bool = False
+) -> dict[str, DataFrame]:
+    """{'bands', 'shingles'}: the index content, for external readers.
+    ``as_of_completed=True`` pins both tables to the last COMPLETED
+    epoch's id watermark (operators/indexsnap.py — the same cut the
+    crash rebuild makes), so a read concurrent with an in-flight append
+    sees a consistent snapshot instead of a partial epoch. Two codegen
+    filters, no extra pass; the bucketed layout is preserved."""
+    from basic_data_pipeline_spark.operators import indexsnap
+
+    meta = _read_meta(index_path)
+    id_col = meta.get("id_col")
+    if id_col is None:  # legacy meta: the non-key column of bands
+        cols = set(spark.read.parquet(_p(index_path, "bands")).columns)
+        id_col = (cols - {"band", "bandkey"}).pop()
+    bands, shingles, _ = _index_tables(spark, index_path, id_col)
+    if as_of_completed:
+        wm = indexsnap.require_watermark(index_path, meta)
+        bands = bands.filter(F.col(id_col) <= F.lit(wm))
+        shingles = shingles.filter(F.col(id_col) <= F.lit(wm))
+    return {"bands": bands, "shingles": shingles}
+
+
 @_swapstore.leased("index_path", owner="batch:incremental.incremental_dedup")
 def incremental_dedup(
     spark: SparkSession,

@@ -158,6 +158,25 @@ def build_audio_index(
     return survivors
 
 
+def read_audio_index(
+    spark: SparkSession, index_path: str, as_of_completed: bool = False
+) -> DataFrame:
+    """The constellation fingerprint table (fhash, id, t), for external
+    readers. ``as_of_completed=True`` pins the read to the last
+    COMPLETED epoch's id watermark (operators/indexsnap.py — the
+    rebuild cut), so a read concurrent with an in-flight append sees a
+    consistent snapshot. One codegen filter; bucketed layout
+    preserved."""
+    from basic_data_pipeline_spark.operators import indexsnap
+
+    meta = _meta_rw(index_path)
+    fps = _registered_fps(spark, index_path, meta["n_buckets"])
+    if as_of_completed:
+        wm = indexsnap.require_watermark(index_path, meta)
+        fps = fps.filter(F.col(meta["id_col"]) <= F.lit(wm))
+    return fps
+
+
 @_swapstore.leased("index_path", owner="batch:incremental_audio.incremental_audio_dedup")
 def incremental_audio_dedup(
     spark: SparkSession,

@@ -340,18 +340,40 @@ def incremental_resolve(
     return assigned
 
 
-def current_entities(spark: SparkSession, index_path: str) -> DataFrame:
+def current_entities(
+    spark: SparkSession, index_path: str, as_of_completed: bool = False
+) -> DataFrame:
     """(id, entity_id) for every indexed record, alias-resolved — the
-    user-facing dump of the maintained resolution."""
+    user-facing dump of the maintained resolution.
+
+    ``as_of_completed=True`` pins the read to the last COMPLETED epoch
+    (operators/indexsnap.py): strings above the id watermark and alias
+    rows tagged with a later epoch are filtered out — the same cuts the
+    crash rebuild makes — so a read concurrent with an in-flight append
+    resolves against a consistent snapshot. Legacy alias logs without
+    the _epoch column keep all rows (their in-flight merges cannot be
+    identified; alias reads are distinct-ed so the worst case is seeing
+    a merge early, never a torn one)."""
     meta = _meta_rw(index_path)
     _, strings_t = _tnames(index_path)
     strings = _register(
         spark, strings_t, _p(index_path, "strings"), ["id"],
         meta["n_buckets"],
     )
-    aliases = spark.read.parquet(_p(index_path, "aliases")).select(
-        "entity", "canonical"
+    al = spark.read.option("mergeSchema", "true").parquet(
+        _p(index_path, "aliases")
     )
+    if as_of_completed:
+        from basic_data_pipeline_spark.operators import indexsnap
+
+        wm = indexsnap.require_watermark(index_path, meta)
+        strings = strings.filter(F.col("id") <= F.lit(wm))
+        if "_epoch" in al.columns:
+            last = indexsnap.last_completed_epoch(index_path)
+            al = al.filter(
+                F.col("_epoch").isNull() | (F.col("_epoch") <= F.lit(last))
+            )
+    aliases = al.select("entity", "canonical")
     out = strings.select(
         F.col("id").alias(meta["id_col"]), F.col("entity").alias("entity_id")
     )

@@ -171,6 +171,27 @@ def build_image_index(
     return out
 
 
+def read_image_index(
+    spark: SparkSession, index_path: str, as_of_completed: bool = False
+) -> DataFrame:
+    """The perceptual band table (bi, bv, id, full hash), for external
+    readers. ``as_of_completed=True`` pins the read to the last
+    COMPLETED epoch's id watermark (operators/indexsnap.py — the
+    rebuild cut), so a read concurrent with an in-flight append sees a
+    consistent snapshot. One codegen filter; bucketed layout
+    preserved."""
+    from basic_data_pipeline_spark.operators import indexsnap
+
+    meta = _meta_rw(index_path)
+    bands = _registered_bands(
+        spark, index_path, meta["n_buckets"], meta["id_col"]
+    )
+    if as_of_completed:
+        wm = indexsnap.require_watermark(index_path, meta)
+        bands = bands.filter(F.col(meta["id_col"]) <= F.lit(wm))
+    return bands
+
+
 @_swapstore.leased("index_path", owner="batch:incremental_images.incremental_image_dedup")
 def incremental_image_dedup(
     spark: SparkSession,

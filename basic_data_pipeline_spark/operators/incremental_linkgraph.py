@@ -118,15 +118,18 @@ def _norm_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     ).distinct()
 
 
-def load_alias_map(spark: SparkSession, index_path: str) -> dict:
+def load_alias_map(
+    spark: SparkSession, index_path: str, as_of: int | None = None
+) -> dict:
     """Fold the merge log into a direct old→current dict (chains
     resolved with path compression). Driver-side on purpose: the log is
-    merge-bounded and cleared at compaction — the BPE-collect class."""
-    rows = (
-        spark.read.parquet(_p(index_path, "merges"))
-        .orderBy("_wm", "old")
-        .collect()
-    )
+    merge-bounded and cleared at compaction — the BPE-collect class.
+    ``as_of`` (an id watermark) drops merge rows written after it —
+    the snapshot-read cut (base rows carry _wm NULL and are kept)."""
+    mg = spark.read.parquet(_p(index_path, "merges"))
+    if as_of is not None:
+        mg = mg.filter(F.col("_wm").isNull() | (F.col("_wm") <= F.lit(as_of)))
+    rows = mg.orderBy("_wm", "old").collect()
     fold: dict = {}
     for r in rows:
         fold[r["old"]] = fold.get(r["new"], r["new"])
@@ -307,16 +310,32 @@ def add_edges(
     return out
 
 
-def components(spark: SparkSession, index_path: str) -> DataFrame:
+def components(
+    spark: SparkSession, index_path: str, as_of_completed: bool = False
+) -> DataFrame:
     """(node, component) — the CURRENT labeling: base labels resolved
     through the folded merge log (broadcast). One in-place index scan,
-    no corpus shuffle."""
+    no corpus shuffle.
+
+    ``as_of_completed=True`` pins the read to the last COMPLETED
+    epoch's id watermark (operators/indexsnap.py — the rebuild cuts):
+    label rows written after it and merge-log rows tagged after it drop
+    out, so a read concurrent with an in-flight add_edges resolves a
+    consistent snapshot (base rows carry _wm NULL and always stay)."""
     meta = _meta_rw(index_path)
     idx_l = _registered(
         spark, index_path, "labels", "node", meta["n_buckets"]
     )
+    wm = None
+    if as_of_completed:
+        from basic_data_pipeline_spark.operators import indexsnap
+
+        wm = indexsnap.require_watermark(index_path, meta)
+        idx_l = idx_l.filter(
+            F.col("_wm").isNull() | (F.col("_wm") <= F.lit(wm))
+        )
     node_t = dict(idx_l.dtypes)["node"]
-    al = _alias_df(spark, load_alias_map(spark, index_path), node_t)
+    al = _alias_df(spark, load_alias_map(spark, index_path, as_of=wm), node_t)
     return (
         idx_l.select("node", "label")
         .join(
@@ -330,13 +349,22 @@ def components(spark: SparkSession, index_path: str) -> DataFrame:
     )
 
 
-def graph_edges(spark: SparkSession, index_path: str) -> DataFrame:
+def graph_edges(
+    spark: SparkSession, index_path: str, as_of_completed: bool = False
+) -> DataFrame:
     """The accepted edge set (bucketed scan) — feed to pagerank / hits /
-    strongly_connected_components for full re-analysis."""
+    strongly_connected_components for full re-analysis.
+    ``as_of_completed=True`` pins to the last completed epoch's id
+    watermark via the monotone-src crawl convention (the rebuild
+    cut)."""
     meta = _meta_rw(index_path)
-    return _registered(
-        spark, index_path, "edges", "src", meta["n_buckets"]
-    ).select("src", "dst")
+    edges = _registered(spark, index_path, "edges", "src", meta["n_buckets"])
+    if as_of_completed:
+        from basic_data_pipeline_spark.operators import indexsnap
+
+        wm = indexsnap.require_watermark(index_path, meta)
+        edges = edges.filter(F.col("src") <= F.lit(wm))
+    return edges.select("src", "dst")
 
 
 @_swapstore.leased("index_path", owner="batch:incremental_linkgraph.compact_graph_index")

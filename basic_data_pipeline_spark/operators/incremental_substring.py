@@ -157,6 +157,25 @@ def build_substring_index(
     return substring.substring_dedup_corpus(docs, id_col, text_col, k)
 
 
+def read_substring_index(
+    spark: SparkSession, index_path: str, as_of_completed: bool = False
+) -> DataFrame:
+    """The first-occurrence gram table (gram, doc, fpos), for external
+    readers. ``as_of_completed=True`` pins the read to the last
+    COMPLETED epoch's id watermark via the first-occurrence ``doc``
+    column — a crashed/in-flight epoch's new grams all carry its doc
+    ids (the rebuild cut, streaming/rebuild.py). One codegen filter;
+    bucketed layout preserved."""
+    from basic_data_pipeline_spark.operators import indexsnap
+
+    meta = _meta_rw(index_path)
+    grams = _registered_grams(spark, index_path, meta["n_buckets"])
+    if as_of_completed:
+        wm = indexsnap.require_watermark(index_path, meta)
+        grams = grams.filter(F.col("doc") <= F.lit(wm))
+    return grams
+
+
 @_swapstore.leased("index_path", owner="batch:incremental_substring.incremental_substring_dedup")
 def incremental_substring_dedup(
     spark: SparkSession,
