@@ -10,10 +10,31 @@ factors (4:4:4, 4:2:2, 4:2:0 covered by the general h×v max-factor
 upsampler), restart markers (DRI/RSTn), 16-bit DQT entries; progressive
 covers spectral selection, successive approximation (DC + AC first and
 refinement passes, EOBRUN), interleaved DC scans, and non-interleaved
-AC scans over true (unpadded) component block dims. Arithmetic coding,
-12-bit, and hierarchical modes stay out of scope — `JpegUnsupported`
-names the feature so operators/multimodal.py can keep its loud-gate
-convention for the exotic variants.
+AC scans over true (unpadded) component block dims.
+
+Arithmetic coding, 12-bit, and hierarchical modes are PERMANENTLY
+CLOSED gates (decided r11, not deferred) — `JpegUnsupported` names the
+feature and the row nulls. Why closed rather than implemented:
+
+* **Conformance is unverifiable here.** Every decoder in this module is
+  pinned against an INDEPENDENT spec-literal reference encoder plus
+  closed forms (DC-only images, exact IDCT) — the encoder's correctness
+  is checkable separately from the decoder's. The QM arithmetic coder
+  breaks that pattern: encoder and decoder must share the normative
+  113-state probability table (T.81 Table D.3) verbatim, so a
+  round-trip test proves only SELF-consistency — a transcription error
+  in the table still round-trips. With no arithmetic-capable
+  third-party codec in this environment to cross-check (PIL/libjpeg
+  builds ship without arithmetic support), shipping it would convert
+  today's loud `JpegUnsupported` into silent pixel corruption on any
+  real arithmetic file. Loud gate > silently wrong decode.
+* **Rarity.** Arithmetic-coded JPEGs are effectively absent from real
+  corpora (historical patent encumbrance meant encoders never adopted
+  it; mainstream browsers and PIL do not decode it), so a web-scale
+  multimodal pipeline loses ~nothing — and the damage→null policy
+  already handles the stragglers gracefully. The same holds for 12-bit
+  (medical-imaging niche; this pipeline's perceptual hashes are 8-bit
+  luma) and hierarchical (rarer still).
 
 Implementation notes (ITU-T T.81 / ISO 10918-1, public spec):
 
