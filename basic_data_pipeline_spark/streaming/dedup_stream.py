@@ -86,6 +86,8 @@ def make_guarded_batch_fn(
     tag: str = "stream",
     what: str = "index",
     max_id_of: Callable[[DataFrame], object] | None = None,
+    compact_every: int | None = None,
+    compact_fn: Callable[[SparkSession], object] | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The SHARED foreachBatch skeleton for every stream that maintains
     a persisted index whose appends are not replay-safe (incremental
@@ -121,6 +123,20 @@ def make_guarded_batch_fn(
       protocol silently. Crashed holders (dead pid / expired ttl) are
       stolen. The rebuild helpers force-release the lease — a rebuild
       asserts the writer is gone.
+    * AUTO-COMPACTION (r11): every bucketed append lays down n_buckets
+      more files per table, and a body whose candidate join READS the
+      index pays a per-epoch wall that drifts with file count (measured
+      ~0.7 s/epoch for dedup at the 16×/64× probe tiers; SCALING.md
+      r11 — appends that never read their index, retrieval/ANN, stay
+      flat). ``compact_every=N`` runs ``compact_fn`` after every N
+      completed NON-EMPTY epochs, under this stream's own lease (the
+      stream is the single writer, so compacting between its own
+      batches cannot race anything); the probe's cadence rule
+      e* ≈ √(2·compact_cost/drift_slope) lands around 6-16 epochs for
+      the dedup shape. The since-compact counter rides in the ledger
+      (crash mid-compact → the counter stays high and the next epoch
+      re-compacts; every family's compaction is swap-recoverable and
+      result-preserving, so the retry is idempotent).
     """
     lease_token = swapstore.acquire_lease(
         index_path, owner=f"guarded-stream:{tag}"
@@ -165,10 +181,26 @@ def make_guarded_batch_fn(
             prev = state.get("max_id")
             if wm is not None:
                 state["max_id"] = wm if prev is None else max(prev, wm)
+        if compact_every:
+            state["since_compact"] = state.get("since_compact", 0) + 1
         ledger[tag] = state
         _write_ledger(index_path, ledger)
         free_local_checkpoint(out)
         release_persisted()
+
+        if (
+            compact_every
+            and compact_fn is not None
+            and state["since_compact"] >= compact_every
+        ):
+            # after the ledger advance: a crash mid-compact replays
+            # nothing, the counter stays high, and the next epoch
+            # re-runs the (idempotent, swap-recoverable) compaction
+            with swapstore.reentrant_scope(index_path, lease_token):
+                compact_fn(batch_df.sparkSession)
+            state["since_compact"] = 0
+            ledger[tag] = state
+            _write_ledger(index_path, ledger)
 
     return swapstore.attach_release(fn, index_path, lease_token)
 
@@ -179,10 +211,18 @@ def make_dedup_batch_fn(
     tag: str = "stream",
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = None,
     **dedup_kw,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch body: epoch-guarded incremental dedup with
-    epoch-tagged survivor output under ``out_root/epoch=N/``."""
+    epoch-tagged survivor output under ``out_root/epoch=N/``.
+    ``compact_every=N`` folds the bucketed index back to one file per
+    bucket every N epochs (the r11 probe's file-accretion remedy —
+    dedup's candidate join re-reads the index each epoch, so its wall
+    drifts ~0.7 s/epoch unbounded without it; ~6-16 is the measured
+    sweet spot, see make_guarded_batch_fn)."""
+    from basic_data_pipeline_spark.operators import incremental as _inc
+
     return make_guarded_batch_fn(
         index_path,
         out_root,
@@ -196,6 +236,8 @@ def make_dedup_batch_fn(
         ),
         tag=tag,
         max_id_of=lambda b: b.agg(F.max(id_col)).first()[0],
+        compact_every=compact_every,
+        compact_fn=lambda spark: _inc.compact_index(spark, index_path),
     )
 
 

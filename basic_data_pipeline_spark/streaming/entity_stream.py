@@ -36,6 +36,7 @@ from basic_data_pipeline_spark.operators.incremental_entity import (
     _meta_rw,
     incremental_resolve,
 )
+from basic_data_pipeline_spark.operators import incremental_entity as _opmod_r11
 from basic_data_pipeline_spark.streaming.dedup_stream import (
     DirtyIndexError,
     make_guarded_batch_fn,
@@ -49,6 +50,7 @@ def make_entity_batch_fn(
     index_path: str,
     out_root: str,
     tag: str = "stream",
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Build the foreachBatch body: epoch-guarded incremental entity
     resolution with epoch-tagged assignment output under
@@ -64,6 +66,8 @@ def make_entity_batch_fn(
         ),
         tag=tag,
         what="entity index",
+        compact_every=compact_every,
+        compact_fn=lambda spark: _opmod_r11.compact_index(spark, index_path),
         max_id_of=lambda b: b.agg(
             F.max(_meta_rw(index_path)["id_col"])
         ).first()[0],

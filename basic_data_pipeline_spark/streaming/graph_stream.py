@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from basic_data_pipeline_spark.operators.incremental_linkgraph import (
     add_edges,
 )
+from basic_data_pipeline_spark.operators import incremental_linkgraph as _opmod_r11
 from basic_data_pipeline_spark.streaming.dedup_stream import (
     DirtyIndexError,
     make_guarded_batch_fn,
@@ -45,6 +46,7 @@ def make_graph_batch_fn(
     index_path: str,
     out_root: str,
     tag: str = "stream",
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: epoch-guarded incremental graph maintenance
     with epoch-tagged resolved-component output under
@@ -64,6 +66,8 @@ def make_graph_batch_fn(
         body,
         tag=tag,
         what="link-graph index",
+        compact_every=compact_every,
+        compact_fn=lambda spark: _opmod_r11.compact_graph_index(spark, index_path),
         max_id_of=lambda b: b.agg(F.max("src")).first()[0],
     )
 

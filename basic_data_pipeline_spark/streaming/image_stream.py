@@ -30,6 +30,7 @@ from basic_data_pipeline_spark.operators.incremental_images import (
     _meta_rw,
     incremental_image_dedup,
 )
+from basic_data_pipeline_spark.operators import incremental_images as _opmod_r11
 from basic_data_pipeline_spark.streaming.dedup_stream import (
     DirtyIndexError,
     make_guarded_batch_fn,
@@ -47,6 +48,7 @@ def make_image_batch_fn(
     index_path: str,
     out_root: str,
     tag: str = "stream",
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: epoch-guarded incremental image dedup with
     epoch-tagged surviving-hash output under ``out_root/epoch=N/`` —
@@ -61,6 +63,8 @@ def make_image_batch_fn(
         ),
         tag=tag,
         what="image band index",
+        compact_every=compact_every,
+        compact_fn=lambda spark: _opmod_r11.compact_image_index(spark, index_path),
         max_id_of=lambda b: b.agg(
             F.max(_meta_rw(index_path)["id_col"])
         ).first()[0],

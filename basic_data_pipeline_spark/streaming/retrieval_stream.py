@@ -32,6 +32,7 @@ from basic_data_pipeline_spark.operators.incremental_retrieval import (
     _meta_rw,
     incremental_retrieval_append,
 )
+from basic_data_pipeline_spark.operators import incremental_retrieval as _opmod_r11
 from basic_data_pipeline_spark.streaming.dedup_stream import (
     DirtyIndexError,
     make_guarded_batch_fn,
@@ -45,6 +46,7 @@ def make_retrieval_batch_fn(
     index_path: str,
     out_root: str,
     tag: str = "stream",
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: epoch-guarded incremental index append with
     the per-document indexing receipt under ``out_root/epoch=N/`` — the
@@ -58,6 +60,8 @@ def make_retrieval_batch_fn(
         ),
         tag=tag,
         what="retrieval index",
+        compact_every=compact_every,
+        compact_fn=lambda spark: _opmod_r11.compact_index(spark, index_path),
         max_id_of=lambda b: b.agg(
             F.max(_meta_rw(index_path)["id_col"])
         ).first()[0],

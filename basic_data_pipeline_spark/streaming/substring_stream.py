@@ -29,6 +29,7 @@ from basic_data_pipeline_spark.operators.incremental_substring import (
     _meta_rw,
     incremental_substring_dedup,
 )
+from basic_data_pipeline_spark.operators import incremental_substring as _opmod_r11
 from basic_data_pipeline_spark.streaming.dedup_stream import (
     DirtyIndexError,
     make_guarded_batch_fn,
@@ -42,6 +43,7 @@ def make_substring_batch_fn(
     index_path: str,
     out_root: str,
     tag: str = "stream",
+    compact_every: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch body: epoch-guarded incremental substring dedup with
     epoch-tagged rewritten-document output under ``out_root/epoch=N/`` —
@@ -55,6 +57,8 @@ def make_substring_batch_fn(
         ),
         tag=tag,
         what="gram index",
+        compact_every=compact_every,
+        compact_fn=lambda spark: _opmod_r11.compact_index(spark, index_path),
         max_id_of=lambda b: b.agg(
             F.max(_meta_rw(index_path)["id_col"])
         ).first()[0],

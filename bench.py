@@ -94,12 +94,13 @@ RUN_BOARD = os.environ.get("SPARK_GRAFT_BENCH_BOARD", "1") != "0"
 #: per-round-checkpointed graph recurrences) — the board records every
 #: slot's construct wall; these slots additionally fail the budget
 #: check loudly in `board_budget_violations` instead of drifting
-#: silently. Budgets are ~2× the observed r11 walls: trend alarms, not
+#: silently. Budgets are ~4× the observed r11 sf0.1 walls (11.1 / 14.5
+#: / 8.6 s): trend alarms with session-noise headroom, not
 #: noise-floored measurements.
 BOARD_CONSTRUCT_BUDGET_S = {
-    "text_lang_token": 240.0,
-    "rollup_hourly_to_daily": 240.0,
-    "join_salted_skew": 120.0,
+    "text_lang_token": 45.0,
+    "rollup_hourly_to_daily": 60.0,
+    "join_salted_skew": 35.0,
 }
 
 

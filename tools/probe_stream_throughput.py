@@ -72,14 +72,35 @@ def _flat(walls: list[float]) -> str:
     return f"head3={head:.2f}s tail3={tail:.2f}s tail/head={tail / head:.2f}"
 
 
-def _drive(label: str, tier: int, fn, batches) -> list[float]:
+def _drive(label: str, tier: int, fn, batches, start_epoch: int = 0) -> list[float]:
     walls = []
-    for e, b in enumerate(batches):
+    for i, b in enumerate(batches):
+        e = start_epoch + i
         t0 = time.perf_counter()
         fn(b, e)
         walls.append(round(time.perf_counter() - t0, 2))
         print(f"{label:10s} {tier:3d}x epoch={e:3d} wall={walls[-1]:7.2f}s", flush=True)
     print(f"{label:10s} {tier:3d}x FLATNESS {_flat(walls)}", flush=True)
+    return walls
+
+
+def _compact_then_resume(label, tier, idx, fn, compact, remake, batches, e0):
+    """The small-file accretion check: every bucketed append lays down
+    n_buckets more files, so a long stream's per-epoch wall drifts up
+    with FILE COUNT (not data size). Stop the stream (release its
+    lease), run the family's bucket-preserving compaction, restart, and
+    drive the remaining epochs — if the drift is accretion, the
+    post-compact wall returns to the early-epoch floor."""
+    swapstore.release_writer(fn)
+    t0 = time.perf_counter()
+    compact()
+    print(
+        f"{label:10s} {tier:3d}x COMPACT wall={time.perf_counter() - t0:7.2f}s",
+        flush=True,
+    )
+    fn2 = remake()
+    walls = _drive(label + "+c", tier, fn2, batches, start_epoch=e0)
+    swapstore.release_writer(fn2)
     return walls
 
 
@@ -112,11 +133,15 @@ def main() -> None:
             )
             print(f"dedup      {tier:3d}x base build ({n_base} copies): "
                   f"{time.perf_counter() - t0:.1f}s", flush=True)
-            fn = dedup_stream.make_dedup_batch_fn(
-                idx, os.path.join(idx, "_out")
+            out = os.path.join(idx, "_out")
+            fn = dedup_stream.make_dedup_batch_fn(idx, out)
+            _drive("dedup", tier, fn, doc_batches[:-3])
+            _compact_then_resume(
+                "dedup", tier, idx, fn,
+                lambda: incremental.compact_index(spark, idx),
+                lambda: dedup_stream.make_dedup_batch_fn(idx, out),
+                doc_batches[-3:], len(doc_batches) - 3,
             )
-            _drive("dedup", tier, fn, doc_batches)
-            swapstore.release_writer(fn)
 
         if "retrieval" in families:
             idx = os.path.join(WORK, f"retr_{tier}x")
@@ -128,11 +153,15 @@ def main() -> None:
             )
             print(f"retrieval  {tier:3d}x base build ({n_base} copies): "
                   f"{time.perf_counter() - t0:.1f}s", flush=True)
-            fn = retrieval_stream.make_retrieval_batch_fn(
-                idx, os.path.join(idx, "_out")
+            out = os.path.join(idx, "_out")
+            fn = retrieval_stream.make_retrieval_batch_fn(idx, out)
+            _drive("retrieval", tier, fn, doc_batches[:-3])
+            _compact_then_resume(
+                "retrieval", tier, idx, fn,
+                lambda: IR.compact_index(spark, idx),
+                lambda: retrieval_stream.make_retrieval_batch_fn(idx, out),
+                doc_batches[-3:], len(doc_batches) - 3,
             )
-            _drive("retrieval", tier, fn, doc_batches)
-            swapstore.release_writer(fn)
 
         if "ann" in families:
             idx = os.path.join(WORK, f"ann_{tier}x")
@@ -145,8 +174,13 @@ def main() -> None:
             print(f"ann        {tier:3d}x base build ({n_base} copies): "
                   f"{time.perf_counter() - t0:.1f}s", flush=True)
             fn = ann_stream.make_ann_batch_fn(idx, DIM)
-            _drive("ann", tier, fn, vec_batches)
-            swapstore.release_writer(fn)
+            _drive("ann", tier, fn, vec_batches[:-3])
+            _compact_then_resume(
+                "ann", tier, idx, fn,
+                lambda: ann_stream.compact_epochs(spark, idx),
+                lambda: ann_stream.make_ann_batch_fn(idx, DIM),
+                vec_batches[-3:], len(vec_batches) - 3,
+            )
     spark.stop()
 
 
