@@ -143,7 +143,12 @@ def domain_stats(
         (
             F.sum(size_col).cast("double") / F.count(size_col)
         ).alias("mean_size"),
-        F.countDistinct(lang_col).alias("n_langs"),
+        # size(collect_set) not countDistinct: a DISTINCT aggregate next
+        # to the plain ones triggers the expand rewrite and shuttles the
+        # docs scan twice through the aggregate; the language set is
+        # tiny-bounded per domain, so the set aggregate is the cheap
+        # exact form (both exclude nulls — identical semantics)
+        F.size(F.collect_set(lang_col)).alias("n_langs"),
     )
 
 

@@ -147,7 +147,12 @@ def pack_token_windows(
     once — linear in corpus token count, the unavoidable packing
     shuffle — and each output group is bounded by ``seq_len`` (one
     training row), so no group can overwhelm an executor regardless of
-    document-length skew."""
+    document-length skew. n_tokens/n_docs derive from the ONE collected
+    struct array rather than count(*)/countDistinct aggregates: a
+    DISTINCT aggregate next to collect_list would trigger Catalyst's
+    expand rewrite and shuttle every token row TWICE through the
+    object-hash aggregate (the r11 agg_approx_distinct lesson) — here
+    the array is seq_len-bounded, so deriving from it is free."""
     toks = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
@@ -168,14 +173,19 @@ def pack_token_windows(
         )
         .groupBy("seq_bin")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.countDistinct(id_col).alias("n_docs"),
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("_gpos"), F.col("token")))
-                ),
-                lambda s: s["token"],
-            ).alias("tokens"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_gpos"), F.col("token"), F.col(id_col))
+                )
+            ).alias("_s"),
+        )
+        .select(
+            "seq_bin",
+            F.size("_s").alias("n_tokens"),
+            F.size(
+                F.array_distinct(F.transform("_s", lambda s: s[id_col]))
+            ).alias("n_docs"),
+            F.transform("_s", lambda s: s["token"]).alias("tokens"),
         )
     )
 
