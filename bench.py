@@ -64,6 +64,16 @@ measurement; the headliners keep their N-run treatment above), and
 its declared budget (BOARD_CONSTRUCT_BUDGET_S — the eager-loop slots).
 Disable with SPARK_GRAFT_BENCH_BOARD=0 for a quick headline-only run.
 
+Artifact shape (round 11): the driver records only the last ~2000 bytes
+of stdout and parses the JSON line from that tail — the r10 line
+(arms + spread) overflowed it and BENCH_r10.json carried parsed: None.
+So the printed line is COMPACT (value, per-query bests + medians,
+session_norm, runs, sf, and a `detail` pointer; medians drop out too if
+the line would still exceed the window) and the FULL payload — arms,
+spread, the 50-slot board, budget violations — is written to
+BENCH_DETAIL.json (latest) and appended to BENCH_DETAIL_HISTORY.jsonl
+(per-run history) at the repo root.
+
 `value` is the sum of the per-query bests; `runs` records the repeat
 count."""
 
@@ -333,7 +343,46 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+
+    # The driver records only the LAST ~2000 bytes of stdout and parses
+    # the JSON line out of that tail — the r10 line (arms + spread)
+    # already overflowed it and the round's artifact carried
+    # parsed: None. So the FULL payload goes to a repo sidecar
+    # (BENCH_DETAIL.json latest + BENCH_DETAIL_HISTORY.jsonl per run)
+    # and the PRINTED line stays compact: headline numbers + pointers.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(payload, f)
+        with open(os.path.join(here, "BENCH_DETAIL_HISTORY.jsonl"), "a") as f:
+            f.write(json.dumps(payload) + "\n")
+        detail: str | None = "BENCH_DETAIL.json"
+    except OSError:
+        detail = None  # read-only checkout: print everything instead
+
+    if detail is None:
+        print(json.dumps(payload))
+    else:
+        compact = {
+            "metric": payload["metric"],
+            "value": total,
+            "unit": "sec",
+            "queries": best,
+            "queries_median": median,
+            "session_norm": payload["session_norm"],
+            "runs": N_RUNS,
+            "sf": payload["sf"],
+            "detail": detail,
+        }
+        if board_violations:
+            compact["board_budget_violations"] = board_violations
+        if errors:
+            compact["errors"] = errors
+        line = json.dumps(compact)
+        if len(line) > 1900:  # stay inside the driver's tail window
+            compact.pop("queries_median", None)
+            line = json.dumps(compact)
+        print(line)
     spark.stop()
 
 
