@@ -79,11 +79,20 @@ class _CrashInjector:
         return False
 
 
-def _drive(spark, batches, make_fn, build, rebuild_fn, crash):
+def _drive(spark, batches, make_fn, build, rebuild_fn, crash,
+           asof_rows=None):
     """Run the batch sequence twice — once with the injected crash +
     DirtyIndexError + rebuild + replay, once clean — and return both
     runs' (epoch-output rows, index dir). Never-silent-divergence is the
-    caller's comparison of the two."""
+    caller's comparison of the two.
+
+    ``asof_rows`` (r11, optional): (spark, idx, pinned) -> sorted rows —
+    the family's snapshot reader (operators/indexsnap.py). At every
+    crash point the fuzzer then also asserts the SHARP read-isolation
+    equivalence: the as-of read over the DIRTY index (partial epoch on
+    disk, intent set) equals the plain read after the rebuild — i.e.
+    the watermark filter predicts the rebuild's surgical result
+    exactly, at any crash point hypothesis finds."""
     roots = []
     results = []
     for do_crash in (True, False):
@@ -102,12 +111,23 @@ def _drive(spark, batches, make_fn, build, rebuild_fn, crash):
                     except _Boom:
                         crashed = True
                 if crashed:
+                    pre = (
+                        asof_rows(spark, idx, True)
+                        if asof_rows is not None
+                        else None
+                    )
                     # the contract: a crashed epoch NEVER silently
                     # continues — replay must refuse…
                     with pytest.raises(dedup_stream.DirtyIndexError):
                         fn(b, i)
                     # …until the rebuild helper recovers the index
                     rebuild_fn(spark, idx, out_root=out)
+                    if pre is not None:
+                        assert asof_rows(spark, idx, False) == pre, (
+                            "as-of read on the dirty index != plain "
+                            "read after rebuild — the watermark filter "
+                            "and the rebuild cut disagree"
+                        )
                     fn(b, i)
                 # if n_target exceeded the epoch's write count the crash
                 # never fired — the epoch completed normally; fine
@@ -121,6 +141,55 @@ def _drive(spark, batches, make_fn, build, rebuild_fn, crash):
         assert ledger["intent"] is None
         results.append((rows, idx))
     return results
+
+
+# --- r11: family snapshot readers for the as-of == rebuild equivalence ---
+
+def _asof_dedup(spark, idx, pinned):
+    t = incremental.read_dedup_index(spark, idx, as_of_completed=pinned)
+    return [
+        sorted(map(tuple, t["bands"].collect())),
+        sorted(map(tuple, t["shingles"].collect())),
+    ]
+
+
+def _asof_substring(spark, idx, pinned):
+    return sorted(
+        map(
+            tuple,
+            IS.read_substring_index(
+                spark, idx, as_of_completed=pinned
+            ).collect(),
+        )
+    )
+
+
+def _asof_entity(spark, idx, pinned):
+    return sorted(
+        map(
+            tuple,
+            IE.current_entities(spark, idx, as_of_completed=pinned).collect(),
+        )
+    )
+
+
+def _asof_graph(spark, idx, pinned):
+    from basic_data_pipeline_spark.operators import incremental_linkgraph as IG
+
+    return [
+        sorted(
+            map(
+                tuple,
+                IG.graph_edges(spark, idx, as_of_completed=pinned).collect(),
+            )
+        ),
+        sorted(
+            map(
+                tuple,
+                IG.components(spark, idx, as_of_completed=pinned).collect(),
+            )
+        ),
+    ]
 
 
 def _cleanup(paths):
@@ -207,6 +276,7 @@ def test_fuzz_dedup_stream_crash_recovery(spark, picks, cuts, crash):
         ),
         rebuild.rebuild_dedup_index,
         crash,
+        asof_rows=_asof_dedup,
     )
     (crashed_rows, i1), (clean_rows, i2) = gen
     assert crashed_rows == clean_rows
@@ -252,6 +322,7 @@ def test_fuzz_substring_stream_crash_recovery(spark, picks, cuts, crash):
         lambda idx: IS.build_substring_index(spark, base, idx, k=4),
         rebuild.rebuild_substring_index,
         crash,
+        asof_rows=_asof_substring,
     )
     (crashed_rows, i1), (clean_rows, i2) = gen
     assert crashed_rows == clean_rows
@@ -293,6 +364,7 @@ def test_fuzz_entity_stream_crash_recovery(spark, picks, cuts, crash):
         lambda idx: IE.build_entity_index(spark, base, idx),
         rebuild.rebuild_entity_index,
         crash,
+        asof_rows=_asof_entity,
     )
     (crashed_rows, i1), (clean_rows, i2) = gen
     assert crashed_rows == clean_rows
@@ -414,6 +486,7 @@ def test_fuzz_graph_stream_crash_recovery(spark, picks, cuts, crash):
         lambda idx: G.build_graph_index(spark, base, idx),
         rebuild.rebuild_graph_index,
         crash,
+        asof_rows=_asof_graph,
     )
     (crashed_rows, i1), (clean_rows, i2) = gen
     assert crashed_rows == clean_rows

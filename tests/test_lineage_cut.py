@@ -105,3 +105,34 @@ def test_pack_sequences_bit_identical_across_modes(spark, tmp_path):
             ).collect()
         )
     assert reliable == local
+
+
+def test_pipeline_end_to_end_bit_identical_across_modes(spark, tmp_path):
+    """The whole 12-stage pipeline (exact dedup → near dedup → quality →
+    decontamination → mix → pack) under `reliable` lineage cuts equals
+    the `local` run bit-for-bit — ledger AND packed assignments. This is
+    the composition test: every stage boundary and the prefix-sum pin
+    inside pack_sequences route through the mode."""
+    from basic_data_pipeline_spark.pipeline import prepare_training_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+
+    def run():
+        res = prepare_training_corpus(
+            docs, min_quality=0.5, benchmark=bench,
+            temperature=3.0, seq_len=256,
+        )
+        rows = sorted(
+            tuple(r)
+            for r in res.docs.select(
+                "doc_id", "replica", "seq_bin", "bin_pos"
+            ).collect()
+        )
+        return res.ledger, rows
+
+    local_ledger, local_rows = run()
+    with caching.lineage_cut_scope("reliable", str(tmp_path / "cuts")):
+        rel_ledger, rel_rows = run()
+    assert rel_ledger == local_ledger
+    assert rel_rows == local_rows
