@@ -315,6 +315,9 @@ def contamination_hits(
     text_col: str,
     n: int = 8,
     broadcast_bench: bool = True,
+    *,
+    corpus_shingles: DataFrame | None = None,
+    bench_stats: DataFrame | None = None,
 ) -> DataFrame:
     """(id, contam_hits): per-document count of distinct word ``n``-grams
     that also occur in ``bench`` (under a DIFFERENT document id, so a
@@ -326,13 +329,27 @@ def contamination_hits(
     in natural text is negligible). Only documents with at least one hit
     appear — left-join and coalesce to 0 at the call site if a dense
     column is wanted.
+
+    ``corpus_shingles`` / ``bench_stats`` accept pre-built (persisted)
+    ``word_shingles(docs)`` / ``bench_shingle_stats(bench)`` frames so a
+    caller running BOTH the exact and Bloom-prefiltered paths over the
+    same corpus (the losslessness cross-check) shares one shingle pass
+    instead of tokenizing everything twice.
     """
-    corpus_sh = word_shingles(docs, id_col, text_col, n)
-    bench_sh = _bench_shingle_stats(bench, id_col, text_col, n)
+    corpus_sh = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else word_shingles(docs, id_col, text_col, n)
+    )
+    bench_sh = (
+        bench_stats
+        if bench_stats is not None
+        else bench_shingle_stats(bench, id_col, text_col, n)
+    )
     return _verify_hits(corpus_sh, bench_sh, id_col, broadcast_bench)
 
 
-def _bench_shingle_stats(
+def bench_shingle_stats(
     bench: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     """(shingle, _n_bench_ids, _bench_witness) — the benchmark side
@@ -451,6 +468,9 @@ def contamination_hits_bloom(
     broadcast_bench: bool = True,
     bits_per_element: int = 10,
     k_hashes: int = 4,
+    *,
+    corpus_shingles: DataFrame | None = None,
+    bench_stats: DataFrame | None = None,
 ) -> DataFrame:
     """contamination_hits with a Bloom PREFILTER on the corpus side —
     identical output (the exact join still verifies every candidate;
@@ -465,8 +485,16 @@ def contamination_hits_bloom(
     broadcast or shuffle — only ever sees benchmark-sized row volumes.
     Build cost is one pass over the benchmark shingles plus an
     m_bits/64-row control-plane collect."""
-    corpus_sh = word_shingles(docs, id_col, text_col, n)
-    bench_sh = _bench_shingle_stats(bench, id_col, text_col, n)
+    corpus_sh = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else word_shingles(docs, id_col, text_col, n)
+    )
+    bench_sh = (
+        bench_stats
+        if bench_stats is not None
+        else bench_shingle_stats(bench, id_col, text_col, n)
+    )
     words, m_bits, k = bloom_build(
         bench_sh, "shingle", bits_per_element, k_hashes
     )

@@ -1146,13 +1146,19 @@ def dedup_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("group_size"))
         .select(F.lit("line_first").alias("kind"), "doc_id", "group_size")
     )
-    sub = substring.substring_dedup_corpus(d, "doc_id", "text", 8).select(
+    # ONE duplicate-span computation feeds BOTH substring arms (r11):
+    # substr rewrites the corpus against the spans, substr_span checksums
+    # them — building the spans twice re-ran the whole gram-occurrence →
+    # stats → merge pipeline per arm (the two heaviest arm walls of this
+    # slot, 2.2 s each at sf0.1).
+    spans = tracked_persist(substring.duplicate_spans(d, "doc_id", "text", 8))
+    sub = substring.remove_spans(d, spans, "doc_id", "text").select(
         F.lit("substr").alias("kind"),
         "doc_id",
         F.col("n_tokens_kept").alias("group_size"),
     )
     span = (
-        substring.duplicate_spans(d, "doc_id", "text", 8)
+        spans
         .groupBy("doc_id")
         .agg(
             F.sum(F.col("span_start") + F.col("span_end")).alias(
@@ -1691,6 +1697,10 @@ def sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacks combine the two."""
     e = _t(spark, sf_dir, "embeddings")
     d = _docs_spread(spark, sf_dir)
+    # brute_ranks and bm25_ranks each feed their own arm AND the rrf
+    # fusion — persisted (r11) so each ranking pipeline runs once, not
+    # twice (the rrf arm previously re-ran the full bm25 scoring and the
+    # brute cross join; its per-arm wall matched bm25+brute combined).
     brute_ranks = similarity.topk_neighbors(e.filter(F.col("vec_id") < 5), e, 5)
     brute = brute_ranks.select(
         F.lit("brute").alias("method"), "query_id", "neighbor_id", "rank"
@@ -1728,7 +1738,11 @@ def sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranks hash-match exactly.
     from basic_data_pipeline_spark.operators import embeddings as emb_ops
 
-    sq8_model = emb_ops.sq8_fit(e)
+    # the dim-row SQ8 model is folded into (lo_arr, hi_arr) at BOTH
+    # consumption sites (encode + decode) — persisted (r11) so the
+    # posexplode+min/max fit over every vector runs once, and each
+    # _sq8_arrays fold reads 64 cached rows
+    sq8_model = tracked_persist(emb_ops.sq8_fit(e))
     sq8 = emb_ops.sq8_search(
         e.filter(F.col("vec_id") < 5),
         emb_ops.sq8_encode(e, sq8_model),
@@ -1923,7 +1937,12 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py. One distinct shingle set feeds BOTH minhash
     (min over a set == min over the multiset) and the verify stage."""
     d = _t(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(d, "doc_id", "text", 3)  # set semantics
+    # persisted (r11): the distinct shingle set is consumed by BOTH the
+    # minhash signature agg and the verify stage's participant prune —
+    # unpersisted, the tokenize→explode→distinct pipeline ran twice
+    sh = tracked_persist(
+        dedup.word_shingles(d, "doc_id", "text", 3)  # set semantics
+    )
     sig = dedup.minhash_signatures(sh, "doc_id")
     cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, "doc_id"), "doc_id")
     return dedup.jaccard_verify(sh, cand, "doc_id", 0.5)
@@ -1980,9 +1999,24 @@ def corpus_pack_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = text.n_tokens(F.col("text"))
     packed = packing.pack_sequences(d, "doc_id", ntok, 256)
     bench = d.filter(F.col("doc_id") % 50 == 0)
-    hits = packing.contamination_hits(d, bench, "doc_id", "text", 8)
+    # ONE corpus shingle pass and ONE benchmark shingle-stats frame feed
+    # both the exact and the Bloom-prefiltered contamination paths (r11):
+    # the two branches must stay separate computations (the hash gate
+    # proves the prefilter lossless), but their INPUT frames are
+    # identical — building them twice tokenized the whole corpus twice
+    # and ran the bench aggregation three times (the Bloom build's
+    # distinct-count + bit-word jobs re-derived it at construct).
+    corpus_sh = tracked_persist(dedup.word_shingles(d, "doc_id", "text", 8))
+    bench_sh = tracked_persist(
+        packing.bench_shingle_stats(bench, "doc_id", "text", 8)
+    )
+    hits = packing.contamination_hits(
+        d, bench, "doc_id", "text", 8,
+        corpus_shingles=corpus_sh, bench_stats=bench_sh,
+    )
     hits_b = packing.contamination_hits_bloom(
-        d, bench, "doc_id", "text", 8
+        d, bench, "doc_id", "text", 8,
+        corpus_shingles=corpus_sh, bench_stats=bench_sh,
     ).withColumnRenamed("contam_hits", "_bloom_hits")
     contam = F.coalesce(F.col("contam_hits"), F.lit(0))
     return (

@@ -47,13 +47,22 @@ EXPECTED = {
     # sites). Python evals and nested loops stay 0, which is what this
     # pin chiefly guards; the runtime exchange count is the cache-build
     # plans' once each.
-    "dedup_lsh_verified": (42, 13, 0, 0),
+    # r11: the distinct shingle frame is now tracked_persist'd in the
+    # query (it feeds both minhash and the verify prune) — one more
+    # InMemoryRelation whose build plan reprints under every consumer,
+    # so the TEXTUAL exchange count rises while the executed shuffle
+    # count falls (the shingle pipeline now runs once, not twice).
+    "dedup_lsh_verified": (60, 13, 0, 0),
     # promoted to headline in r7 with the substr/substr_span branches:
     # 6 tag-unioned dedup granularities (doc raw/fingerprint, line
     # common/first, substring kept/span-checksum) — the shuffles are the
     # per-branch keyed aggs + the gram/line stats joins; broadcasts are
     # AQE-sized stats sides at sf0.001
-    "dedup_exact_fp": (12, 5, 0, 0),
+    # r11: ONE persisted duplicate_spans frame feeds both substring arms
+    # (substr rewrite + substr_span checksum) — textual count +2 from the
+    # cached subtree reprint; the executed gram-occurrence pipeline runs
+    # once instead of twice.
+    "dedup_exact_fp": (14, 5, 0, 0),
     # the nested-loop is the sanctioned brute-force baseline branch
     # (5 query vectors crossed against the corpus)
     # r8: + bm25 and rrf branches. The nested-loops are (a) the
@@ -75,6 +84,14 @@ EXPECTED = {
     # r8-close: +8 exchanges/+3 broadcasts from the audiomatch branch
     # (fhash self-join, offset-vote groupBy, best-offset window over a
     # 1024-row synthetic constellation — reviewed, all bounded)
+    # r11: the SQ8 model (dim rows) is tracked_persist'd — encode and
+    # decode each fold it via _sq8_arrays, so the posexplode min/max fit
+    # over every vector runs once, not twice (measured a wash at sf0.1
+    # where stage latency dominates; at scale it halves the full-table
+    # fit passes). Persisting brute_ranks/bm25_ranks for the rrf arm was
+    # TRIED AND REVERTED: the cache build serializes the plan and drops
+    # AQE inside the cached subtree, measured +0.8 s at sf0.1 on 32 AND
+    # 8 cores — duplicated rank pipelines run concurrently and win.
     "sim_topk_methods": (42, 19, 0, 9),
     "sim_ann_lsh": (4, 3, 0, 0),
     # r8: + the Bloom-prefiltered contamination arm (contam_hits_bloom):
@@ -82,7 +99,13 @@ EXPECTED = {
     # broadcasts of benchmark-sized sides; the Bloom probe itself is
     # codegen (python evals and nested loops stay 0 — the pin's chief
     # guard)
-    "corpus_pack_contam": (7, 5, 0, 0),
+    # r11: the exact and Bloom contamination paths now share ONE
+    # persisted corpus-shingle frame and ONE persisted bench-stats frame
+    # (they must stay separate computations — the hash gate proves the
+    # prefilter lossless — but their inputs are identical). Broadcasts
+    # 5 → 3 (the bench side broadcasts once per path from cache);
+    # textual exchanges rise with the two cached subtrees' reprints.
+    "corpus_pack_contam": (16, 3, 0, 0),
 }
 
 
