@@ -195,8 +195,20 @@ def train_quality_lr(
         for j in range(d)
     ]
 
+    # The gradient loop below runs ``n_iters`` driver-blocking jobs over
+    # this frame, and each job launches one task per partition — at
+    # fixture scale the 65-way spread inherited from the feature frame
+    # costs ~0.6 s/job in pure task-launch overhead (measured r11;
+    # the bare job floor on this box is ~0.25 s). Size the gradient
+    # frame to ~1M rows per task (cheap decimal sums), floored at 1 and
+    # capped at cluster parallelism so a 100 TB fit still feeds every
+    # core. Results are partitioning-independent by construction
+    # (DECIMAL accumulation), so this is a pure scheduling change.
+    sc = base.sparkSession.sparkContext
+    grad_parts = max(1, min(n // 1_000_000 + 1, sc.defaultParallelism))
     z = tracked_local_checkpoint(
         base.select(_std_feats(F.col("_x"), mean, std).alias("_z"), "_y")
+        .repartition(grad_parts)
     )
     # free the raw-feature checkpoint (free_local_checkpoint, not
     # unpersist — the latter is a no-op for checkpoint storage)

@@ -314,53 +314,48 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     signed sums' signs form the signature. Near-dup docs differ in few
     bits (Hamming), unlike minhash which models set Jaccard.
 
-    Plan shape: explode tokens ×64 bit positions → two-level partial
-    aggregation (doc,pos,bit → doc,pos → doc), all hash-partitioned by
-    doc id once. Arithmetic only — no UDFs, no Python."""
+    Plan shape (r11): the 64 bit votes are COLUMNS of one projection
+    reduced by ONE hash aggregation — the minhash_signatures
+    formulation; the old ×64 row explode pushed corpus_tokens×64 rows
+    through two aggregation levels to compute the same sums (measured
+    ~2× slower at sf0.1 at equal results — the votes, signs and hex
+    assembly are arithmetic-identical). The input is spread by id, so
+    the per-doc aggregation reuses that exchange. Arithmetic only — no
+    UDFs, no Python."""
     toks = (
-        spread(docs, id_col)  # spread the ×64 explode (see word_shingles)
+        spread(docs, id_col)
         .select(F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("w"))
         .select(F.col(id_col), F.explode("w").alias("t"))
         .distinct()
         .withColumn("m", F.md5("t"))
     )
-    # i = 0..63; hex char position p = i div 4 (1-based for substr), bit j = i % 4
-    bits = (
-        toks.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
-            F.col("m"),
-        )
-        .select(
-            F.col(id_col),
-            F.expr("i div 4").alias("p"),
-            (F.col("i") % 4).alias("j"),
-            (
-                F.expr(f"instr('{HEX}', substr(m, CAST(i div 4 AS INT) + 1, 1)) - 1")
-            ).alias("v"),
-        )
-        .withColumn(
-            "vote",
-            (F.expr("(v div CAST(pow(2, j) AS INT)) % 2") * 2 - 1),
-        )
-        .groupBy(id_col, "p", "j")
-        .agg(F.sum("vote").alias("s"))
+
+    # vote for bit i (0..63): hex digit at 1-based position i//4 + 1,
+    # bit i%4 of its value, mapped to ±1 — per-i constants fold into the
+    # expression, so this is 64 codegen'd sum columns over token rows.
+    # Each aggregate/char is ONE F.expr string (not composed Column
+    # operators): the composed form cost ~1 s of py4j round trips per
+    # query construction for the ~800 operator nodes.
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.expr(
+                f"sum((((instr('{HEX}', substr(m, {i // 4 + 1}, 1)) - 1)"
+                f" div {2 ** (i % 4)}) % 2) * 2 - 1)"
+            ).alias(f"_s{i}")
+            for i in range(64)
+        ]
     )
-    nibbles = (
-        bits.withColumn(
-            "bit", F.when(F.col("s") > 0, 1).otherwise(0)
+    chars = [
+        F.expr(
+            f"substr('{HEX}', "
+            + " + ".join(
+                f"if(_s{4 * p + j} > 0, {1 << j}, 0)" for j in range(4)
+            )
+            + " + 1, 1)"
         )
-        .groupBy(id_col, "p")
-        .agg(
-            F.sum(F.col("bit") * F.expr("CAST(pow(2, j) AS INT)")).alias("nib")
-        )
-        .withColumn("ch", F.expr(f"substr('{HEX}', CAST(nib AS INT) + 1, 1)"))
-    )
-    return nibbles.groupBy(id_col).agg(
-        F.expr("concat_ws('', transform(array_sort(collect_list(struct(p, ch))), s -> s.ch))").alias(
-            "simhash"
-        )
-    )
+        for p in range(16)
+    ]
+    return votes.select(F.col(id_col), F.concat(*chars).alias("simhash"))
 
 
 def simhash_pairs(
@@ -500,6 +495,7 @@ def duplicate_clusters(
         )
         hop = labels.join(neighbor_min, "doc_id", "left").select(
             "doc_id",
+            F.col("cluster").alias("_old"),
             F.least(
                 F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))
             ).alias("cluster"),
@@ -511,11 +507,22 @@ def duplicate_clusters(
         parent = hop.select(
             F.col("doc_id").alias("cluster"), F.col("cluster").alias("_gp")
         )
+        # the changed flag rides in the materialized frame (labels only
+        # ever decrease, so changed ⇔ new < old) and is tested with one
+        # cached filter — not a separate join-shaped action per round
+        # (r11: at label-frame sizes the job floor dominated the wall)
         new_labels = hop.join(parent, "cluster", "left").select(
             "doc_id",
             F.least(
                 F.col("cluster"), F.coalesce(F.col("_gp"), F.col("cluster"))
             ).alias("cluster"),
+            (
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("_gp"), F.col("cluster")),
+                )
+                < F.col("_old")
+            ).alias("_chg"),
         )
         if (it + 1) % checkpoint_every == 0:
             # cut the lineage: without this, each iteration's plan nests
@@ -523,14 +530,10 @@ def duplicate_clusters(
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
+        changed = 0 if new_labels.where(F.col("_chg")).isEmpty() else 1
         labels.unpersist()
+        # keep the materialized HANDLE (unpersist needs it); every loop
+        # consumer selects its columns explicitly, so _chg rides along
         labels = new_labels
         if changed == 0:
             break
@@ -540,7 +543,7 @@ def duplicate_clusters(
             f"duplicate_clusters did not converge in {max_iters} iterations"
             " — raise max_iters (component diameter exceeds 2^max_iters)"
         )
-    out = labels
+    out = labels.select("doc_id", "cluster")
     # hand ownership to the caller's action; release on next tracked cycle
     _ = tracked_persist(out)
     return out

@@ -264,7 +264,14 @@ def pagerank(
     else:
         with_deg = with_deg.withColumn("_w", F.lit(1).cast("long"))
     node_frame = tracked_local_checkpoint(with_deg.repartition("node"))
-    n = node_frame.count()  # one driver scalar, fixed for all rounds
+    # BOTH driver scalars (node count + total teleport weight) in one
+    # action over the just-checkpointed frame (r11: each extra action
+    # costs the ~0.25 s job floor at control-frame sizes)
+    scal = node_frame.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("_w"), F.lit(0)).cast("long").alias("s"),
+    ).collect()[0]
+    n = scal["n"]
     if n == 0:
         # build the empty result BEFORE freeing the checkpoint it
         # borrows its node type from
@@ -281,12 +288,10 @@ def pagerank(
         e.unpersist()
         free_local_checkpoint(node_frame)
         return empty
-    # total teleport weight (n in the uniform case) — the second and
-    # last driver scalar; per-node teleport/base are cheap expressions
-    # re-derived from the checkpointed _w each round, never re-shuffled
-    wsum = node_frame.agg(
-        F.coalesce(F.sum("_w"), F.lit(0)).cast("long").alias("s")
-    ).collect()[0]["s"]
+    # total teleport weight (n in the uniform case); per-node
+    # teleport/base are cheap expressions re-derived from the
+    # checkpointed _w each round, never re-shuffled
+    wsum = scal["s"]
     if wsum <= 0:
         e.unpersist()
         free_local_checkpoint(node_frame)
@@ -297,10 +302,13 @@ def pagerank(
     tp_col = F.expr(
         f"({den - num} * (({scale} * _w) div {wsum})) div {den}"
     )
-    ranks = tracked_local_checkpoint(
-        node_frame.select(
-            "node", base_col.cast("long").alias("rank"), "out_deg"
-        )
+    # round-0 ranks are a trivial projection of the checkpointed node
+    # frame — no checkpoint of their own (r11): round 1 recomputes the
+    # projection from cache at both consumption sites for less than one
+    # job floor costs (free_local_checkpoint on a non-checkpoint view is
+    # a documented no-op)
+    ranks = node_frame.select(
+        "node", base_col.cast("long").alias("rank"), "out_deg"
     )
     for _ in range(iterations):
         dangling = ranks.filter(F.col("out_deg") == 0).agg(
@@ -336,6 +344,9 @@ def pagerank(
         )
         free_local_checkpoint(ranks)
         ranks = nxt
+    if iterations == 0:
+        # round-0 ranks are a view over node_frame, which is freed below
+        ranks = tracked_local_checkpoint(ranks)
     e.unpersist()
     free_local_checkpoint(node_frame)
     return ranks
@@ -439,9 +450,12 @@ def hits(
     Same iterative-join geometry as pagerank: the edge set persists
     twice — once partitioned by ``src`` (the hub→authority half-step
     joins on src) and once by ``dst`` (the authority→hub half-step) —
-    and each half-step shuffles only the node-sized score frame; scores
-    checkpoint per half-step (O(1) plan depth, previous blocks freed);
-    the renormalizer is an in-plan one-row max broadcast."""
+    and each half-step shuffles only the node-sized score frame; ONE
+    (node, hub, auth) state frame checkpoints per FULL iteration — both
+    half-steps chain inside one plan, so a round is one driver action
+    instead of two (r11: at control-frame sizes the ~0.25 s job floor
+    dominated; same integer recurrence, bit-identical scores); the
+    renormalizers are in-plan one-row max broadcasts."""
     e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     e_src = e.repartition("_src").persist(StorageLevel.MEMORY_AND_DISK)
     e_dst = e.repartition("_dst").persist(StorageLevel.MEMORY_AND_DISK)
@@ -453,16 +467,16 @@ def hits(
         )
     else:
         base_nodes = nodes.select(F.col(node_col).alias("node")).distinct()
-    node_frame = tracked_local_checkpoint(base_nodes.repartition("node"))
     init = F.lit(1 << keep_bits).cast("long")
-    hub = tracked_local_checkpoint(
-        node_frame.select("node", init.alias("hub"))
-    )
-    auth = tracked_local_checkpoint(
-        node_frame.select("node", F.lit(0).cast("long").alias("auth"))
+    state = tracked_local_checkpoint(
+        base_nodes.repartition("node").select(
+            "node", init.alias("hub"), F.lit(0).cast("long").alias("auth")
+        )
     )
 
     def _half(scores, score_col, e_side, key_in, key_out, out_col):
+        """scores + ``out_col`` recomputed from ``score_col`` through
+        ``e_side`` — a lazy plan fragment; the caller checkpoints."""
         raw = (
             e_side.join(
                 scores.select(F.col("node").alias(key_in), score_col),
@@ -474,11 +488,13 @@ def hits(
         mx = raw.agg(
             F.coalesce(F.max("_raw"), F.lit(0)).cast("long").alias("_mx")
         )
-        return tracked_local_checkpoint(
-            node_frame.join(raw, node_frame.node == raw[key_out], "left")
+        return (
+            scores.drop(out_col)
+            .join(raw, scores["node"] == raw[key_out], "left")
             .crossJoin(F.broadcast(mx))
             .select(
-                "node",
+                scores["node"].alias("node"),
+                *[c for c in scores.columns if c not in ("node", out_col)],
                 F.expr(
                     f"coalesce(_raw, 0L) div shiftleft(1L, "
                     f"greatest(length(bin(_mx)) - {keep_bits}, 0))"
@@ -487,21 +503,17 @@ def hits(
         )
 
     for _ in range(iterations):
-        new_auth = _half(hub, "hub", e_src, "_src", "_dst", "auth")
-        free_local_checkpoint(auth)
-        auth = new_auth
-        new_hub = _half(auth, "auth", e_dst, "_dst", "_src", "hub")
-        free_local_checkpoint(hub)
-        hub = new_hub
-    out = tracked_local_checkpoint(
-        hub.join(auth, "node").select("node", "hub", "auth")
-    )
-    for frame in (hub, auth, node_frame):
-        if frame is not out:
-            free_local_checkpoint(frame)
+        with_auth = _half(state, "hub", e_src, "_src", "_dst", "auth")
+        nxt = tracked_local_checkpoint(
+            _half(with_auth, "auth", e_dst, "_dst", "_src", "hub").select(
+                "node", "hub", "auth"
+            )
+        )
+        free_local_checkpoint(state)
+        state = nxt
     e_src.unpersist()
     e_dst.unpersist()
-    return out
+    return state
 
 
 def hits_reference(
@@ -623,9 +635,16 @@ def strongly_connected_components(
     (hashed by src for the forward join, by dst for the backward join)
     — the pagerank layout-reuse pattern, so per-iteration shuffles move
     only node-sized color/mark frames; every fixpoint iteration ends in
-    a tracked_local_checkpoint with the previous round's blocks freed
-    (plans stay O(1) deep, storage stays 1×). Driver actions are
-    bounded counts (one per fixpoint step). Rounds needed = depth of
+    a tracked_local_checkpoint with the superseded round's blocks freed
+    (plans stay O(1) deep; color/mark storage stays 1×). Driver actions
+    are ONE per fixpoint step (r11): each round's change/termination
+    signal is a flag column computed inside the frame the round already
+    checkpoints, tested with a cached filter — not a separate
+    join-shaped action (at control-frame sizes the ~0.25 s job floor,
+    not data, dominated the wall; measured 32 s → see
+    OPTIMIZATION_r11.md). Peeled-singleton frames (trim) are retained
+    as flagged views until the final label union is checkpointed —
+    node-id-sized control frames, freed in the exit path. Rounds needed = depth of
     the condensation DAG between non-trivial SCCs; web graphs are
     shallow, but a pathological chain exhausts ``max_rounds`` and
     raises SCCNotConverged rather than returning a wrong labeling.
@@ -678,6 +697,13 @@ def strongly_connected_components(
         return es, ed
 
     try:
+        # JOB-COUNT DISCIPLINE (r11): at control-frame sizes every driver
+        # action costs a fixed ~0.25 s job floor, so each loop below
+        # folds its change/termination signal INTO the frame it already
+        # checkpoints (a flag column computed in the same job) and tests
+        # it with one cached filter — instead of a separate join-shaped
+        # action per round. Labels/fixpoints are unchanged: the flags
+        # are derived columns, dropped before any consumer.
         for _round in range(max_rounds):
             if active.isEmpty():
                 break
@@ -686,46 +712,58 @@ def strongly_connected_components(
                 has_out = ae_s.select(F.col("_s").alias("node")).distinct()
                 has_in = ae_d.select(F.col("_d").alias("node")).distinct()
                 both = has_out.join(has_in, "node", "left_semi")
-                trivial = _ckpt(active.join(both, "node", "left_anti"))
+                # one checkpoint carries BOTH the survivors and the
+                # peeled singletons, flagged (was: two checkpoints +
+                # an isEmpty per peel layer)
+                flagged = _ckpt(
+                    active.join(
+                        both.withColumn("_keep", F.lit(True)), "node", "left"
+                    ).select(
+                        "node",
+                        F.coalesce("_keep", F.lit(False)).alias("_keep"),
+                    )
+                )
+                trivial = flagged.where(~F.col("_keep")).select("node")
                 if trivial.isEmpty():
-                    _free(trivial)
                     break
                 done.append(
                     trivial.select("node", F.col("node").alias("scc_id"))
                 )
-                nxt = _ckpt(active.join(trivial, "node", "left_anti"))
-                _free(active)
-                active = nxt
+                active = flagged.where(F.col("_keep")).select("node")
                 ae_s, ae_d = _restrict(active)
             if active.isEmpty():
                 break
             # -- 2. forward min-color fixpoint -------------------------
-            color = _ckpt(
+            color_ck = _ckpt(
                 active.select("node", F.col("node").alias("color"))
             )
+            color = color_ck
             for _it in range(max_prop_iters):
                 incoming = (
-                    ae_s.join(color, ae_s._s == color.node)
+                    ae_s.join(color, ae_s._s == color["node"])
                     .groupBy(F.col("_d").alias("node"))
                     .agg(F.min("color").alias("_in_min"))
                 )
-                nxt = _ckpt(
+                # the changed flag rides in the checkpointed frame: a
+                # node changed iff an incoming color strictly undercuts
+                # its own (least() only ever decreases)
+                nxt_ck = _ckpt(
                     color.join(incoming, "node", "left").select(
                         "node",
                         F.least(
                             F.col("color"),
                             F.coalesce("_in_min", F.col("color")),
                         ).alias("color"),
+                        (
+                            F.coalesce("_in_min", F.col("color"))
+                            < F.col("color")
+                        ).alias("_chg"),
                     )
                 )
-                changed = (
-                    nxt.alias("n")
-                    .join(color.alias("o"), "node")
-                    .where(F.col("n.color") != F.col("o.color"))
-                    .isEmpty()
-                )
-                _free(color)
-                color = nxt
+                changed = nxt_ck.where(F.col("_chg")).isEmpty()
+                _free(color_ck)  # superseded round's blocks (1× storage)
+                color_ck = nxt_ck
+                color = nxt_ck.select("node", "color")
                 if changed:
                     break
             else:
@@ -734,10 +772,11 @@ def strongly_connected_components(
                     f"{max_prop_iters} iters"
                 )
             # -- 3. backward sweep within color ------------------------
-            mark = _ckpt(color.where(F.col("color") == F.col("node")))
+            mark_ck = _ckpt(color.where(F.col("color") == F.col("node")))
+            mark = mark_ck
             while True:
                 reached = (
-                    ae_d.join(mark, ae_d._d == mark.node)
+                    ae_d.join(mark, ae_d._d == mark["node"])
                     .select(F.col("_s").alias("node"), "color")
                     .distinct()
                 )
@@ -748,22 +787,27 @@ def strongly_connected_components(
                     .select("node", "color")
                     .join(mark, "node", "left_anti")
                 )
-                grew = _ckpt(grew)
-                if grew.isEmpty():
-                    _free(grew)
+                # one checkpoint per sweep round: the (disjoint, by the
+                # anti-join) union of the old frontier and the growth,
+                # growth flagged (was: checkpoint(grew) + isEmpty +
+                # checkpoint(union) = 3 actions per round)
+                nxt_ck = _ckpt(
+                    mark.select("node", "color")
+                    .withColumn("_new", F.lit(False))
+                    .unionByName(grew.withColumn("_new", F.lit(True)))
+                )
+                grown = not nxt_ck.where(F.col("_new")).isEmpty()
+                _free(mark_ck)  # superseded frontier's blocks
+                mark_ck = nxt_ck
+                mark = nxt_ck.select("node", "color")
+                if not grown:
                     break
-                nxt = _ckpt(mark.union(grew))
-                _free(mark)
-                _free(grew)
-                mark = nxt
             done.append(
                 mark.select("node", F.col("color").alias("scc_id"))
             )
             nxt = _ckpt(
                 active.join(mark.select("node"), "node", "left_anti")
             )
-            _free(active)
-            _free(color)
             active = nxt
             ae_s, ae_d = _restrict(active)
         if not active.isEmpty():

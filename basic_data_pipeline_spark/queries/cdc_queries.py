@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from basic_data_pipeline_spark.catalog import load_table
 from basic_data_pipeline_spark.functions.normalize import normalize_string_value
 from basic_data_pipeline_spark.operators import cdc
+from basic_data_pipeline_spark.partitioning import spread
 from basic_data_pipeline_spark.registry import query
 
 
@@ -45,7 +46,11 @@ def cdc_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder. The oracle is the identity projection, proving the
     encode→from_json→project path is lossless. The JSON parse is Jackson
     inside whole-stage codegen — no Python per row."""
-    o = _t(spark, sf_dir, "orders")
+    # spread: the byte-small scan plans 1 partition, which ran the whole
+    # encode→Jackson-parse round trip on ONE core (r11: 2.4 s → 0.9 s at
+    # sf0.1; partitioning.spread's documented case — compute per row,
+    # which size-based split planning cannot see)
+    o = spread(_t(spark, sf_dir, "orders"), "o_orderkey")
     ts_ms = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
     raw = o.select(
         F.lit("dbserver1.testdb.orders").alias("topic"),

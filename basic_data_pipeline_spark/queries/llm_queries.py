@@ -589,7 +589,7 @@ def text_lang_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters; the fractions are single integer divisions, so the oracle
     matches them bit-exactly. Domain branches (domcap/domstats/
     domfilter, r8): see the inline comment below."""
-    d = _docs_spread(spark, sf_dir)
+    d = tracked_persist(_docs_spread(spark, sf_dir))
     t = F.col("text")
     null_d = F.lit(None).cast("double")
     lang = (
@@ -1696,11 +1696,16 @@ def sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's ids align), the calibration-free way production search
     stacks combine the two."""
     e = _t(spark, sf_dir, "embeddings")
-    d = _docs_spread(spark, sf_dir)
+    # the spread docs frame feeds THREE consumers (the bm25 corpus side,
+    # the query-doc slice, and the audiomatch constellation base) —
+    # persisted (r11) so the scan+spread exchange runs once
+    d = tracked_persist(_docs_spread(spark, sf_dir))
     # brute_ranks and bm25_ranks each feed their own arm AND the rrf
-    # fusion — persisted (r11) so each ranking pipeline runs once, not
-    # twice (the rrf arm previously re-ran the full bm25 scoring and the
-    # brute cross join; its per-arm wall matched bm25+brute combined).
+    # fusion; persisting them was TRIED AND REVERTED in r11 — the cache
+    # build serializes each rank pipeline into a blocking unit and the
+    # cached subtree loses AQE, measured slower at sf0.1 on 32 AND 8
+    # cores than letting the duplicated pipelines run as concurrent DAG
+    # branches (see OPTIMIZATION_r11.md #4).
     brute_ranks = similarity.topk_neighbors(e.filter(F.col("vec_id") < 5), e, 5)
     brute = brute_ranks.select(
         F.lit("brute").alias("method"), "query_id", "neighbor_id", "rank"

@@ -651,16 +651,32 @@ def agg_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans the distincts as an expand + two-phase agg; the plain aggregates
     stay partial (map-side) + final."""
     li = _t(spark, sf_dir, "lineitem")
+    # The two DISTINCT aggregates run as their OWN passes, joined back on
+    # the group key (r11): mixed into the plain aggregation they trigger
+    # Catalyst's expand rewrite — every input row is tripled through the
+    # aggregate (one replica per distinct column + one for the plain
+    # aggs) — measured 1.6 s vs 1.15 s split at sf0.1; the joins are
+    # group-cardinality-sized broadcasts. Same split as
+    # agg_approx_distinct (the r11 board's first catch).
+    plain = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        _dsum(F.col("l_extendedprice")).alias("sum_price"),
+        _davg(F.col("l_extendedprice")).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    supp = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers")
+    )
+    part = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n_items"),
-            _dsum(F.col("l_extendedprice")).alias("sum_price"),
-            _davg(F.col("l_extendedprice")).alias("avg_price"),
-            F.min("l_extendedprice").alias("min_price"),
-            F.max("l_extendedprice").alias("max_price"),
-            F.countDistinct("l_suppkey").alias("n_suppliers"),
-            F.countDistinct("l_partkey").alias("n_parts"),
+        plain.join(F.broadcast(supp), "l_returnflag")
+        .join(F.broadcast(part), "l_returnflag")
+        .select(
+            "l_returnflag", "n_items", "sum_price", "avg_price",
+            "min_price", "max_price", "n_suppliers", "n_parts",
         )
         .orderBy("l_returnflag")
     )
@@ -693,15 +709,20 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerance flags. A pytest additionally pins Spark's HLL estimate
     within 5% of exact."""
     li = _t(spark, sf_dir, "lineitem")
-    # TWO aggregations joined on the 4-row group key, NOT one: mixing a
-    # DISTINCT aggregate with five non-distinct ones forces Catalyst's
-    # expand rewrite through one object-hash aggregate carrying the
-    # percentile map + HLL + digest buffers together — measured 15-19 s
-    # at sf0.1 where each component alone runs ~1 s (r11 board's first
-    # catch; the split runs ~6× faster and each pass stays codegen).
-    # The join is group-cardinality-sized (broadcast).
+    # THREE aggregations joined on the 4-row group key, NOT one: mixing a
+    # DISTINCT aggregate with non-distinct ones forces Catalyst's expand
+    # rewrite through one object-hash aggregate carrying the percentile
+    # map + HLL + digest buffers together — measured 15-19 s at sf0.1
+    # where each component alone runs ~1 s (r11 board's first catch).
+    # The r11 optimization round found the residual: even countDistinct +
+    # approx_count_distinct TOGETHER still expand-rewrite to 3.9 s where
+    # each alone is 0.6/0.9 s — so the exact distinct, the HLL sketch,
+    # and the percentile family each get their own codegen pass. The
+    # joins are group-cardinality-sized (broadcast).
     distinct_side = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    hll_side = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("_approx"),
     )
     plain_side = li.groupBy("l_returnflag").agg(
@@ -712,7 +733,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_extendedprice").alias("_max"),
         F.min("l_extendedprice").alias("_min"),
     )
-    agg = distinct_side.join(F.broadcast(plain_side), "l_returnflag")
+    agg = distinct_side.join(F.broadcast(hll_side), "l_returnflag").join(
+        F.broadcast(plain_side), "l_returnflag"
+    )
     return (
         agg.select(
             "l_returnflag",

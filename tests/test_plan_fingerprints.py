@@ -92,7 +92,10 @@ EXPECTED = {
     # TRIED AND REVERTED: the cache build serializes the plan and drops
     # AQE inside the cached subtree, measured +0.8 s at sf0.1 on 32 AND
     # 8 cores — duplicated rank pipelines run concurrently and win.
-    "sim_topk_methods": (42, 19, 0, 9),
+    # The spread docs frame IS persisted (3 consumers: bm25 corpus,
+    # query slice, audiomatch base) — its cached-subtree reprint under
+    # each consumer lifts the textual exchange count to 48.
+    "sim_topk_methods": (48, 19, 0, 9),
     "sim_ann_lsh": (4, 3, 0, 0),
     # r8: + the Bloom-prefiltered contamination arm (contam_hits_bloom):
     # its shingle agg + verify join + outer join add 3 shuffles and 2
