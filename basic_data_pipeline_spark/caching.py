@@ -99,6 +99,19 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     return handle
 
 
+def track_release(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-materialized frame for release_persisted
+    WITHOUT re-persisting it. For handles whose blocks were persisted
+    inside an operator's loop (e.g. duplicate_clusters' final labels
+    round): calling persist() again would stack a second plan-level
+    cache over a localCheckpoint'd frame, but the existing blocks still
+    need a release hook (r11 ADVICE — the final persist()'d labels
+    frame was never released once the operator began returning a
+    projection of it)."""
+    _TRACKED.append(df)
+    return df
+
+
 def release_persisted() -> int:
     """Unpersist every tracked DataFrame; returns how many were released.
     Safe to call at any time — a released frame recomputes if re-used."""

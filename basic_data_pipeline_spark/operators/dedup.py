@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from basic_data_pipeline_spark.caching import tracked_persist
+from basic_data_pipeline_spark.caching import track_release, tracked_persist
 from basic_data_pipeline_spark.partitioning import spread
 
 N_HASHES = 16
@@ -481,6 +481,7 @@ def duplicate_clusters(
         .persist()
     )
     changed = 0
+    ckpted = False  # was the live `labels` frame cut via localCheckpoint?
     for it in range(max_iters):
         neighbor_min = (
             edges.join(
@@ -524,7 +525,8 @@ def duplicate_clusters(
                 < F.col("_old")
             ).alias("_chg"),
         )
-        if (it + 1) % checkpoint_every == 0:
+        ckpted = (it + 1) % checkpoint_every == 0
+        if ckpted:
             # cut the lineage: without this, each iteration's plan nests
             # the previous one's and planning cost grows linearly
             new_labels = new_labels.localCheckpoint(eager=True)
@@ -546,6 +548,12 @@ def duplicate_clusters(
     out = labels.select("doc_id", "cluster")
     # hand ownership to the caller's action; release on next tracked cycle
     _ = tracked_persist(out)
+    if not ckpted:
+        # the final round materialized via persist() (checkpoint_every
+        # > 1): its cached blocks are only releasable through the
+        # labels handle itself, so register it too (r11 ADVICE — `out`
+        # is a projection, unpersisting it frees nothing of labels)
+        track_release(labels)
     return out
 
 

@@ -503,6 +503,16 @@ def hits(
         )
 
     for _ in range(iterations):
+        # SCALE TRADEOFF (r11 ADVICE): the first half-step chains into
+        # the second as an UNMATERIALIZED subplan referenced three ways
+        # (scores input, raw, and the mx renormalizer), so one
+        # iteration's job can recompute the hub→auth join+aggregate up
+        # to 3×. Measured FASTER at control-graph sizes (the saved
+        # ~0.25 s checkpoint job floor beats the duplicated tiny
+        # aggregate), but on a 100 TB edge set the duplicated compute
+        # dominates — reintroduce a tracked_local_checkpoint on
+        # `with_auth` (one extra job per iteration) when edge volume,
+        # not scheduling, is the wall.
         with_auth = _half(state, "hub", e_src, "_src", "_dst", "auth")
         nxt = tracked_local_checkpoint(
             _half(with_auth, "auth", e_dst, "_dst", "_src", "hub").select(
@@ -642,9 +652,15 @@ def strongly_connected_components(
     checkpoints, tested with a cached filter — not a separate
     join-shaped action (at control-frame sizes the ~0.25 s job floor,
     not data, dominated the wall; measured 32 s → see
-    OPTIMIZATION_r11.md). Peeled-singleton frames (trim) are retained
-    as flagged views until the final label union is checkpointed —
-    node-id-sized control frames, freed in the exit path. Rounds needed = depth of
+    OPTIMIZATION_r11.md). The edge layouts are partitioned
+    scale-adaptively (~2M edge rows per task, floor 1) instead of at
+    the session shuffle width (r12): every fixpoint round scans them,
+    and a 65-task stage over a control-sized graph is pure scheduling
+    latency. Labels are folded into one running checkpointed union per
+    outer round so every superseded per-round checkpoint (trim's
+    flagged frames, the final color/mark frames, the previous union)
+    is freed as the round ends — peak cached storage stays ~1× instead
+    of growing with the round/peel count (r11 ADVICE). Rounds needed = depth of
     the condensation DAG between non-trivial SCCs; web graphs are
     shallow, but a pathological chain exhausts ``max_rounds`` and
     raises SCCNotConverged rather than returning a wrong labeling.
@@ -652,8 +668,17 @@ def strongly_connected_components(
     e0 = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
     ).distinct()
-    e_src = e0.repartition("_s").persist(StorageLevel.MEMORY_AND_DISK)
-    e_dst = e0.repartition("_d").persist(StorageLevel.MEMORY_AND_DISK)
+    # Scale-adaptive layout width (r12): EVERY fixpoint round scans both
+    # cached layouts, so their partition count multiplies into every
+    # round's stage latency. repartition("_s") at the session shuffle
+    # width gave a 65-task stage per hop for a 26k-edge control graph —
+    # ~2M edge rows (~100 MB) per task, floored at 1, keeps tiny graphs
+    # on one task and grows linearly with the data. Costs one setup
+    # count() job; pays for itself within a few of the dozens of rounds.
+    n_edges = e0.count()
+    _parts = max(1, n_edges // 2_000_000 + 1)
+    e_src = e0.repartition(_parts, "_s").persist(StorageLevel.MEMORY_AND_DISK)
+    e_dst = e0.repartition(_parts, "_d").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e0.select(F.col("_s").alias("node"))
         .union(e0.select(F.col("_d").alias("node")))
@@ -680,7 +705,10 @@ def strongly_connected_components(
 
     active = _ckpt(nodes)
     ae_s, ae_d = e_src, e_dst
-    done: list[DataFrame] = []
+    #: labels checkpointed-so-far (folded once per outer round so the
+    #: round's source checkpoints can be freed) + this round's views
+    done_ck: DataFrame | None = None
+    pending: list[DataFrame] = []
 
     def _restrict(live: DataFrame):
         """Live-subgraph edge views, keeping each base layout."""
@@ -703,7 +731,11 @@ def strongly_connected_components(
         # checkpoints (a flag column computed in the same job) and tests
         # it with one cached filter — instead of a separate join-shaped
         # action per round. Labels/fixpoints are unchanged: the flags
-        # are derived columns, dropped before any consumer.
+        # are derived columns, dropped before any consumer. (r12 note:
+        # advancing MULTIPLE hops per checkpointed round was implemented
+        # and measured SLOWER — rounds halve but each added hop's
+        # shuffle stages cost more than the saved job floor; see
+        # OPTIMIZATION_r12.md.)
         for _round in range(max_rounds):
             if active.isEmpty():
                 break
@@ -714,7 +746,10 @@ def strongly_connected_components(
                 both = has_out.join(has_in, "node", "left_semi")
                 # one checkpoint carries BOTH the survivors and the
                 # peeled singletons, flagged (was: two checkpoints +
-                # an isEmpty per peel layer)
+                # an isEmpty per peel layer). One layer per round: a
+                # two-layer peel was measured SLOWER (r12 — the doubled
+                # semi-join plan adds more stage latency than the saved
+                # round costs; see OPTIMIZATION_r12.md).
                 flagged = _ckpt(
                     active.join(
                         both.withColumn("_keep", F.lit(True)), "node", "left"
@@ -726,14 +761,21 @@ def strongly_connected_components(
                 trivial = flagged.where(~F.col("_keep")).select("node")
                 if trivial.isEmpty():
                     break
-                done.append(
+                pending.append(
                     trivial.select("node", F.col("node").alias("scc_id"))
                 )
                 active = flagged.where(F.col("_keep")).select("node")
                 ae_s, ae_d = _restrict(active)
             if active.isEmpty():
                 break
+
             # -- 2. forward min-color fixpoint -------------------------
+            # One edge-hop per checkpointed round. Composing extra hops
+            # or a pointer-jump (color of my color) into each round was
+            # measured SLOWER at sf0.1 (r12): iterations dropped 12 → 7
+            # but each extra operator adds shuffle stages whose latency
+            # exceeds the saved round's job floor. Revisit on a real
+            # cluster where per-round data cost dominates scheduling.
             color_ck = _ckpt(
                 active.select("node", F.col("node").alias("color"))
             )
@@ -760,17 +802,18 @@ def strongly_connected_components(
                         ).alias("_chg"),
                     )
                 )
-                changed = nxt_ck.where(F.col("_chg")).isEmpty()
+                settled = nxt_ck.where(F.col("_chg")).isEmpty()
                 _free(color_ck)  # superseded round's blocks (1× storage)
                 color_ck = nxt_ck
                 color = nxt_ck.select("node", "color")
-                if changed:
+                if settled:
                     break
             else:
                 raise SCCNotConverged(
                     f"forward coloring did not settle in "
                     f"{max_prop_iters} iters"
                 )
+
             # -- 3. backward sweep within color ------------------------
             mark_ck = _ckpt(color.where(F.col("color") == F.col("node")))
             mark = mark_ck
@@ -802,23 +845,48 @@ def strongly_connected_components(
                 mark = nxt_ck.select("node", "color")
                 if not grown:
                     break
-            done.append(
+            pending.append(
                 mark.select("node", F.col("color").alias("scc_id"))
             )
             nxt = _ckpt(
                 active.join(mark.select("node"), "node", "left_anti")
             )
+            # fold this round's labels into the running checkpointed
+            # union so every per-round checkpoint (trim's flagged
+            # frames, the final color/mark frames, the superseded
+            # active and previous label union) can be freed NOW — peak
+            # cached storage stays ~1× instead of growing with the
+            # round/peel count (r11 ADVICE). Costs one extra
+            # checkpoint per OUTER round; outer rounds = condensation
+            # depth between non-trivial SCCs, which is shallow.
+            round_labels = pending[0]
+            for p in pending[1:]:
+                round_labels = round_labels.union(p)
+            pending = []
+            done_ck = _ckpt(
+                done_ck.union(round_labels)
+                if done_ck is not None
+                else round_labels
+            )
+            for f in list(held):
+                if f is not nxt and f is not done_ck:
+                    _free(f)
             active = nxt
             ae_s, ae_d = _restrict(active)
         if not active.isEmpty():
             raise SCCNotConverged(
                 f"condensation deeper than max_rounds={max_rounds}"
             )
-        if not done:  # edgeless input: no nodes, empty labeling
+        if done_ck is None and not pending:
+            # edgeless input: no nodes, empty labeling
             return nodes.select("node", F.col("node").alias("scc_id"))
-        out = done[0]
-        for d in done[1:]:
-            out = out.union(d)
+        out = done_ck
+        # labels from a final trim-only round were never folded (the
+        # fold runs at full-round ends); their flagged sources are
+        # still `held` — freed by the finally block only AFTER the
+        # return checkpoint below has materialized.
+        for p in pending:
+            out = p if out is None else out.union(p)
         # taken OUTSIDE `held` — the one checkpoint that must survive
         return tracked_local_checkpoint(out)
     finally:

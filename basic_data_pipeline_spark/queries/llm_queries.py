@@ -41,6 +41,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+#: Same-session A/B seam for the persist decisions below
+#: (tools/ab_persist.py flips entries here and re-times the query under
+#: the bench posture). Site names listed here skip their
+#: tracked_persist; the frame flows through unpersisted and duplicated
+#: consumers recompute it as concurrent DAG branches. Empty in
+#: production — the committed persist set IS the measured winner.
+_PERSIST_OFF: set[str] = set()
+
+
+def _maybe_persist(df: DataFrame, site: str) -> DataFrame:
+    if site in _PERSIST_OFF:
+        return df
+    return tracked_persist(df)
+
+
 def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, spread to cluster parallelism: the text queries are
     regex-CPU-bound projections, and a byte-small scan would otherwise
@@ -1133,7 +1148,13 @@ def dedup_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = dedup.exact_dedup_survivors(
         d, "doc_id", text.fingerprint(F.col("text"))
     ).select(F.lit("fingerprint").alias("kind"), "doc_id", "group_size")
-    segs = tracked_persist(dedup.segment_word_lines(d, "doc_id", "text", 8))
+    # segment persist KEPT: interleaved A/B (r12) shows removing it
+    # loses (median 3.82 -> 4.09 at 32 cores) — segmentation is regex
+    # CPU expensive enough to beat the cache barrier, unlike the span
+    # subtree below.
+    segs = _maybe_persist(
+        dedup.segment_word_lines(d, "doc_id", "text", 8), "exact_fp_segs"
+    )
     common = (
         dedup.dedup_lines(segs, "doc_id", "drop_common", 2)
         .groupBy("doc_id")
@@ -1146,12 +1167,13 @@ def dedup_exact_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("group_size"))
         .select(F.lit("line_first").alias("kind"), "doc_id", "group_size")
     )
-    # ONE duplicate-span computation feeds BOTH substring arms (r11):
-    # substr rewrites the corpus against the spans, substr_span checksums
-    # them — building the spans twice re-ran the whole gram-occurrence →
-    # stats → merge pipeline per arm (the two heaviest arm walls of this
-    # slot, 2.2 s each at sf0.1).
-    spans = tracked_persist(substring.duplicate_spans(d, "doc_id", "text", 8))
+    # The duplicate-span subtree feeds BOTH substring arms but is NOT
+    # persisted: the r11 persist regressed the driver's bench (median
+    # 2.67 -> 4.14 s); interleaved A/B (tools/ab_persist.py, r12)
+    # confirmed persisting loses on 32 cores (median 3.82 vs 3.38) and
+    # 8 cores (2.97 vs 2.67) — the two span pipelines run as concurrent
+    # DAG branches cheaper than one serialized cache build. Guide §5.
+    spans = substring.duplicate_spans(d, "doc_id", "text", 8)
     sub = substring.remove_spans(d, spans, "doc_id", "text").select(
         F.lit("substr").alias("kind"),
         "doc_id",
@@ -1699,7 +1721,17 @@ def sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the spread docs frame feeds THREE consumers (the bm25 corpus side,
     # the query-doc slice, and the audiomatch constellation base) —
     # persisted (r11) so the scan+spread exchange runs once
-    d = tracked_persist(_docs_spread(spark, sf_dir))
+    # the spread docs frame feeds three consumers (bm25 corpus side,
+    # query-doc slice, audiomatch base) but is NOT persisted: the r11
+    # persist here was the round's biggest driver-measured regression
+    # (BENCH_r11 median 3.71 -> 8.26 s). Interleaved same-session A/B
+    # (tools/ab_persist.py, r12) confirmed it on 32 cores (median 5.74
+    # persisted vs 3.33 not) AND 8 cores (5.29 vs 3.21): the cache build
+    # serializes the scan+spread into a blocking unit and the cached
+    # subtree loses AQE, while the duplicated scans run as concurrent
+    # DAG branches. Guide §5: persist only when recompute costs more
+    # than the barrier — a columnar scan+repartition does not.
+    d = _docs_spread(spark, sf_dir)
     # brute_ranks and bm25_ranks each feed their own arm AND the rrf
     # fusion; persisting them was TRIED AND REVERTED in r11 — the cache
     # build serializes each rank pipeline into a blocking unit and the
@@ -1744,10 +1776,11 @@ def sim_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     from basic_data_pipeline_spark.operators import embeddings as emb_ops
 
     # the dim-row SQ8 model is folded into (lo_arr, hi_arr) at BOTH
-    # consumption sites (encode + decode) — persisted (r11) so the
-    # posexplode+min/max fit over every vector runs once, and each
-    # _sq8_arrays fold reads 64 cached rows
-    sq8_model = tracked_persist(emb_ops.sq8_fit(e))
+    # consumption sites (encode + decode) — persisted (r11, re-confirmed
+    # by interleaved A/B r12: wash-to-slight-win) so the posexplode +
+    # min/max fit over every vector runs once, and each _sq8_arrays
+    # fold reads 64 cached rows
+    sq8_model = _maybe_persist(emb_ops.sq8_fit(e), "topk_sq8_model")
     sq8 = emb_ops.sq8_search(
         e.filter(F.col("vec_id") < 5),
         emb_ops.sq8_encode(e, sq8_model),
@@ -1942,12 +1975,14 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_ops.py. One distinct shingle set feeds BOTH minhash
     (min over a set == min over the multiset) and the verify stage."""
     d = _t(spark, sf_dir, "documents")
-    # persisted (r11): the distinct shingle set is consumed by BOTH the
-    # minhash signature agg and the verify stage's participant prune —
-    # unpersisted, the tokenize→explode→distinct pipeline ran twice
-    sh = tracked_persist(
-        dedup.word_shingles(d, "doc_id", "text", 3)  # set semantics
-    )
+    # the distinct shingle set is consumed by BOTH the minhash signature
+    # agg and the verify stage's participant prune, but NOT persisted:
+    # the r11 persist regressed the driver's bench (median 1.94 ->
+    # 2.57 s); interleaved A/B (tools/ab_persist.py, r12) shows
+    # persisting is a wash at 32 cores and LOSES at 8 (median 1.67 vs
+    # 1.41, > 2·sem) — recomputing the tokenize→explode→distinct
+    # pipeline concurrently beats the cache barrier. Guide §5.
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)  # set semantics
     sig = dedup.minhash_signatures(sh, "doc_id")
     cand = dedup.lsh_candidate_pairs(dedup.lsh_bands(sig, "doc_id"), "doc_id")
     return dedup.jaccard_verify(sh, cand, "doc_id", 0.5)

@@ -658,6 +658,11 @@ def agg_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggs) — measured 1.6 s vs 1.15 s split at sf0.1; the joins are
     # group-cardinality-sized broadcasts. Same split as
     # agg_approx_distinct (the r11 board's first catch).
+    # PRECONDITION (r11 ADVICE): the inner joins below assume the group
+    # key is NON-NULL (true for TPC-H l_returnflag). A NULL-keyed group
+    # would survive each single groupBy but be dropped by the inner
+    # equi-join — copies of this split pattern onto a nullable key must
+    # join with eqNullSafe (<=>) instead.
     plain = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_items"),
         _dsum(F.col("l_extendedprice")).alias("sum_price"),
