@@ -70,7 +70,15 @@ def _prefix_grams(
         "_side", "_id", F.length(_norm(F.col("_txt"))).alias("_len"),
         F.explode(qgrams(F.col("_txt"), q)).alias("gram"),
     )
-    grams = tracked_persist(grams)
+    # NOT persisted (r12): the gram explode is consumed by the freq agg
+    # and the ranked join (and the caller self-joins the result), but
+    # per-site interleaved A/B on join_range_cross measured the persist
+    # as a cache barrier — exec median 4.42 (persisted) vs 4.08 with
+    # this site alone unpersisted, 2.82 with the candidate persist below
+    # also removed. The duplicated explode branches run concurrently;
+    # a cache build serializes them and drops AQE (guide §5). At a
+    # scale where recomputing the explode dominates scheduling, persist
+    # again — measure there, not here.
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_f"))
     ranked = (
         grams.join(freq, "gram")
@@ -136,7 +144,15 @@ def fuzzy_pairs(
         )
         .distinct()
     )
-    cand = tracked_persist(cand)
+    # NOT persisted (r12): three consumers (the participant prune + the
+    # two verify joins) recompute the candidate join as concurrent
+    # branches — interleaved A/B on join_range_cross: exec median 4.42
+    # with both this and the gram persist on, 3.68 with this site alone
+    # off, 2.82 with both off (n=6, all > 2·sem). Same cache-barrier
+    # mechanism as the r11 headline regressions (guide §5). On a
+    # cluster where the candidate join's data cost dominates the job
+    # floor, re-persist — the r8 SCALING.md participant-prune analysis
+    # still holds either way.
     part = (
         cand.select(F.col("id_a").alias("_tid"))
         .unionByName(cand.select(F.col("id_b").alias("_tid")))

@@ -110,14 +110,6 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
 
-    dfreq = postings.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    if max_df_frac is not None:
-        dfreq = dfreq.join(F.broadcast(stats), how="cross").filter(
-            F.col("df") <= F.col("n_docs") * F.lit(max_df_frac)
-        ).select("term", "df")
-
     # query side: deduped terms, broadcast (bounded query batch) so the
     # postings scan is pruned to matching terms before any scoring
     qterms = queries.select(
@@ -127,9 +119,28 @@ def bm25_topk(
         ).alias("term"),
     )
 
+    # Single-pass contribution join (r12): document frequency is
+    # aggregated from the QUERY-PRUNED postings and joined back on the
+    # same key — both sides of the df join hang off one exchange of
+    # `post_q` hash-partitioned by term, which Spark's ReuseExchange
+    # dedups, so the tokenize → postings aggregate runs ONCE. The r11
+    # shape aggregated df over the FULL vocabulary and broadcast it,
+    # which re-ran the whole tokenize+postings subtree as a separate
+    # broadcast-build job (guide §2.4: remove duplicate passes). df is
+    # counted over pruned postings only for terms the queries contain —
+    # exactly the terms the inner contribution join keeps anyway.
+    post_q = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    dfreq = post_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df_frac is not None:
+        dfreq = dfreq.join(F.broadcast(stats), how="cross").filter(
+            F.col("df") <= F.col("n_docs") * F.lit(max_df_frac)
+        ).select("term", "df")
+
     contrib = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq.join(F.broadcast(qterms.select("term").distinct()), "term")), "term")
+        post_q.join(dfreq, "term")
+        .join(F.broadcast(qterms), "term")
         .join(F.broadcast(stats), how="cross")
         .select(
             "query_id",

@@ -731,15 +731,61 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.01).alias("_approx"),
     )
     plain_side = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("_p50_exact"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias(
             "_p50_approx"
         ),
         F.max("l_extendedprice").alias("_max"),
         F.min("l_extendedprice").alias("_min"),
+        F.count("*").alias("_n"),
     )
-    agg = distinct_side.join(F.broadcast(hll_side), "l_returnflag").join(
-        F.broadcast(plain_side), "l_returnflag"
+    # EXACT median as a sort-based rank pick, not percentile()'s
+    # OpenHashMap aggregate (r12 — the map aggregate carried every
+    # distinct value+count through an ObjectHashAggregate, ~1.3 s of
+    # this slot's 2.2 s exec at sf0.1): pre-aggregate counts per
+    # (group, value) — partial/map-side-friendly, guide §2.3 — then one
+    # window over the DISTINCT values per group computes cumulative
+    # counts, and the rows covering the two middle ranks are averaged.
+    # percentile(x, 0.5) interpolates as 0.5·x[lo] + 0.5·x[hi] with
+    # lo = (n−1) div 2 and hi = n div 2 (0-based), which is exactly
+    # (x[lo] + x[hi]) / 2 — when a single value covers both ranks the
+    # weight-2 sum divides back to that value. Both formulations
+    # funnel each group's order statistic through one task; this one
+    # moves (value, count) pairs instead of a per-task value map.
+    vc = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count("*").alias("_c")
+    )
+    wcum = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    cum = vc.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("_v"),
+        F.sum("_c").over(wcum).alias("_hi_rank"),
+        (F.sum("_c").over(wcum) - F.col("_c")).alias("_lo_rank_excl"),
+    )
+    n_by_grp = F.broadcast(plain_side.select("l_returnflag", "_n"))
+    med_side = (
+        cum.join(n_by_grp, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "_v",
+            (
+                (
+                    (F.expr("(_n - 1) div 2") + 1 > F.col("_lo_rank_excl"))
+                    & (F.expr("(_n - 1) div 2") + 1 <= F.col("_hi_rank"))
+                ).cast("int")
+                + (
+                    (F.expr("_n div 2") + 1 > F.col("_lo_rank_excl"))
+                    & (F.expr("_n div 2") + 1 <= F.col("_hi_rank"))
+                ).cast("int")
+            ).alias("_w"),
+        )
+        .where(F.col("_w") > 0)
+        .groupBy("l_returnflag")
+        .agg((F.sum(F.col("_v") * F.col("_w")) / 2).alias("_p50_exact"))
+    )
+    agg = (
+        distinct_side.join(F.broadcast(hll_side), "l_returnflag")
+        .join(F.broadcast(plain_side), "l_returnflag")
+        .join(F.broadcast(med_side), "l_returnflag")
     )
     return (
         agg.select(

@@ -74,6 +74,23 @@ spread, the 50-slot board, budget violations — is written to
 BENCH_DETAIL.json (latest) and appended to BENCH_DETAIL_HISTORY.jsonl
 (per-run history) at the repo root.
 
+Cold/warm differential (round 12 — the r11 lesson where three headline
+persists regressed the driver's bench while the builder's A/Bs said
+they won): a separate phase AFTER the headline passes re-runs each
+query twice on one frame — cold (cache population included), then warm
+(caches hot) — and records the warm medians as `queries_warm` in
+BENCH_DETAIL. (cold − warm) is the cache-build cost every timed run
+pays inside its window: a query whose gap grows across rounds gained a
+cache barrier. Running it as its own phase keeps the headline passes'
+posture identical to prior rounds (an inline second execution measured
+as cross-query pollution on the next query's wall).
+
+The printed line also carries `cpus` (the session's ACTUAL
+defaultParallelism) so core-scaling runs carry direct evidence that
+$SPARK_GRAFT_CPUS was honored — at sf0.1 most headliners are
+job-floor-bound and their 8↔32-core ratios sit near 1, which a
+heuristic can misread as the env var being ignored.
+
 `value` is the sum of the per-query bests; `runs` records the repeat
 count."""
 
@@ -179,8 +196,9 @@ def main() -> None:
         errors["_warmup"] = f"{type(exc).__name__}: {exc}"[:500]
 
     samples: dict[str, list[float]] = {}
+    warm_samples: dict[str, list[float]] = {}
     norm_samples: list[float] = []
-    for _ in range(N_RUNS):
+    for i_run in range(N_RUNS):
         try:
             norm_samples.append(_timed_noop(_session_norm(spark, SF_DIR)))
         except Exception as exc:  # noqa: BLE001
@@ -195,6 +213,26 @@ def main() -> None:
                 samples.pop(name, None)
                 continue
             samples.setdefault(name, []).append(dt)
+
+    # cold/warm differential (r11 verdict #8) — run as its OWN phase
+    # AFTER the headline passes so the headline numbers keep their
+    # historical posture (an inline second execution per query measured
+    # as cross-query pollution: the extra allocations shifted the NEXT
+    # query's wall — dedup_minhash_lsh read +0.6 s in-suite while its
+    # isolated wall had IMPROVED). Each pass builds fresh, pays the
+    # cold execution (cache population included), then re-executes the
+    # same frame warm: (cold − warm) is the cache-build cost inside the
+    # timed window — the r11 cache-barrier regression signature.
+    for _ in range(2):
+        for name, fn in qs.items():
+            if name in errors:
+                continue
+            try:
+                df = fn(spark, SF_DIR)
+                _timed_noop(df)  # cold: populates tracked persists
+                warm_samples.setdefault(name, []).append(_timed_noop(df))
+            except Exception as exc:  # noqa: BLE001
+                errors[f"{name}[_warm2]"] = f"{type(exc).__name__}: {exc}"[:500]
 
     # per-arm walls for tag-union headliners (see module docstring)
     from pyspark.sql import functions as F
@@ -320,12 +358,24 @@ def main() -> None:
                 )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # direct scaling evidence (r11 verdict #2): the harness honors
+    # $SPARK_GRAFT_CPUS (session.py builds local[$SPARK_GRAFT_CPUS]);
+    # print the parallelism the session ACTUALLY runs with so the
+    # driver's suspect_cpus_ignored heuristic reads it from the line
+    # instead of inferring from ~1 ratios on job-floor-bound queries.
+    cpus = spark.sparkContext.defaultParallelism
     payload = {
         "metric": "headline_suite_wall_time",
         "value": total,
         "unit": "sec",
+        "cpus": cpus,
         "queries": best,
         "queries_median": median,
+        "queries_warm": {
+            n: round(statistics.median(v), 3)
+            for n, v in warm_samples.items()
+            if v
+        },
         "session_norm": (
             {
                 "best": min(norm_samples),
@@ -367,6 +417,7 @@ def main() -> None:
             "metric": payload["metric"],
             "value": total,
             "unit": "sec",
+            "cpus": cpus,
             "queries": best,
             "queries_median": median,
             "session_norm": payload["session_norm"],

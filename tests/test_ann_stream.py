@@ -95,6 +95,7 @@ def test_compaction_folds_and_replay_after_fold_skips(spark, vecs, tmp_path):
     assert ann_stream.compact_epochs(spark, idx) == 0
 
 
+@pytest.mark.slow
 def test_compaction_crash_retry_converges(spark, vecs, tmp_path):
     """Crash AFTER the base swap but BEFORE ledger/cleanup: base holds the
     deltas AND the delta dirs persist. The retry must converge (vec_id
@@ -125,6 +126,7 @@ def test_compaction_crash_retry_converges(spark, vecs, tmp_path):
     assert _ranks(ann_stream.ann_search_live(queries, idx, DIM, k=3)) == want
 
 
+@pytest.mark.slow
 def test_base_swap_crash_window_recovers(spark, vecs, tmp_path):
     """Crash AFTER rmtree(assigned) but BEFORE the rename: no base dir,
     a complete .tmp-swap. Every read and the compaction rerun must
@@ -153,6 +155,7 @@ def test_base_swap_crash_window_recovers(spark, vecs, tmp_path):
     assert not os.path.exists(tmp) and os.path.exists(base_dir)
 
 
+@pytest.mark.slow
 def test_checkpoint_reset_epoch_reuse_fails_loudly(spark, vecs, tmp_path):
     """After epochs 0,1 are folded, a NEW batch arriving as epoch 0 (the
     checkpoint-reset signature) must raise, not be silently dropped; a
@@ -181,6 +184,7 @@ def test_checkpoint_reset_epoch_reuse_fails_loudly(spark, vecs, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_legacy_root_level_epoch_dirs_still_served_and_folded(
     spark, vecs, tmp_path
 ):
@@ -231,6 +235,7 @@ def test_streaming_engine_end_to_end(spark, vecs, tmp_path):
     assert ann_stream.live_assigned(spark, idx).count() == vecs.count()
 
 
+@pytest.mark.slow
 def test_pre_compaction_checkpoint_reset_fails_loudly(spark, vecs, tmp_path):
     """The r7-ADVICE hole: a same-path checkpoint reset BEFORE any
     compaction (folded ledger empty) re-issues epoch ids whose delta

@@ -14,6 +14,9 @@ exchange ever carries both pair-side raw arrays."""
 from __future__ import annotations
 
 import pytest
+
+#: slow tier (r12): dimension-width parameter sweep; the width contract's base case stays in test_ann_stream.py/test_embeddings.py
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from basic_data_pipeline_spark.operators import similarity

@@ -10,6 +10,11 @@ drop), and the since-compact counter rides the ledger."""
 
 from __future__ import annotations
 
+import pytest
+
+#: slow tier (r12): long-run compaction campaigns; compaction semantics stay covered by test_compact_index.py + test_maintenance.py
+pytestmark = pytest.mark.slow
+
 import glob
 import os
 

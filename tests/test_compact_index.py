@@ -132,6 +132,7 @@ def test_substring_compact_preserves_membership_and_plan(
     assert plan.count("Exchange hashpartitioning(gram") == 1, plan
 
 
+@pytest.mark.slow
 def test_dedup_and_entity_compact_round_trip(spark, docs, tmp_path):
     idx_d = str(tmp_path / "idx_d")
     incremental.build_index(

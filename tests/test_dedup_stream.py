@@ -59,6 +59,7 @@ def test_stream_batches_match_batch_operator(spark, docs, tmp_path):
     assert ledger["stream"]["max_id"] == docs.agg(F.max("doc_id")).first()[0]
 
 
+@pytest.mark.slow
 def test_stream_releases_tracked_persists_per_epoch(spark, docs, tmp_path):
     """The guarded skeleton must release the body's tracked persists
     once an epoch completes — foreachBatch has no @query wrapper to do
@@ -78,6 +79,7 @@ def test_stream_releases_tracked_persists_per_epoch(spark, docs, tmp_path):
         assert caching._TRACKED == [], "epoch must end with zero tracked"
 
 
+@pytest.mark.slow
 def test_stream_replay_of_completed_epoch_is_dropped(spark, docs, tmp_path):
     idx = str(tmp_path / "idx")
     out = str(tmp_path / "out")

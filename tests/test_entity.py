@@ -48,7 +48,9 @@ def names(spark):
     return spark.createDataFrame(NAMES, "id long, name string")
 
 
-@pytest.mark.parametrize("k", [1, 2])
+@pytest.mark.parametrize(
+    "k", [1, pytest.param(2, marks=pytest.mark.slow)]
+)
 def test_fuzzy_pairs_exact_vs_bruteforce(spark, names, k):
     got = {
         (r["id_a"], r["id_b"], r["dist"])

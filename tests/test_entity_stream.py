@@ -74,6 +74,7 @@ def test_stream_batches_match_batch_operator_with_bridge(spark, tmp_path):
     assert ledger["stream"]["max_id"] == 21  # completed-epoch id watermark
 
 
+@pytest.mark.slow
 def test_stream_replay_of_completed_epoch_is_dropped(spark, tmp_path):
     idx = str(tmp_path / "idx")
     out = str(tmp_path / "out")
@@ -87,6 +88,7 @@ def test_stream_replay_of_completed_epoch_is_dropped(spark, tmp_path):
     assert _out(spark, out) == before
 
 
+@pytest.mark.slow
 def test_mid_append_crash_raises_dirty_index(spark, tmp_path):
     idx = str(tmp_path / "idx")
     out = str(tmp_path / "out")
@@ -114,6 +116,7 @@ def test_empty_batch_advances_ledger(spark, tmp_path):
     assert not os.path.exists(out)  # no output dir for an empty epoch
 
 
+@pytest.mark.slow
 def test_streaming_engine_end_to_end(spark, tmp_path):
     idx = str(tmp_path / "idx")
     out = str(tmp_path / "out")

@@ -17,6 +17,9 @@ import random
 import duckdb
 import pytest
 
+#: slow tier (r12): 361 generated differential queries; the per-family example pins cover the default tier
+pytestmark = pytest.mark.slow
+
 SF_DIR = "/root/testdata/sf0.001"
 # Counts doubled in round 5 as the Spark-4 ANSI-drift audit (VERDICT r4 #4):
 # ANSI mode is now ON by default, turning former silent-null casts into

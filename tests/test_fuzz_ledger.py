@@ -24,6 +24,9 @@ import shutil
 import tempfile
 
 import pytest
+
+#: slow tier (r12): property-based crash/replay fuzz of the lease+ledger protocol; the contract's fast representatives live in test_swapstore_lease.py
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

@@ -7,6 +7,11 @@ alphabet so collisions and duplicates actually occur)."""
 
 from __future__ import annotations
 
+import pytest
+
+#: slow tier (r12): hypothesis fuzz of the LLM-op surface; the ops' example-based pins live in test_llm_ops.py
+pytestmark = pytest.mark.slow
+
 import re
 
 from hypothesis import HealthCheck, given, settings

@@ -6,6 +6,7 @@ text."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from basic_data_pipeline_spark.operators import dedup, incremental
@@ -120,6 +121,7 @@ def _chain_docs():
     return (s1 + " " + s2, s1 + " " + s2 + " " + s3, s2 + " " + s3)
 
 
+@pytest.mark.slow
 def test_incremental_cluster_policy_resolves_cross_batch_chain(spark, tmp_path):
     """survivor_policy='cluster': the index retains dropped docs'
     bands/shingles, so a transitive chain arriving ACROSS batches keeps
@@ -140,6 +142,7 @@ def test_incremental_cluster_policy_resolves_cross_batch_chain(spark, tmp_path):
     assert {r["doc_id"] for r in s3.collect()} == set()  # one survivor: a
 
 
+@pytest.mark.slow
 def test_incremental_greedy_policy_keeps_chain_tail(spark, tmp_path):
     """The documented greedy divergence on the same chain: the index holds
     only survivors, so c finds no partner in batch 3 and survives."""
@@ -176,6 +179,7 @@ def test_incremental_string_ids(spark, tmp_path):
     assert {r["doc_id"] for r in s2.collect()} == set()
 
 
+@pytest.mark.slow
 def test_incremental_staging_is_pruned(spark, tmp_path):
     """Staged dropped-id parquets must not accumulate unboundedly: each
     call prunes all but the prior call's staging dir (the documented
@@ -202,6 +206,7 @@ def test_incremental_staging_is_pruned(spark, tmp_path):
     assert set(meta["staging"]) == {os.path.join("_staging", s) for s in staged}
 
 
+@pytest.mark.slow
 def test_incremental_prior_survivors_stay_valid(spark, tmp_path):
     """The retention contract's useful half: the survivors frame returned
     by call k must still be collectable after call k+1 ran (its staging
@@ -303,6 +308,7 @@ def test_ivf_index_build_add_search(spark, tmp_path):
     assert any(n % 2 == 1 for v in per_q.values() for n in v)
 
 
+@pytest.mark.slow
 def test_ivfpq_index_build_add_search(spark, tmp_path):
     """Persisted compressed index: build → search recovers most of exact
     top-3 (shortlist rerank); adding an exact clone of an indexed vector

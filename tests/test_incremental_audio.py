@@ -96,6 +96,7 @@ def test_increment_only_shuffle(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning(fhash") == 1, plan
 
 
+@pytest.mark.slow
 def test_crash_rebuild_replay_matches_batch(spark, tmp_path, monkeypatch):
     idx_s, idx_b = str(tmp_path / "s"), str(tmp_path / "b")
     out = str(tmp_path / "out")
@@ -138,6 +139,7 @@ def test_crash_rebuild_replay_matches_batch(spark, tmp_path, monkeypatch):
     assert ledger["stream"]["intent"] is None
 
 
+@pytest.mark.slow
 def test_compaction_preserves_results(spark, tmp_path):
     idx = str(tmp_path / "idx")
     IA.build_audio_index(spark, _media(spark, 0, 8), idx)

@@ -119,6 +119,7 @@ def test_candidate_join_index_side_in_place(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning(gram") == 1, plan
 
 
+@pytest.mark.slow
 def test_alias_chain_resolves_across_generations(spark, tmp_path):
     """entity E2 aliases to E1, later E1 itself merges under an older
     root: current_entities must resolve the 2-deep chain."""

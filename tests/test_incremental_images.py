@@ -112,6 +112,7 @@ def test_increment_only_shuffle(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning(bi") == 1, plan
 
 
+@pytest.mark.slow
 def test_stream_replay_is_noop_and_outputs_match_batch(spark, tmp_path):
     idx_s, idx_b = str(tmp_path / "s"), str(tmp_path / "b")
     out = str(tmp_path / "out")
@@ -132,6 +133,7 @@ def test_stream_replay_is_noop_and_outputs_match_batch(spark, tmp_path):
     assert got == expected
 
 
+@pytest.mark.slow
 def test_crash_rebuild_replay_matches_batch(spark, tmp_path, monkeypatch):
     idx_s, idx_b = str(tmp_path / "s"), str(tmp_path / "b")
     out = str(tmp_path / "out")
@@ -176,6 +178,7 @@ def test_crash_rebuild_replay_matches_batch(spark, tmp_path, monkeypatch):
     assert ledger["stream"]["intent"] is None
 
 
+@pytest.mark.slow
 def test_compaction_preserves_results(spark, tmp_path):
     idx = str(tmp_path / "idx")
     II.build_image_index(spark, _media(spark, 0, 8), idx, max_hamming=MH)

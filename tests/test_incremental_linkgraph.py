@@ -65,6 +65,7 @@ def test_incremental_matches_batch_wcc(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_batch_split_invariance(spark, tmp_path):
     one = str(tmp_path / "one")
     two = str(tmp_path / "two")
@@ -110,6 +111,7 @@ def test_empty_batch_frees_its_checkpoint(spark, tmp_path):
     assert after <= before
 
 
+@pytest.mark.slow
 def test_compaction_folds_merges_and_preserves_labels(spark, tmp_path):
     idx = str(tmp_path / "idx")
     G.build_graph_index(spark, _edf(spark, BASE), idx)
@@ -149,6 +151,7 @@ def test_increment_only_shuffle(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning(node") == 2, plan
 
 
+@pytest.mark.slow
 def test_stream_replay_is_noop_and_outputs_match_batch(spark, tmp_path):
     idx_s, idx_b = str(tmp_path / "s"), str(tmp_path / "b")
     out = str(tmp_path / "out")
@@ -170,6 +173,7 @@ def test_stream_replay_is_noop_and_outputs_match_batch(spark, tmp_path):
     assert e1 == want1
 
 
+@pytest.mark.slow
 def test_crash_rebuild_replay_matches_batch(spark, tmp_path, monkeypatch):
     idx_s = str(tmp_path / "s")
     out = str(tmp_path / "out")
@@ -212,6 +216,7 @@ def test_crash_rebuild_replay_matches_batch(spark, tmp_path, monkeypatch):
     assert ledger["stream"]["intent"] is None
 
 
+@pytest.mark.slow
 def test_streaming_engine_end_to_end(spark, tmp_path):
     idx = str(tmp_path / "idx")
     src_dir = str(tmp_path / "edges_in")

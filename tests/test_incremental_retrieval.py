@@ -78,6 +78,7 @@ def test_split_build_appends_equal_one_shot(spark, tmp_path):
     assert stats["n_docs"] == len(B0 + B1 + B2)
 
 
+@pytest.mark.slow
 def test_sf_corpus_split_equals_one_shot(spark, tmp_path):
     """Volume check on the fixture corpus: a 3-way split of sf0.001
     documents indexed incrementally answers query-by-document BM25
@@ -212,6 +213,7 @@ class _Boom(RuntimeError):
     pass
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("crash_at", [1, 2])
 def test_crash_rebuild_replay_matches_batch(
     spark, tmp_path, monkeypatch, crash_at
@@ -258,6 +260,7 @@ def test_crash_rebuild_replay_matches_batch(
     assert got == want and got
 
 
+@pytest.mark.slow
 def test_streaming_engine_end_to_end(spark, tmp_path):
     idx = str(tmp_path / "idx")
     out = str(tmp_path / "out")

@@ -112,6 +112,7 @@ def test_membership_join_index_side_in_place(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning(gram") == 1, plan
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_with_replay_and_crash(spark, tmp_path):
     idx_s = str(tmp_path / "idx_s")
     idx_b = str(tmp_path / "idx_b")

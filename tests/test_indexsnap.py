@@ -55,6 +55,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+@pytest.mark.slow
 def test_dedup_read_as_of_completed_ignores_partial_epoch(
     spark, tmp_path, monkeypatch
 ):
@@ -103,6 +104,7 @@ def _edf(spark, rows):
     return spark.createDataFrame(rows, "id long, name string")
 
 
+@pytest.mark.slow
 def test_entity_read_as_of_completed_ignores_partial_epoch(
     spark, tmp_path, monkeypatch
 ):
@@ -131,6 +133,7 @@ def test_entity_read_as_of_completed_ignores_partial_epoch(
     assert len(dirty) >= len(clean)
 
 
+@pytest.mark.slow
 def test_image_read_as_of_completed_ignores_partial_epoch(
     spark, tmp_path, monkeypatch
 ):
@@ -153,6 +156,7 @@ def test_image_read_as_of_completed_ignores_partial_epoch(
     assert _rows(II.read_image_index(spark, idx, as_of_completed=True)) == clean
 
 
+@pytest.mark.slow
 def test_audio_read_as_of_completed_ignores_partial_epoch(
     spark, tmp_path, monkeypatch
 ):
@@ -177,6 +181,7 @@ def test_audio_read_as_of_completed_ignores_partial_epoch(
     assert _rows(IA.read_audio_index(spark, idx, as_of_completed=True)) == clean
 
 
+@pytest.mark.slow
 def test_graph_read_as_of_completed_ignores_partial_epoch(
     spark, tmp_path, monkeypatch
 ):

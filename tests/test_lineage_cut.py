@@ -107,6 +107,7 @@ def test_pack_sequences_bit_identical_across_modes(spark, tmp_path):
     assert reliable == local
 
 
+@pytest.mark.slow
 def test_pipeline_end_to_end_bit_identical_across_modes(spark, tmp_path):
     """The whole 12-stage pipeline (exact dedup → near dedup → quality →
     decontamination → mix → pack) under `reliable` lineage cuts equals

@@ -88,6 +88,7 @@ def test_prepare_training_corpus_end_to_end(spark, docs):
     } == out_ids
 
 
+@pytest.mark.slow
 def test_blocklist_stage_drops_phrase_carriers(spark, docs, tmp_path):
     """Docs containing a banned phrase drop before dedup; the blocklist
     identity rides in the workdir fingerprint (a different list against
@@ -117,6 +118,7 @@ def test_blocklist_stage_drops_phrase_carriers(spark, docs, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_bloom_decontamination_same_survivors(spark, docs):
     """contamination_bloom must not change WHICH documents survive —
     the prefilter is lossless (and therefore safely outside the workdir
@@ -137,6 +139,7 @@ def test_prepare_training_corpus_rejects_conflicting_mixing(spark, docs):
         prepare_training_corpus(docs, mix={"web": 1.0}, temperature=2.0)
 
 
+@pytest.mark.slow
 def test_repetition_filter_drops_boilerplate(spark, docs):
     """A planted high-repetition doc survives the quality floor (decent
     length/token shape) but must fall to the repetition ceiling; short
@@ -157,6 +160,7 @@ def test_repetition_filter_drops_boilerplate(spark, docs):
     assert 999_999 not in out_ids
 
 
+@pytest.mark.slow
 def test_workdir_durable_run_matches_inmemory(spark, docs, tmp_path):
     """workdir= produces the identical ledger and survivors as the
     in-memory run (stages are deterministic, storage is a pass-through)."""
@@ -210,6 +214,7 @@ def test_workdir_param_change_raises(spark, docs, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_workdir_input_change_raises(spark, docs, tmp_path):
     """The fingerprint binds the workdir to the INPUT too: resuming with
     a different corpus (here, a filtered subset — same files, different
@@ -236,6 +241,7 @@ def test_workdir_input_change_raises(spark, docs, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_substring_stage_cuts_pasted_span(spark, docs):
     """substring_k=: a long span pasted into two otherwise-distinct docs
     survives only at its first occurrence; the ledger records the stage
@@ -266,6 +272,7 @@ def test_substring_stage_cuts_pasted_span(spark, docs):
     assert keys.index("near_dedup") + 1 == keys.index("substring_dedup")
 
 
+@pytest.mark.slow
 def test_trained_classifier_stage_drops_junk(spark, docs):
     """quality_model=: a fitted LR quality model (trained on weak labels
     from the fixture + constructed junk) becomes a pipeline stage; the
@@ -309,6 +316,7 @@ def test_trained_classifier_stage_drops_junk(spark, docs):
     assert led["clf_quality"] >= led["quality"] - 10  # organic mostly kept
 
 
+@pytest.mark.slow
 def test_lm_floor_drops_word_salad(spark, docs):
     """min_lm_score: a planted shuffled-vocabulary doc (improbable bigrams
     under the corpus LM) drops; natural docs survive; ledger records the
@@ -355,6 +363,7 @@ def test_lm_floor_drops_word_salad(spark, docs):
     assert len(out_ids) > 0
 
 
+@pytest.mark.slow
 def test_deterministic_shuffle_packs_reproducible_permutation(spark, docs):
     """shuffle_salt packs in salted-hash order: same salt → bit-identical
     layout across runs/partitionings; layout differs from id order; the
@@ -490,6 +499,7 @@ def test_domain_cap_in_workdir_fingerprint(spark, docs, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_dsir_stage_selects_k_target_matched_docs(spark, docs):
     """r8: the optional DSIR stage keeps exactly dsir_k survivors (the
     Gumbel-top-k sample toward the target), the ledger records it after
@@ -525,6 +535,7 @@ def test_dsir_params_must_travel_together(spark, docs):
         prepare_training_corpus(docs, dsir_k=10, seq_len=256)
 
 
+@pytest.mark.slow
 def test_dsir_in_workdir_fingerprint(spark, docs, tmp_path):
     """Resuming a workdir under a different dsir_k or target raises."""
     target = docs.filter(F.col("doc_id") % 50 == 0)
@@ -545,6 +556,7 @@ def test_dsir_in_workdir_fingerprint(spark, docs, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_token_budget_mixing_mode(spark, docs):
     """token_budgets as the third mixing mode: per-source kept tokens
     land within one doc of the budget; mutually exclusive with the

@@ -47,22 +47,24 @@ EXPECTED = {
     # sites). Python evals and nested loops stay 0, which is what this
     # pin chiefly guards; the runtime exchange count is the cache-build
     # plans' once each.
-    # r11: the distinct shingle frame is now tracked_persist'd in the
-    # query (it feeds both minhash and the verify prune) — one more
-    # InMemoryRelation whose build plan reprints under every consumer,
-    # so the TEXTUAL exchange count rises while the executed shuffle
-    # count falls (the shingle pipeline now runs once, not twice).
-    "dedup_lsh_verified": (60, 13, 0, 0),
+    # r11 persisted the distinct shingle frame; r12 REVERTED it (the
+    # driver's bench measured the cache build as a serialization
+    # barrier: median 1.94 -> 2.57 s; interleaved A/B confirmed at 8
+    # cores) — the textual exchange count falls back with the removed
+    # cached-subtree reprints while the shingle pipeline again runs as
+    # two concurrent branches.
+    "dedup_lsh_verified": (42, 13, 0, 0),
     # promoted to headline in r7 with the substr/substr_span branches:
     # 6 tag-unioned dedup granularities (doc raw/fingerprint, line
     # common/first, substring kept/span-checksum) — the shuffles are the
     # per-branch keyed aggs + the gram/line stats joins; broadcasts are
     # AQE-sized stats sides at sf0.001
-    # r11: ONE persisted duplicate_spans frame feeds both substring arms
-    # (substr rewrite + substr_span checksum) — textual count +2 from the
-    # cached subtree reprint; the executed gram-occurrence pipeline runs
-    # once instead of twice.
-    "dedup_exact_fp": (14, 5, 0, 0),
+    # r11 persisted ONE duplicate_spans frame for both substring arms;
+    # r12 REVERTED it (driver bench median 2.67 -> 4.14 s; interleaved
+    # A/B: persisting loses at 32 AND 8 cores) — textual count -2 with
+    # the removed cached-subtree reprint; the segment-lines persist
+    # (which A/B'd as a WIN) remains.
+    "dedup_exact_fp": (12, 5, 0, 0),
     # the nested-loop is the sanctioned brute-force baseline branch
     # (5 query vectors crossed against the corpus)
     # r8: + bm25 and rrf branches. The nested-loops are (a) the
@@ -92,10 +94,19 @@ EXPECTED = {
     # TRIED AND REVERTED: the cache build serializes the plan and drops
     # AQE inside the cached subtree, measured +0.8 s at sf0.1 on 32 AND
     # 8 cores — duplicated rank pipelines run concurrently and win.
-    # The spread docs frame IS persisted (3 consumers: bm25 corpus,
-    # query slice, audiomatch base) — its cached-subtree reprint under
-    # each consumer lifts the textual exchange count to 48.
-    "sim_topk_methods": (48, 19, 0, 9),
+    # r12: the r11 spread-docs persist is REVERTED (the round's biggest
+    # driver-measured regression, median 3.71 -> 8.26 s; interleaved
+    # A/B median 5.74 persisted vs 3.33 not at 32 cores) — the three
+    # consumers re-scan concurrently. bm25_topk is now a SINGLE-PASS
+    # contribution join: df aggregates over the query-pruned postings
+    # and joins back on the same key (one reused exchange) instead of a
+    # full-vocabulary aggregate shipped via its own broadcast-build
+    # job; the df join side leaves the broadcast set (-1 per print
+    # site) while the query-term prune adds a bounded broadcast
+    # (+1 per site) and the persist reverts rebalance the rest:
+    # exchanges stay 48 textually, broadcasts 19 -> 21 — every build
+    # side still <= |query terms| or 1 row; python evals stay 0.
+    "sim_topk_methods": (48, 21, 0, 9),
     "sim_ann_lsh": (4, 3, 0, 0),
     # r8: + the Bloom-prefiltered contamination arm (contam_hits_bloom):
     # its shingle agg + verify join + outer join add 3 shuffles and 2

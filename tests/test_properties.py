@@ -13,6 +13,9 @@ import json
 
 import pandas as pd
 import pytest
+
+#: slow tier (r12): hypothesis invariant sweeps; example-based pins of the same invariants run by default
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

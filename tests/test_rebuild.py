@@ -9,6 +9,9 @@ partial epoch in the bucketed tables."""
 from __future__ import annotations
 
 import pytest
+
+#: slow tier (r12): as-of == rebuild equivalence fuzz across index families; per-family equality reps stay in the incremental_* default tiers
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from basic_data_pipeline_spark.operators import incremental

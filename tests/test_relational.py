@@ -13,6 +13,7 @@ from basic_data_pipeline_spark import TABLES, registry
 from tests.conftest import SF_SMOKE
 
 
+@pytest.mark.slow
 def test_all_queries_run_and_have_columns(spark):
     qs = registry.queries()
     assert len(qs) >= 40

@@ -21,6 +21,9 @@ import sys
 import duckdb
 import pytest
 
+#: slow tier (r12): differential skew campaign; the salted-join correctness pin stays in the default tier via the oracle-checked join_salted_skew slot
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from basic_data_pipeline_spark import TABLES, registry

@@ -212,6 +212,7 @@ def test_vocab_smaller_than_alphabet_raises(spark):
     ),
     st.integers(min_value=4, max_value=12),
 )
+@pytest.mark.slow
 def test_fuzz_train_matches_serial(spark, texts, vocab):
     model = U.train_unigram(
         _docs(spark, texts), vocab_size=vocab, rounds=2,
