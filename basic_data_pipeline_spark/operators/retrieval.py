@@ -89,34 +89,42 @@ def bm25_topk(
     ids share a namespace). ``score`` is the exact DECIMAL(18,6) sum of
     round-6 per-term contributions — deterministic under any
     partitioning."""
-    # corpus side: one row per (doc, term) with tf; dl projected from the
-    # doc row itself (no extra shuffle — it rides through the groupBy key
-    # because dl is functional on doc_id)
-    toks = docs.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.size(_clean_tokens(F.col(text_col))).alias("dl"),
-        F.explode(_clean_tokens(F.col(text_col))).alias("term"),
-    )
-    postings = toks.groupBy("neighbor_id", "dl", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-
-    # corpus stats: exact integer sums, ONE division → bit-identical
-    # across engines (never avg() of doubles, whose partial-sum order is
-    # engine-dependent)
-    stats = docs.select(
-        F.size(_clean_tokens(F.col(text_col))).alias("dl")
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-
     # query side: deduped terms, broadcast (bounded query batch) so the
-    # postings scan is pruned to matching terms before any scoring
+    # token stream is pruned to matching terms before any aggregation
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(
             F.array_distinct(_clean_tokens(F.col(query_text_col)))
         ).alias("term"),
+    )
+
+    # corpus side: one row per (doc, query-matched term) with tf; dl
+    # projected from the doc row itself (no extra shuffle — it rides
+    # through the groupBy key because dl is functional on doc_id). The
+    # broadcast term prune sits BELOW the postings aggregate (r12):
+    # only query-matched token rows enter the exchange, so the shuffle
+    # is ∝ matched tokens, not corpus tokens (guide §2.3 — filter
+    # before you shuffle). tf/df for the surviving terms are identical:
+    # the prune is an equi-filter on the aggregation key.
+    toks = docs.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.size(_clean_tokens(F.col(text_col))).alias("dl"),
+        F.explode(_clean_tokens(F.col(text_col))).alias("term"),
+    )
+    post_q = toks.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    ).groupBy("neighbor_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+    # corpus stats: exact integer sums, ONE division → bit-identical
+    # across engines (never avg() of doubles, whose partial-sum order is
+    # engine-dependent). Computed over ALL docs (df's maxdf cut and the
+    # bm25 normalization need the true corpus size, not the pruned one).
+    stats = docs.select(
+        F.size(_clean_tokens(F.col(text_col))).alias("dl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
 
     # Single-pass contribution join (r12): document frequency is
@@ -129,9 +137,6 @@ def bm25_topk(
     # broadcast-build job (guide §2.4: remove duplicate passes). df is
     # counted over pruned postings only for terms the queries contain —
     # exactly the terms the inner contribution join keeps anyway.
-    post_q = postings.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
-    )
     dfreq = post_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df_frac is not None:
         dfreq = dfreq.join(F.broadcast(stats), how="cross").filter(
